@@ -1,0 +1,60 @@
+"""SparkSession construction + per-session conf hardening.
+
+The reference delegates execution to PostgreSQL 17 (docker-compose.yml:2-19);
+our executor is Spark with AQE.  Scale posture: these confs are tuned for
+local[32] testing but every choice (AQE, skew-join handling, partition
+coalescing) is the same one you'd want on a 1000-executor cluster — only
+``shuffle.partitions`` changes with cluster size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and required for oracle fidelity) to set at runtime on
+# ANY session, including one handed to us by an external driver.
+_RUNTIME_CONFS = {
+    # DuckDB timestamps are UTC-naive; pin Spark to UTC so date_format /
+    # date_trunc agree with the oracle (pyspark_guide.md "Pitfalls").
+    "spark.sql.session.timeZone": "UTC",
+    # Reference parses bad numerics to None (etl/etl_ida.py:422-429) — keep
+    # ANSI off so casts yield NULL instead of throwing (SURVEY.md §7.4.7).
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def harden(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally-provided session.
+
+    Every public query entry point calls this so correctness does not depend
+    on who built the SparkSession.
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on this build — defaults are acceptable
+    return spark
+
+
+def get_spark(app_name: str = "ida-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    parts = str(shuffle_partitions or cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", parts)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return harden(spark)

@@ -1,0 +1,1 @@
+from .tables import load_tables, table  # noqa: F401

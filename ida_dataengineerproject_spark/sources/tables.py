@@ -1,0 +1,33 @@
+"""Parquet table sources (the engine's scan layer, SURVEY.md §2.1).
+
+The reference scans ODS spreadsheets via pandas (etl/etl_ida.py:215-235); our
+distributed scan surface is parquet with Catalyst predicate pushdown + column
+pruning.  Scale notes: `spark.read.parquet` on a directory of files gives
+splittable, statistics-pruned scans; never `.collect()` a table to re-create
+it — keep everything a lazy DataFrame so filters/projections reach the reader
+(`.explain()` must show PushedFilters / a narrow ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TESTDATA_TABLES
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Lazy; pushdown-friendly."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All testdata tables as lazy DataFrames keyed by name."""
+    return {name: table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql() paths."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
