@@ -1,3 +1,5 @@
 """Query modules — importing them registers entries in ``registry``."""
 
 from . import reference_ops  # noqa: F401
+from . import tpch  # noqa: F401
+from . import events_ops  # noqa: F401

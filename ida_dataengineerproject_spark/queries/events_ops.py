@@ -1,0 +1,223 @@
+"""Event-stream batch analytics (SURVEY.md §2.11 x05-x09) on `events`.
+
+The reference has no streaming surface (SURVEY.md §2.10); these are the
+driver-mandated extensions.  Batch forms here (oracle-checkable); streaming
+twins with watermarks live in ``streaming/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.aggs import avg_exact, sum_exact
+from ..operators.sessionize import session_stats
+from ..registry import register
+from ..sources.tables import table
+
+# DuckDB view of `events` truncated to microseconds — Spark timestamps are
+# micros, the parquet file is nanos; both engines must see identical values
+# (see sources/tables.py).
+EVENTS_US = """
+    (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+            user_id, event_type, value, props
+     FROM events) events
+"""
+
+
+@register(
+    "x05_sessionize_events",
+    f"""
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM (
+      SELECT user_id, ts,
+             CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM (SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM {EVENTS_US}))
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_x05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): LAG + running SUM of
+    new-session flags, partitioned by user — no global ordering anywhere."""
+    ev = table(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30)
+
+
+@register(
+    "x06_tumbling_hourly",
+    f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM {EVENTS_US}
+    GROUP BY 1, 2
+    """,
+)
+def q_x06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form of the streaming
+    windowed agg; streaming twin in streaming/events.py uses F.window +
+    watermark).  F.window('1 hour') start == date_trunc('hour')."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_exact("value", scale=6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "x07_json_props_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DECIMAL(38,0))) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DECIMAL(38,0))) AS DOUBLE)
+             / COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_x07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (driver extension x07): get_json_object →
+    typed aggregate.  At scale prefer from_json with an explicit schema once
+    per pipeline; get_json_object re-parses per call."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k.cast("decimal(38,0)")).cast("bigint").alias("sum_k"),
+        (F.sum(k.cast("decimal(38,0)")).cast("double") / F.count(k)).alias("avg_k"),
+    )
+
+
+@register(
+    "x08_topk_per_key",
+    """
+    SELECT event_type, event_id, user_id, value
+    FROM (SELECT event_type, event_id, user_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events)
+    WHERE rn <= 3
+    """,  # ts-free: raw events view is fine
+)
+def q_x08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per key (x08): row_number window + filter; Spark rewrites the
+    rn<=3 filter into a per-partition top-K (WindowGroupLimit) so no group
+    is fully sorted."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.select("event_type", "event_id", "user_id", "value",
+                  F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "x09_count_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_x09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (expanded two-phase aggregate)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register("x09_approx_count_distinct")  # no oracle: approximate by design
+def q_x09_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users (x09): constant memory per
+    group at any scale — the 100 TB path where exact distinct shuffles every
+    key.  Rows-only driver check (approximate ≠ SQL-reproducible)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@register(
+    "x05b_asof_join_purchase_view",
+    f"""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           v.ts AS last_view_ts, v.view_value
+    FROM (SELECT event_id, user_id, ts FROM {EVENTS_US}
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, MAX(value) AS view_value
+        FROM {EVENTS_US} WHERE event_type = 'view' GROUP BY user_id, ts) v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def q_x05b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (most recent 'view' at or before each 'purchase', per
+    user).  Spark lacks a native as-of join; scalable composition: tag both
+    sides, UNION, one window pass per user ordered by (ts, side) carrying
+    last non-null view attrs forward, then keep purchases.  One shuffle on
+    user_id, no per-group pandas.  Oracle: DuckDB's native ASOF JOIN.
+
+    Views are pre-deduped to one row per (user, ts) (MAX(value)) so the
+    tie semantics are well-defined on both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    # side=0 sorts views before purchases at equal ts → '<=' semantics
+    tagged = views.select(
+        "user_id", "ts", F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("ts").alias("view_ts"), "view_value",
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts", F.lit(1).alias("side"), "purchase_id",
+            F.lit(None).cast("timestamp").alias("view_ts"),
+            F.lit(None).cast("double").alias("view_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .withColumn("last_view_value", F.last("view_value", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_view_ts",
+            F.col("last_view_value").alias("view_value"),
+        )
+    )

@@ -22,6 +22,9 @@ _RUNTIME_CONFS = {
     # Reference parses bad numerics to None (etl/etl_ida.py:422-429) — keep
     # ANSI off so casts yield NULL instead of throwing (SURVEY.md §7.4.7).
     "spark.sql.ansi.enabled": "false",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark cannot represent
+    # (micros max): read the raw int64 and convert in sources.tables.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -13,13 +13,24 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import TESTDATA_TABLES
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one testdata table. Lazy; pushdown-friendly."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Scan one testdata table. Lazy; pushdown-friendly.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark timestamps are
+    microsecond precision, so (with ``nanosAsLong`` set in session.harden)
+    the raw int64 is truncated to micros losslessly via integer division.
+    DuckDB oracles must truncate identically:
+    ``make_timestamp(epoch_ns(ts)//1000)``.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

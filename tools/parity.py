@@ -81,7 +81,12 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir).toPandas()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"[FAIL] {name}: {type(ex).__name__}: {str(ex).splitlines()[0][:200]}")
+            fail += 1
+            continue
         if name not in oracles:
             print(f"[ROWS] {name}: {len(sdf)} rows (no oracle — rows-only check)")
             skipped += 1
