@@ -1,0 +1,93 @@
+"""Benchmark harness (driver contract + BASELINE.md procedure).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (no driver collect
+overhead, no result caching).  First a warm-up pass touches every input file
+so JVM/classloader/page-cache effects don't pollute query timings.
+
+Usage: python bench.py [--duckdb] [names...]
+  --duckdb also times the DuckDB oracle per query (fills BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def spark_time(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    with_duckdb = "--duckdb" in sys.argv
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as e
+    from ida_dataengineerproject_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    qs = e.queries()
+    names = args or list(qs)
+
+    # warm-up: materialize one tiny query per input table (file listing,
+    # footer reads, codegen warmup) — excluded from timings
+    from ida_dataengineerproject_spark.sources.tables import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).write.format("noop").mode("overwrite").save()
+
+    # two runs per query, keep the best: BASELINE.md measures warm runs;
+    # run 1 absorbs codegen/classloader warmup for that plan shape
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(
+            min(spark_time(qs[name], spark, sf_dir) for _ in range(2)), 3
+        )
+
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    if with_duckdb:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        duck: dict[str, float] = {}
+        oracles = e.oracle_sql()
+        for name in names:
+            if name not in oracles:
+                continue
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            duck[name] = round(time.perf_counter() - t0, 3)
+        result["duckdb"] = duck
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

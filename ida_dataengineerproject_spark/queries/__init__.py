@@ -3,3 +3,6 @@
 from . import reference_ops  # noqa: F401
 from . import tpch  # noqa: F401
 from . import events_ops  # noqa: F401
+from . import text_ops  # noqa: F401
+from . import dedup_ops  # noqa: F401
+from . import vector_ops  # noqa: F401

@@ -1,0 +1,161 @@
+"""Text-analysis queries (driver extension x04) over `documents`.
+
+Language-ID, quality scoring, token counting, fingerprinting — all pure
+built-in expressions with DuckDB oracle twins.  Shared tokenizer convention:
+trim → split /\\s+/ (== regexp_split_to_array in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textstats import (
+    LANG_MARKERS,
+    avg_token_len,
+    lang_id,
+    n_tokens,
+    n_unique_tokens,
+    quality_score,
+    token_count_bpe_ish,
+    type_token_ratio,
+)
+from ..registry import register
+from ..sources.tables import table
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "x04_text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tok,
+           CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_uniq,
+           CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+             / len({_TOKS}) AS avg_tok_len,
+           CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) AS ttr
+    FROM documents
+    """,
+)
+def q_x04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char statistics (x04): counts, mean token length, type-token
+    ratio — single projection, no shuffle, codegen'd end-to-end."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_tokens("text").alias("n_tok"),
+        n_unique_tokens("text").alias("n_uniq"),
+        avg_token_len("text").alias("avg_tok_len"),
+        type_token_ratio("text").alias("ttr"),
+    )
+
+
+def _marker_count_sql(code: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[code])
+    return (
+        f"CAST(len(list_filter({_TOKS}, t -> list_contains([{words}], lower(t)))) AS INTEGER)"
+    )
+
+
+@register(
+    "x04b_lang_id",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN m = 0 THEN 'und'
+                WHEN c_en = m THEN 'en'
+                WHEN c_es = m THEN 'es'
+                WHEN c_fr = m THEN 'fr'
+                WHEN c_de = m THEN 'de'
+                ELSE 'pt' END AS lang_pred
+    FROM (
+      SELECT doc_id, lang,
+             c_en, c_es, c_fr, c_de, c_pt,
+             greatest(c_en, c_es, c_fr, c_de, c_pt) AS m
+      FROM (
+        SELECT doc_id, lang,
+               {_marker_count_sql('en')} AS c_en,
+               {_marker_count_sql('es')} AS c_es,
+               {_marker_count_sql('fr')} AS c_fr,
+               {_marker_count_sql('de')} AS c_de,
+               {_marker_count_sql('pt')} AS c_pt
+        FROM documents))
+    """,
+)
+def q_x04b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID by stopword voting (x04): argmax of per-language
+    marker-token hits; ties go to the first language in list order — the
+    same rule the oracle's CASE implements."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "x04c_quality_score",
+    f"""
+    SELECT doc_id,
+           ROUND((
+             (CASE WHEN length(text) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)
+             + (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}))
+             + least((CAST(len(list_filter({_TOKS},
+                    t -> list_contains(['the','a','of','and','to','in','is','that'],
+                                       lower(t)))) AS DOUBLE)
+                      / len({_TOKS})) * 5, 1.0)
+           ) / 3.0, 6) AS quality
+    FROM documents
+    """,
+)
+def q_x04c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (x04): length gate + lexical diversity +
+    bounded stopword ratio, the cheap-signal trio of pretraining filters."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@register(
+    "x04d_token_count_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+             AS n_bpe_ish
+    FROM documents
+    """,
+)
+def q_x04d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (x04): alpha/digit/punct pre-tokenizer regex,
+    counted via regexp_extract_all — same RE2-compatible pattern both
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count_bpe_ish("text").alias("n_bpe_ish"))
+
+
+@register(
+    "x04e_fingerprint",
+    """
+    SELECT doc_id,
+           CASE WHEN length(norm) >= 8
+                THEN list_aggregate(list_transform(range(1, length(norm) - 6),
+                                    i -> md5(substr(norm, i, 8))), 'min')
+                ELSE md5(norm) END AS fingerprint
+    FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+          FROM documents)
+    """,
+)
+def q_x04e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling fingerprint (x04): min md5 over 8-char
+    windows of normalized text — one representative hash per document.
+    (The scale path uses xxhash64 — functions/textstats.rolling_fingerprint;
+    md5 here because the oracle can reproduce it.)"""
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    d = d.select("doc_id", norm.alias("norm"))
+    windows = F.transform(
+        F.sequence(F.lit(1), F.length("norm") - F.lit(7)),
+        lambda i: F.md5(F.col("norm").substr(i, F.lit(8))),
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.length("norm") >= 8, F.array_min(windows))
+        .otherwise(F.md5(F.col("norm")))
+        .alias("fingerprint"),
+    )

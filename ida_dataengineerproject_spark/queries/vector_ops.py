@@ -1,0 +1,86 @@
+"""Embedding similarity-search queries (driver extension x03) over
+`embeddings` (64-dim float vectors).
+
+Brute-force cosine top-k carries a DuckDB oracle (list_cosine_similarity
+over DOUBLE[]); the LSH path is rows-only with recall asserted against the
+brute-force baseline in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from ..registry import register
+from ..sources.tables import table
+
+_N_QUERIES = 5
+_K = 10
+
+
+@register(
+    "x03_cosine_topk_bruteforce",
+    f"""
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 9) AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                         CAST(c.embedding AS DOUBLE[])), 9) DESC,
+                            c.vec_id) AS INTEGER) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}) q
+        JOIN embeddings c ON q.vec_id <> c.vec_id)
+    WHERE rank <= {_K}
+    """,
+)
+def q_x03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (x03 baseline): broadcast query set × corpus scan,
+    zip_with/aggregate dot products in double, deterministic tie-break."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk_bruteforce(emb, queries, k=_K)
+
+
+@register("x03b_cosine_topk_lsh")  # rows-only: approximate by design
+def q_x03b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via multi-table random-hyperplane LSH (x03
+    scale path): bucketed equi-join instead of corpus-wide scoring.
+    Recall vs brute force asserted in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk_lsh(emb, queries, k=_K, n_tables=16, n_planes=4, dim=64)
+
+
+@register(
+    "x03c_embedding_neardup_pairs",
+    """
+    SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 9) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 200 AND b.vec_id < 200)
+    WHERE cosine >= 0.4
+    """,
+)
+def q_x03c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (x02 family): bounded O(n²)
+    over vec_id<200 — ground truth for embedding dedup; the LSH bucketing
+    above is the scale path."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    from ..functions.vectors import as_double_array, cosine as cos
+
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double_array("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), as_double_array("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cos(F.col("va"), F.col("vb")), 9).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )

@@ -1,0 +1,95 @@
+"""Recall/quality tests for the approximate dedup & similarity paths
+against their exact baselines (the driver's rows-only checks can't see
+quality; these tests do)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+def _docs(spark):
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    return table(spark, SF_SMOKE, "documents")
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Every high-jaccard pair (>=0.6) found by brute force must be found
+    by the MinHash-LSH path (16 hashes / 4 bands → ~0.47 LSH threshold)."""
+    from ida_dataengineerproject_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.6).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert exact, "testdata should contain planted near-duplicates"
+    missed = exact - lsh
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_pairs_are_similar(spark):
+    """SimHash-near pairs (hamming<=3) should have similar token sets."""
+    from ida_dataengineerproject_spark.operators.dedup import (
+        jaccard,
+        simhash_pairs,
+    )
+    from ida_dataengineerproject_spark.functions.textstats import tokens
+
+    d = _docs(spark)
+    pairs = simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    toks = d.select(
+        F.col("doc_id"), F.array_distinct(tokens("text")).alias("tk")
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("tk_a"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tk_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b").select(
+        jaccard(F.col("tk_a"), F.col("tk_b")).alias("tok_jac")
+    )
+    rows = joined.collect()
+    if rows:  # token-set similarity of flagged pairs should be high
+        assert min(r.tok_jac for r in rows) > 0.5
+
+
+def test_cosine_lsh_recall_vs_bruteforce(spark):
+    """LSH top-k must recover >=60% of true top-3 neighbors (16 tables ×
+    4 planes, 500 vectors)."""
+    from ida_dataengineerproject_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_lsh(emb, queries, k=10, n_tables=16, n_planes=4, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_exact_dedup_idempotent(spark):
+    """Dedup of already-deduped input is a no-op (ON CONFLICT semantics)."""
+    from ida_dataengineerproject_spark.operators.dedup import exact_dedup
+
+    d = _docs(spark)
+    once = exact_dedup(d, F.md5("text"), "doc_id").drop("n_dups")
+    twice = exact_dedup(once.drop("hash_registro"), F.md5("text"), "doc_id").drop(
+        "n_dups"
+    )
+    assert once.count() == twice.count()
