@@ -1,0 +1,134 @@
+"""Multimodal (binary-column) plumbing (driver extension; SURVEY.md §2.11).
+
+Design: image/audio/video payloads are opaque ``binary`` columns with typed
+metadata travelling beside them.  Decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas iterators over ``mapInPandas`` —
+the payload never round-trips through Python row-by-row, and each batch
+stays columnar.
+
+The decode step itself is STUBBED (no image/audio libs in this container):
+``decode_image_stub`` raises NotImplementedError when asked for a real
+decode and otherwise produces a deterministic fake, so the Spark-side
+plumbing — schema, partitioning, UDF signature, batch shape — is real and
+tested end-to-end.
+
+Scale notes: binary payloads dominate partition size — set
+``spark.sql.files.maxPartitionBytes`` down (or repartition by size) so a
+partition of payloads fits executor memory; metadata-only operations should
+``select`` away the binary column FIRST so the parquet reader never
+materializes it (column pruning works per-column).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes int, first_byte int, byte_checksum long"
+)
+
+DECODE_SCHEMA = (
+    "doc_id long, width int, height int, n_channels int, mean_pixel double"
+)
+
+
+def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic binary payload derived from a text column — stands in
+    for real image/audio bytes so the binary path is exercised without
+    external fixtures."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def extract_byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Byte-level features over the binary column via mapInPandas.
+
+    One Arrow batch in → one batch out; nothing is collected; the operator
+    parallelizes per input partition.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": payload.map(len).astype("int32"),
+                    "first_byte": payload.map(
+                        lambda b: b[0] if len(b) else -1
+                    ).astype("int32"),
+                    # cheap deterministic checksum (sum of bytes)
+                    "byte_checksum": payload.map(
+                        lambda b: int(sum(b)) if len(b) else 0
+                    ).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(op, FEATURE_SCHEMA)
+
+
+def decode_image_stub(
+    df: DataFrame, id_col: str = "doc_id", real_decode: bool = False
+) -> DataFrame:
+    """'Decode' the binary payload into image metadata + a pixel statistic.
+
+    real_decode=True is the production path — it requires an image library
+    (PIL/opencv) that this container does not ship, so it raises
+    NotImplementedError.  The default produces a deterministic fake decode
+    (dimensions/statistics derived from the bytes) with the production
+    schema, partitioning and batch shape.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "real image decode needs PIL/opencv — not in this "
+                    "container; plumbing is exercised via the fake decode"
+                )
+            payload = pdf["payload"]
+            n = payload.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": (n % 640).astype("int32"),
+                    "height": (n % 480).astype("int32"),
+                    "n_channels": pd.Series([3] * len(pdf), dtype="int32"),
+                    "mean_pixel": payload.map(
+                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                    ),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(op, DECODE_SCHEMA)
+
+
+def frame_sample_stub(
+    df: DataFrame, id_col: str = "doc_id", every_n_bytes: int = 64
+) -> DataFrame:
+    """Frame sampling shape: one input row (a 'video') explodes to many
+    output rows (its 'frames') — mapInPandas returning more rows than it
+    received, the pattern a real frame sampler uses."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_bytes = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    out_ids.append(doc_id)
+                    out_idx.append(i)
+                    out_bytes.append(payload[off : off + every_n_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame": pd.Series(out_bytes, dtype=object),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        op, "doc_id long, frame_idx int, frame binary"
+    )

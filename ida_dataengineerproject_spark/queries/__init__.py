@@ -6,3 +6,4 @@ from . import events_ops  # noqa: F401
 from . import text_ops  # noqa: F401
 from . import dedup_ops  # noqa: F401
 from . import vector_ops  # noqa: F401
+from . import multimodal_ops  # noqa: F401

@@ -1,0 +1,104 @@
+"""Structured Streaming operators (SURVEY.md §2.10 — the reference is
+strictly batch, docker-compose.yml:33-34; these are the driver-mandated
+streaming extensions of the batch ops in queries/events_ops.py).
+
+Each transformation takes/returns streaming DataFrames, so the same code
+runs against kafka/socket sources in production; tests drive them with a
+file source over the testdata parquet + a memory sink (synchronous
+processAllAvailable).
+
+Scale notes: watermarks bound state (late events beyond the horizon are
+dropped, state for closed windows is evicted); session_window keeps one
+state entry per open (user, session); dropDuplicates keeps one entry per
+key within the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (parquet TIMESTAMP(NANOS))
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one batch).
+    The file source requires a directory: stream the sf_dir with a glob
+    filter.  ts arrives as raw nanos (see sources/tables.py) → micros."""
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type (streaming twin of
+    x06_tumbling_hourly).  Append-mode capable: windows finalize when the
+    watermark passes window end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows (streaming twin of x05_sessionize_events):
+    state-backed gap sessions, one state entry per open session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming form of ON CONFLICT DO NOTHING (etl_ida.py:534)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def run_to_memory(spark: SparkSession, df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Drive a streaming frame to completion against a memory sink and
+    return the materialized result (test/batch-parity harness)."""
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,69 @@
+"""Binary-column (multimodal) plumbing tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs_with_payload(spark):
+    from ida_dataengineerproject_spark.multimodal.binary_ops import (
+        attach_fake_payload,
+    )
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    return attach_fake_payload(table(spark, SF_SMOKE, "documents"))
+
+
+def test_byte_features_match_text(spark, docs_with_payload):
+    from ida_dataengineerproject_spark.multimodal.binary_ops import (
+        extract_byte_features,
+    )
+
+    feats = extract_byte_features(docs_with_payload)
+    joined = feats.join(
+        docs_with_payload.select("doc_id", F.length("text").alias("text_len")),
+        "doc_id",
+    )
+    bad = joined.filter(F.col("n_bytes") != F.col("text_len")).count()
+    assert bad == 0  # ASCII corpus: bytes == chars
+
+
+def test_decode_stub_schema_and_fake(spark, docs_with_payload):
+    from ida_dataengineerproject_spark.multimodal.binary_ops import (
+        decode_image_stub,
+    )
+
+    out = decode_image_stub(docs_with_payload)
+    assert out.columns == ["doc_id", "width", "height", "n_channels", "mean_pixel"]
+    row = out.orderBy("doc_id").first()
+    assert row.n_channels == 3 and row.mean_pixel > 0
+
+
+def test_decode_real_path_raises(spark, docs_with_payload):
+    from ida_dataengineerproject_spark.multimodal.binary_ops import (
+        decode_image_stub,
+    )
+
+    out = decode_image_stub(docs_with_payload, real_decode=True)
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        out.collect()
+
+
+def test_frame_sample_explosion_count(spark, docs_with_payload):
+    from ida_dataengineerproject_spark.multimodal.binary_ops import (
+        frame_sample_stub,
+    )
+
+    frames = frame_sample_stub(docs_with_payload, every_n_bytes=64)
+    got = frames.groupBy("doc_id").count()
+    want = docs_with_payload.select(
+        "doc_id", F.ceil(F.length("text") / 64).alias("want")
+    )
+    bad = got.join(want, "doc_id").filter(F.col("count") != F.col("want")).count()
+    assert bad == 0

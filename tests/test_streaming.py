@@ -1,0 +1,66 @@
+"""Structured Streaming tests: drive each streaming operator over the
+testdata events file (file source → memory sink, availableNow) and check
+batch parity / watermark semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    from ida_dataengineerproject_spark.streaming.events import read_events_stream
+
+    return read_events_stream(spark, SF_SMOKE)
+
+
+def test_tumbling_counts_match_batch(spark, stream):
+    from ida_dataengineerproject_spark.sources.tables import table
+    from ida_dataengineerproject_spark.streaming.events import (
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    out = run_to_memory(spark, tumbling_counts(stream), "t_tumbling")
+    batch = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    got = {(str(r.window_start), r.event_type): r.n_events for r in out.collect()}
+    want = {(str(r.w.start), r.event_type): r.n_events for r in batch.collect()}
+    assert got == want
+
+
+def test_session_window_total_events(spark, stream):
+    from ida_dataengineerproject_spark.sources.tables import table
+    from ida_dataengineerproject_spark.streaming.events import (
+        run_to_memory,
+        session_window_stats,
+    )
+
+    out = run_to_memory(spark, session_window_stats(stream), "t_sessions")
+    total_events = table(spark, SF_SMOKE, "events").count()
+    assert out.agg(F.sum("n_events")).collect()[0][0] == total_events
+    # session windows never overlap per user
+    rows = sorted(
+        ((r.user_id, r.session_start, r.session_end) for r in out.collect())
+    )
+    for (u1, s1, e1), (u2, s2, e2) in zip(rows, rows[1:]):
+        if u1 == u2:
+            assert s2 >= e1
+
+
+def test_streaming_dedup(spark, stream):
+    from ida_dataengineerproject_spark.streaming.events import (
+        run_to_memory,
+        streaming_dedup,
+    )
+
+    out = run_to_memory(spark, streaming_dedup(stream), "t_dedup", mode="append")
+    n = out.count()
+    assert n == out.select("event_id").distinct().count()
+    assert n > 0
