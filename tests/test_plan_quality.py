@@ -1,0 +1,80 @@
+"""Physical-plan audits: the scale posture is only real if the optimizer
+artifacts are in the plan.  These tests pin the properties that matter at
+100 TB — filter/column pushdown into the parquet scan, broadcast joins for
+dims, TakeOrderedAndProject for top-k, WindowGroupLimit for ranked filters,
+no cartesian products in LSH paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_projection_pushdown(spark):
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    df = (
+        table(spark, SF_SMOKE, "lineitem")
+        .filter(F.col("l_shipdate") > "1996-01-01")
+        .select("l_orderkey", "l_extendedprice")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    # column pruning: scan schema holds only the 3 referenced columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_partkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["op31_star_join_revenue"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact
+
+
+def test_flagship_joins_before_windows(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["flagship_taxa_variacao"](spark, SF_SMOKE))
+    # the only full-table join (lineitem⋈orders) may shuffle; windows must
+    # run over HashAggregate output (month/group grain), never raw rows
+    assert plan.index("HashAggregate") < plan.index("Window")
+
+
+def test_topk_uses_take_ordered(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["op41_global_sort_limit"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_ranked_filter_uses_window_group_limit(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["x08_topk_per_key"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan  # rn<=k pushed into the sort
+
+
+def test_lsh_paths_have_no_cartesian(spark):
+    import __spark_entry__ as e
+
+    for name in ["x02b_minhash_lsh_pairs", "x03b_cosine_topk_lsh"]:
+        plan = _plan(e.queries()[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_unpivot_is_shuffle_free(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["op16_unpivot_measures"](spark, SF_SMOKE))
+    assert "Exchange" not in plan  # Expand node only — no shuffle
