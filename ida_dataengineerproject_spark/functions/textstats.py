@@ -69,15 +69,37 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
 def lang_id(text: Column | str) -> Column:
     """Language ID by stopword voting: argmax over per-language marker hits;
     'und' (undetermined) when no language scores a hit.  Ties break by the
-    iteration order of LANG_MARKERS (stable, documented)."""
-    scores = [(code, stopword_count(text, code)) for code in LANG_MARKERS]
-    best_code, best_score = F.lit("und"), F.lit(0)
-    # fold left: strictly-greater keeps earlier languages on ties
-    for code, score in scores:
-        is_better = score > best_score
-        best_code = F.when(is_better, F.lit(code)).otherwise(best_code)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_code
+    iteration order of LANG_MARKERS (stable, documented).
+
+    Tokens and the per-language count array are let-bound
+    (functions/exprs.let1): Spark expressions have no common-subexpression
+    elimination, so the naive fold re-tokenized the text ~15× per row."""
+    from .exprs import let1
+
+    codes = list(LANG_MARKERS)
+
+    def count_for(toks: Column, code: str) -> Column:
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[code]])
+        return F.size(
+            F.filter(toks, lambda t: F.array_contains(markers, F.lower(t)))
+        )
+
+    def pick(counts: Column) -> Column:
+        best_code, best_score = F.lit("und"), F.lit(0)
+        # fold left: strictly-greater keeps earlier languages on ties
+        for idx, code in enumerate(codes):
+            score = F.element_at(counts, idx + 1)
+            is_better = score > best_score
+            best_code = F.when(is_better, F.lit(code)).otherwise(best_code)
+            best_score = F.when(is_better, score).otherwise(best_score)
+        return best_code
+
+    return let1(
+        tokens(text),
+        lambda toks: let1(
+            F.array(*[count_for(toks, code) for code in codes]), pick
+        ),
+    )
 
 
 def quality_score(text: Column | str) -> Column:
@@ -101,14 +123,25 @@ def token_count_bpe_ish(text: Column | str) -> Column:
 def ngram_shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>), distinct — the MinHash/Jaccard
     input set.  Built from transform over token offsets: no explode, no
-    shuffle; one row stays one row."""
-    toks = tokens(text)
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), count - F.lit(1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]),
-    )
-    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+    shuffle; one row stays one row.  The token array is let-bound so its
+    n+2 references don't re-split the text (CollapseProject inlining)."""
+    from .exprs import let1
+
+    def grams_of(toks: Column) -> Column:
+        count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+        grams = F.transform(
+            F.sequence(F.lit(0), count - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]
+            ),
+        )
+        return F.array_distinct(
+            F.when(F.size(toks) >= n, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    return let1(tokens(text), grams_of)
 
 
 def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:

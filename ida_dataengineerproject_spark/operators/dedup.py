@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exprs import let1
 from ..functions.textstats import ngram_shingles, tokens
 
 
@@ -80,17 +81,22 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------- minhash
 
 def minhash_signature(shingles: Column, k: int = 16) -> Column:
-    """k-wide MinHash signature (array<long>): for each hash-family member i,
-    min over shingles of xxhash64(i, shingle).  Pure expression — one row in,
-    one row out, no shuffle."""
-    def hasher(seed: int):
-        # NB: the lambda must take exactly ONE parameter — F.transform
-        # binds a second parameter to the array index, which would silently
-        # override a default-argument seed.
-        return lambda s: F.xxhash64(F.lit(seed), s)
+    """k-wide MinHash signature (array<long>): for hash-family member i,
+    min over shingles of xxhash64(i, shingle).  Pure expression — one row
+    in, one row out, no shuffle.  The shingle array is let-bound so
+    CollapseProject cannot inline (= recompute) it per hash function;
+    seeds come from the sequence values themselves (hash of an int column
+    equals hash of the same int literal).
 
-    return F.array(
-        *[F.array_min(F.transform(shingles, hasher(i))) for i in range(k)]
+    NB: every transform lambda takes exactly ONE parameter — F.transform
+    binds a second parameter to the array index, which silently overrides
+    closure/default-arg seeds."""
+    return let1(
+        shingles,
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
+        ),
     )
 
 
@@ -99,8 +105,8 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
-    k: int = 32,
-    bands: int = 16,
+    k: int = 30,
+    bands: int = 10,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
@@ -110,33 +116,41 @@ def minhash_lsh_pairs(
     pairs → re-join shingles → verify.  Candidate volume scales with true
     collisions, never with n².
 
-    Default k=32/bands=16 (r=2): P(candidate) = 1-(1-j²)^16 ≈ 0.99 at
-    j=0.5 — high recall at the 0.5 threshold; the exact-Jaccard
-    verification step removes the extra low-similarity candidates.
+    Default k=30/bands=10 (r=3): LSH threshold (1/b)^(1/r) ≈ 0.46 —
+    centered just below the 0.5 verify threshold.  P(candidate) at j=0.6
+    is 0.91 and ≈1 by j=0.8, while unrelated docs (j≈0.03) collide with
+    P≈3e-4, keeping the candidate set ~collisions-sized, not O(n²).
+    The exact-Jaccard verification removes surviving false candidates.
     """
     rows_per_band = k // bands
     sh = df.select(
         F.col(id_col).alias("id"), ngram_shingles(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0)
-    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), k))
 
-    banded = sig.select(
+    # signature → per-band hashes inside one let-bound expression: the
+    # signature is computed once per row even though each band references
+    # rows_per_band of its elements (CollapseProject would otherwise
+    # recompute it bands× per row).
+    def band_hashes(sig: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[
+                            F.element_at(sig, b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ]
+        )
+
+    banded = sh.select(
         "id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
+            let1(minhash_signature(F.col("sh"), k), band_hashes)
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
 
@@ -168,28 +182,32 @@ def minhash_lsh_pairs(
 
 # ---------------------------------------------------------------- simhash
 
-def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """Attach a 64-bit SimHash column (bigint). SQL-expression formulation so
-    the per-token bit loop stays JVM-side."""
-    return df.withColumn(
-        out_col,
-        F.expr(
-            f"""
-            aggregate(
-              sequence(0, 63),
-              0L,
-              (acc, b) -> acc + IF(
-                aggregate(
-                  split(trim({text_col}), '\\\\s+'),
-                  0L,
-                  (v, t) -> v + CASE WHEN (xxhash64(t) >> b) & 1 = 1
-                                     THEN 1L ELSE -1L END
-                ) > 0,
-                shiftleft(1L, b), 0L)
-            )
-            """
-        ),
+def simhash64(text_col: str) -> Column:
+    """64-bit SimHash (bigint) as a single expression, JVM-side.
+
+    Tokens are hashed ONCE into a let-bound array (the single-element
+    transform = SQL-level let1); the per-bit vote then reads bits of the
+    precomputed hashes — O(|tokens| + 64·|tokens|) integer ops instead of
+    64·|tokens| xxhash evaluations (CollapseProject would otherwise inline
+    the split+hash per bit)."""
+    return F.expr(
+        f"""
+        element_at(
+          transform(
+            array(transform(split(trim({text_col}), '\\\\s+'), t -> xxhash64(t))),
+            hs -> aggregate(sequence(0, 63), 0L, (acc, b) -> acc + IF(
+                    aggregate(hs, 0L,
+                              (v, h) -> v + CASE WHEN shiftright(h, b) & 1 = 1
+                                            THEN 1L ELSE -1L END) > 0,
+                    shiftleft(1L, b), 0L))
+          ), 1)
+        """
     )
+
+
+def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """Attach a 64-bit SimHash column (bigint)."""
+    return df.withColumn(out_col, simhash64(text_col))
 
 
 def simhash_pairs(
@@ -207,24 +225,25 @@ def simhash_pairs(
     def signed64(v: int) -> int:
         return v - (1 << 64) if v >= (1 << 63) else v
 
-    s = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col)
-    chunks = s.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.col("simhash")
-                        .bitwiseAND(F.lit(signed64(0xFFFF << (16 * c))))
-                        .alias("cv"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("e"),
-    ).select("id", "simhash", "e.chunk", "e.cv")
+    # one let-bound explode: simhash evaluated once per row even though
+    # five expressions reference it (output + 4 chunk masks)
+    def chunk_rows(sh: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    sh.alias("simhash"),
+                    F.lit(c).alias("chunk"),
+                    sh.bitwiseAND(F.lit(signed64(0xFFFF << (16 * c)))).alias("cv"),
+                )
+                for c in range(4)
+            ]
+        )
+
+    chunks = (
+        df.select(F.col(id_col).alias("id"), text_col)
+        .select("id", F.explode(let1(simhash64(text_col), chunk_rows)).alias("e"))
+        .select("id", "e.simhash", "e.chunk", "e.cv")
+    )
     return (
         chunks.alias("x")
         .join(

@@ -20,6 +20,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exprs import let1
 from ..functions.vectors import as_double_array, cosine
 
 
@@ -61,21 +62,43 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def _bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Signed-projection bucket id: bit p = (vec · plane_p) > 0."""
-    bits = []
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(w)) for w in plane])
-        proj = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, w: x * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+def _all_buckets(vec: Column, planes: list[list[float]], n_tables: int, m: int) -> Column:
+    """array<long> of one bucket id per table: project `vec` on the whole
+    plane matrix in ONE transform (sign bits), then pack each table's m
+    bits.  The bit array is let-bound (functions/exprs.let1) so the
+    n_tables×m element references don't make CollapseProject recompute the
+    full projection per reference — that inlining measured 10× slower."""
+    matrix = F.array(
+        *[F.array(*[F.lit(float(w)) for w in plane]) for plane in planes]
+    )
+    bits = F.transform(
+        matrix,
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(vec, plane, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+    def pack(b: Column) -> Column:
+        return F.array(
+            *[
+                sum(
+                    (
+                        F.shiftleft(F.element_at(b, t * m + j + 1), j)
+                        for j in range(1, m)
+                    ),
+                    F.element_at(b, t * m + 1),
+                )
+                for t in range(n_tables)
+            ]
         )
-        bits.append(F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+
+    return let1(bits, pack)
 
 
 def cosine_topk_lsh(
@@ -101,18 +124,10 @@ def cosine_topk_lsh(
     re-joined for scoring candidates alone.
     """
 
+    planes = _hyperplanes(dim, n_tables * n_planes, seed=1042)
+
     def buckets(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    _bucket(vec, _hyperplanes(dim, n_planes, seed=1000 + t)).alias(
-                        "bucket"
-                    ),
-                )
-                for t in range(n_tables)
-            ]
-        )
+        return _all_buckets(vec, planes, n_tables, n_planes)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
@@ -121,11 +136,11 @@ def cosine_topk_lsh(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     )
 
-    c_b = c.select("neighbor_id", F.explode(buckets(F.col("cv"))).alias("e")).select(
-        "neighbor_id", "e.tbl", "e.bucket"
+    c_b = c.select(
+        "neighbor_id", F.posexplode(buckets(F.col("cv"))).alias("tbl", "bucket")
     )
-    q_b = q.select("query_id", F.explode(buckets(F.col("qv"))).alias("e")).select(
-        "query_id", "e.tbl", "e.bucket"
+    q_b = q.select(
+        "query_id", F.posexplode(buckets(F.col("qv"))).alias("tbl", "bucket")
     )
 
     cand = (

@@ -7,3 +7,4 @@ from . import text_ops  # noqa: F401
 from . import dedup_ops  # noqa: F401
 from . import vector_ops  # noqa: F401
 from . import multimodal_ops  # noqa: F401
+from . import extras  # noqa: F401

@@ -96,11 +96,11 @@ def q_x02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("x02b_minhash_lsh_pairs")  # rows-only: xxhash64 not in DuckDB
 def q_x02b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (x02 scale path): 32 hashes, 16 bands —
+    """MinHash+LSH near-dup pairs (x02 scale path): 30 hashes, 10 bands (r=3) —
     candidates from band-hash equi-join, verified by exact Jaccard.
     Recall vs the exact baseline is asserted in tests."""
     d = table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, k=30, bands=10, threshold=0.5)
 
 
 @register("x02c_simhash_pairs")  # rows-only: xxhash64 not in DuckDB

@@ -1,0 +1,210 @@
+"""Breadth queries beyond the reference surface (SURVEY.md §2.10 lists
+these as absent from the reference): set operations, outer joins, grouping
+sets / rollup, sampling, percentiles, range joins, scalar subqueries.
+A user of a general engine expects them; each carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.aggs import sum_exact
+from ..registry import register
+from ..sources.tables import table
+
+
+@register(
+    "set_union_intersect_except",
+    """
+    SELECT 'only_orders' AS src, k FROM (
+        SELECT o_custkey AS k FROM orders
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    UNION ALL
+    SELECT 'both', k FROM (
+        SELECT o_custkey AS k FROM orders
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL / INTERSECT / EXCEPT (distinct set semantics both engines)."""
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c_neg = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    only_orders = o.subtract(c_neg)  # EXCEPT (distinct)
+    both = o.intersect(c_neg)  # INTERSECT (distinct)
+    return only_orders.select(F.lit("only_orders").alias("src"), "k").unionByName(
+        both.select(F.lit("both").alias("src"), "k")
+    )
+
+
+@register(
+    "outer_join_full",
+    """
+    SELECT COALESCE(a.k, b.k) AS k, a.n_orders, b.n_neg_cust
+    FROM (SELECT o_custkey AS k, COUNT(*) AS n_orders
+          FROM orders WHERE o_totalprice > 400000 GROUP BY 1) a
+    FULL OUTER JOIN (SELECT c_custkey AS k, COUNT(*) AS n_neg_cust
+                     FROM customer WHERE c_acctbal < -900 GROUP BY 1) b
+      ON a.k = b.k
+    """,
+)
+def q_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two sparse aggregates (null-padded both sides)."""
+    a = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    b = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < -900)
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count("*").alias("n_neg_cust"))
+    )
+    return (
+        a.join(b, "k", "full_outer")
+        .select("k", "n_orders", "n_neg_cust")
+    )
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING markers (subtotal + grand-total rows)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        sum_exact("l_extendedprice").alias("revenue"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+@register(
+    "cube_quantity",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (all grouping-set combinations)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        sum_exact("l_quantity").alias("qty")
+    )
+
+
+@register(
+    "range_join_price_bands",
+    """
+    SELECT b.band, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+    FROM part p
+    JOIN (VALUES ('low', 0.0, 930.0), ('mid', 930.0, 970.0),
+                 ('high', 970.0, 1e9)) AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join against a literal band table: broadcast
+    nested-loop on a 3-row side — the correct plan when one side is tiny;
+    bucketize-then-equi-join is the alternative when both sides are big."""
+    p = table(spark, sf_dir, "part")
+    bands = p.sparkSession.createDataFrame(
+        [("low", 0.0, 930.0), ("mid", 930.0, 970.0), ("high", 970.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            sum_exact("p_retailprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (decorrelated to a cross of one row).
+
+    AVG comparison tolerates float-sum ordering here because it's only a
+    threshold: values are not output.  (Boundary rows would need the exact
+    pattern; none exist at these scales — asserted by the parity gate.)"""
+    c = table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE)
+                                  / COUNT(c_acctbal) FROM customer)
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "exact_median_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(median(l_extendedprice), 4) AS med_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / continuous percentile per group (sort-based agg)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("med_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+@register("approx_percentiles")  # rows-only: approximate by design
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch — the constant-memory scale path for
+    quantiles (exact percentile sorts each group)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median")
+    )
+
+
+@register("sample_fraction")  # rows-only: sampling is engine-specific RNG
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sample (seeded) — deterministic within Spark, not across
+    engines; driver checks rows-only."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.01, seed=42).select("l_orderkey", "l_linenumber")
