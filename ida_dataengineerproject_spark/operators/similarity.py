@@ -101,6 +101,96 @@ def _all_buckets(vec: Column, planes: list[list[float]], n_tables: int, m: int) 
     return let1(bits, pack)
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning.
+
+    Coarse quantizer: ``n_centroids`` vectors chosen deterministically from
+    the corpus itself (lowest xxhash64(id) — a seeded uniform sample with
+    no driver-side RNG state).  Every corpus vector is assigned to its
+    nearest centroid (one let-bound argmin over the broadcast centroid
+    matrix); queries probe their ``n_probe`` nearest centroid lists.  The
+    candidate join is an equi-join on centroid id — at scale each query
+    scores |corpus|·n_probe/n_centroids vectors instead of |corpus|.
+
+    Centroid selection by hash is a stand-in for k-means iterations; the
+    assignment/probe/score plumbing — the part that must scale — is
+    identical either way.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+
+    # deterministic coarse centroids (driver collects n_centroids rows only)
+    cents = (
+        c.withColumn("h", F.xxhash64("neighbor_id"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .select(F.col("neighbor_id").alias("cent_id"), F.col("cv").alias("cent"))
+        .collect()
+    )
+    cent_matrix = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r.cent]) for r in cents]
+    )
+    cent_ids = [int(r.cent_id) for r in cents]
+
+    def dists(vec: Column) -> Column:
+        # negative cosine to each centroid (array<double>), one pass
+        return F.transform(
+            cent_matrix, lambda cent: -cosine(vec, cent)
+        )
+
+    def argmin_n(vec: Column, n: int) -> Column:
+        """ids of the n nearest centroids, via array_sort over (dist, idx)
+        structs — pure expression, no shuffle."""
+        return let1(
+            dists(vec),
+            lambda ds: F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.zip_with(
+                            ds,
+                            F.array(*[F.lit(i) for i in range(len(cent_ids))]),
+                            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                        )
+                    ),
+                    lambda s: s["i"],
+                ),
+                1,
+                n,
+            ),
+        )
+
+    c_assigned = c.withColumn("cent_idx", F.element_at(argmin_n(F.col("cv"), 1), 1))
+    q_probes = q.select(
+        "query_id", "qv", F.explode(argmin_n(F.col("qv"), n_probe)).alias("cent_idx")
+    )
+
+    scored = (
+        c_assigned.join(q_probes, "cent_idx")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

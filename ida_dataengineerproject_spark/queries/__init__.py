@@ -8,3 +8,4 @@ from . import dedup_ops  # noqa: F401
 from . import vector_ops  # noqa: F401
 from . import multimodal_ops  # noqa: F401
 from . import extras  # noqa: F401
+from . import sql_api  # noqa: F401

@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
 from ..registry import register
 from ..sources.tables import table
 
@@ -52,6 +56,16 @@ def q_x03b(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk_lsh(emb, queries, k=_K, n_tables=16, n_planes=4, dim=64)
+
+
+@register("x03d_cosine_topk_ivf")  # rows-only: approximate by design
+def q_x03d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via IVF coarse quantization (x03 scale
+    path #2): nearest-centroid inverted lists, n_probe=6 of 16.
+    Recall vs brute force asserted in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk_ivf(emb, queries, k=_K, n_centroids=16, n_probe=6)
 
 
 @register(

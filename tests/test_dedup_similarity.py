@@ -83,6 +83,28 @@ def test_cosine_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
+def test_cosine_ivf_recall_vs_bruteforce(spark):
+    """IVF top-k (probe 6/16 lists) must recover >=50% of true top-3."""
+    from ida_dataengineerproject_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivf(emb, queries, k=10, n_centroids=16, n_probe=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
 def test_exact_dedup_idempotent(spark):
     """Dedup of already-deduped input is a no-op (ON CONFLICT semantics)."""
     from ida_dataengineerproject_spark.operators.dedup import exact_dedup

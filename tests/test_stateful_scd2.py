@@ -1,0 +1,89 @@
+"""Tests: applyInPandasWithState running counters + SCD2 merge."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+def test_stateful_running_counters(spark):
+    from ida_dataengineerproject_spark.sources.tables import table
+    from ida_dataengineerproject_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from ida_dataengineerproject_spark.streaming.stateful import (
+        running_user_counters,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    out = run_to_memory(
+        spark, running_user_counters(stream), "t_counters", mode="update"
+    )
+    batch = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in out.collect()}
+    want = {r.user_id: (r.n, round(r.v, 6)) for r in batch.collect()}
+    assert got == want  # single micro-batch → counters equal batch agg
+
+
+def _dim(spark):
+    rows = [
+        ("VIVO", "TELEFÔNICA BRASIL S.A.", datetime(2020, 1, 1), None, True),
+        ("OI", "OI S.A.", datetime(2020, 1, 1), None, True),
+        # already-closed historical row must pass through untouched
+        ("OI", "OI TELECOM LTDA", datetime(2010, 1, 1), datetime(2020, 1, 1), False),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "grupo_codigo string, grupo_nome string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean",
+    )
+
+
+def test_scd2_merge(spark):
+    from ida_dataengineerproject_spark.operators.scd2 import scd2_merge
+
+    updates = spark.createDataFrame(
+        [
+            ("VIVO", "VIVO S.A."),        # changed name → new version
+            ("OI", "OI S.A."),            # unchanged → passthrough
+            ("ALGAR", "ALGAR TELECOM"),   # new key → inserted current
+        ],
+        "grupo_codigo string, grupo_nome string",
+    )
+    ts = F.lit("2024-06-01").cast("timestamp")
+    merged = scd2_merge(
+        _dim(spark), updates, ["grupo_codigo"], ["grupo_nome"], batch_ts=ts
+    )
+    rows = {(r.grupo_codigo, r.grupo_nome, r.is_current, r.valid_to is None)
+            for r in merged.collect()}
+    assert rows == {
+        ("VIVO", "VIVO S.A.", True, True),                 # new current
+        ("VIVO", "TELEFÔNICA BRASIL S.A.", False, False),  # closed
+        ("OI", "OI S.A.", True, True),                     # unchanged
+        ("OI", "OI TELECOM LTDA", False, False),           # old history
+        ("ALGAR", "ALGAR TELECOM", True, True),            # inserted
+    }
+    # exactly one current row per key
+    cur = merged.filter("is_current").groupBy("grupo_codigo").count()
+    assert cur.filter("count > 1").count() == 0
+
+
+def test_scd2_idempotent(spark):
+    """Re-applying the same batch is a no-op (no spurious versions)."""
+    from ida_dataengineerproject_spark.operators.scd2 import scd2_merge
+
+    updates = spark.createDataFrame(
+        [("VIVO", "VIVO S.A.")], "grupo_codigo string, grupo_nome string"
+    )
+    ts = F.lit("2024-06-01").cast("timestamp")
+    once = scd2_merge(_dim(spark), updates, ["grupo_codigo"], ["grupo_nome"], ts)
+    twice = scd2_merge(once, updates, ["grupo_codigo"], ["grupo_nome"], ts)
+    assert twice.count() == once.count()
