@@ -9,3 +9,5 @@ from . import vector_ops  # noqa: F401
 from . import multimodal_ops  # noqa: F401
 from . import extras  # noqa: F401
 from . import sql_api  # noqa: F401
+from . import functions_breadth  # noqa: F401
+from . import skew_ops  # noqa: F401
