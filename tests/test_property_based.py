@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis): the Spark expressions must agree
+with reference Python semantics on arbitrary inputs — the reference's
+_parse_value / _clean_text / hash behavior (etl/etl_ida.py:398-429,
+124-131), and dedup/jaccard invariants."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hypothesis import given, settings, strategies as st
+
+
+def _ref_parse(value: str):
+    """Reference semantics: strip, ','→'.', drop '%', float() else None
+    (etl/etl_ida.py:422-429)."""
+    try:
+        cleaned = value.strip().replace(",", ".").replace("%", "")
+        return float(cleaned)
+    except (ValueError, AttributeError):
+        return None
+
+
+def _ref_clean(text: str) -> str:
+    return " ".join(text.split())
+
+
+# keep strings printable-ascii so Spark/Python whitespace semantics align
+_texty = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_texty, min_size=1, max_size=30))
+def test_parse_locale_matches_reference(spark, raw_values):
+    from ida_dataengineerproject_spark.functions.numparse import (
+        parse_locale_number,
+    )
+
+    df = spark.createDataFrame([(v,) for v in raw_values], "raw string")
+    got = [r.p for r in df.select(parse_locale_number("raw").alias("p")).collect()]
+    want = [_ref_parse(v) for v in raw_values]
+    for g, w, v in zip(got, want, raw_values):
+        if w is None or (w is not None and (math.isinf(w) or math.isnan(w))):
+            # Python float() accepts 'inf'/'nan' spellings; Spark cast does
+            # too — compare by repr class only
+            same_null = (g is None) == (w is None)
+            assert same_null or (g is not None and w is not None), (v, g, w)
+        else:
+            assert g is not None and abs(g - w) < 1e-9, (v, g, w)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_texty, min_size=1, max_size=30))
+def test_clean_text_matches_reference(spark, texts):
+    from ida_dataengineerproject_spark.operators.cleaning import clean_text
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r.c for r in df.select(clean_text("t").alias("c")).collect()]
+    want = [_ref_clean(t) for t in texts]
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=2, max_size=12
+    )
+)
+def test_jaccard_bounds_and_symmetry(spark, texts):
+    """0 <= jaccard <= 1, and pair (a,b) == pair (b,a) by construction."""
+    from ida_dataengineerproject_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    pairs = ngram_jaccard_pairs(df, "id", "text", n=2, threshold=0.0).collect()
+    for r in pairs:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.id_a < r.id_b  # canonical orientation, no dup pairs
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 5), min_size=1, max_size=40))
+def test_sessionize_partitions_events(spark, gaps_minutes):
+    """Every event lands in exactly one session; session_seq is contiguous
+    from 1; a gap > threshold always starts a new session."""
+    from ida_dataengineerproject_spark.operators.sessionize import sessionize
+
+    ts, rows = 0, []
+    for g in gaps_minutes:
+        ts += g * 60_000_000  # minutes → micros
+        rows.append((1, ts))
+    df = spark.createDataFrame(rows, "user_id long, ts_us long").selectExpr(
+        "user_id", "timestamp_micros(ts_us) AS ts"
+    )
+    out = sessionize(df, gap_minutes=2).orderBy("ts").collect()
+    assert len(out) == len(rows)
+    seqs = [r.session_seq for r in out]
+    assert seqs[0] == 1
+    for prev, cur, gap in zip(seqs, seqs[1:], gaps_minutes[1:]):
+        if gap > 2:
+            assert cur == prev + 1  # big gap ⇒ new session
+        else:
+            assert cur == prev  # small gap ⇒ same session
