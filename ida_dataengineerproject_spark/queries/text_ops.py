@@ -7,7 +7,7 @@ trim → split /\\s+/ (== regexp_split_to_array in DuckDB).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.textstats import (
@@ -146,16 +146,20 @@ def q_x04e(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows of normalized text — one representative hash per document.
     (The scale path uses xxhash64 — functions/textstats.rolling_fingerprint;
     md5 here because the oracle can reproduce it.)"""
+    from ..functions.exprs import let1
+
     d = table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    d = d.select("doc_id", norm.alias("norm"))
-    windows = F.transform(
-        F.sequence(F.lit(1), F.length("norm") - F.lit(7)),
-        lambda i: F.md5(F.col("norm").substr(i, F.lit(8))),
-    )
-    return d.select(
-        "doc_id",
-        F.when(F.length("norm") >= 8, F.array_min(windows))
-        .otherwise(F.md5(F.col("norm")))
-        .alias("fingerprint"),
-    )
+    norm_expr = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+    def fp(norm: Column) -> Column:
+        windows = F.transform(
+            F.sequence(F.lit(1), F.length(norm) - F.lit(7)),
+            lambda i: F.md5(norm.substr(i, F.lit(8))),
+        )
+        return F.when(F.length(norm) >= 8, F.array_min(windows)).otherwise(
+            F.md5(norm)
+        )
+
+    # norm is let-bound: its three references would otherwise re-run the
+    # regex per reference (CollapseProject inlining)
+    return d.select("doc_id", let1(norm_expr, fp).alias("fingerprint"))
