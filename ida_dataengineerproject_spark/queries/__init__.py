@@ -11,3 +11,4 @@ from . import extras  # noqa: F401
 from . import sql_api  # noqa: F401
 from . import functions_breadth  # noqa: F401
 from . import skew_ops  # noqa: F401
+from . import windows_arrays  # noqa: F401

@@ -195,14 +195,15 @@ def q_op23(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT ano, mes, mes_nome, trimestre, semestre, COUNT(*) AS n_orders
     FROM (
-      SELECT year(o_orderdate) AS ano, month(o_orderdate) AS mes,
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS ano,
+             CAST(month(o_orderdate) AS INTEGER) AS mes,
              CASE month(o_orderdate)
                WHEN 1 THEN 'Janeiro' WHEN 2 THEN 'Fevereiro' WHEN 3 THEN 'Março'
                WHEN 4 THEN 'Abril' WHEN 5 THEN 'Maio' WHEN 6 THEN 'Junho'
                WHEN 7 THEN 'Julho' WHEN 8 THEN 'Agosto' WHEN 9 THEN 'Setembro'
                WHEN 10 THEN 'Outubro' WHEN 11 THEN 'Novembro' WHEN 12 THEN 'Dezembro'
              END AS mes_nome,
-             quarter(o_orderdate) AS trimestre,
+             CAST(quarter(o_orderdate) AS INTEGER) AS trimestre,
              CAST(FLOOR((month(o_orderdate) - 1) / 6.0) AS INTEGER) + 1 AS semestre
       FROM orders)
     GROUP BY ano, mes, mes_nome, trimestre, semestre
