@@ -12,3 +12,4 @@ from . import sql_api  # noqa: F401
 from . import functions_breadth  # noqa: F401
 from . import skew_ops  # noqa: F401
 from . import windows_arrays  # noqa: F401
+from . import pipeline_ops  # noqa: F401
