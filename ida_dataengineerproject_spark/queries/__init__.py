@@ -14,3 +14,4 @@ from . import skew_ops  # noqa: F401
 from . import windows_arrays  # noqa: F401
 from . import pipeline_ops  # noqa: F401
 from . import etl_ops  # noqa: F401
+from . import nested_ops  # noqa: F401

@@ -73,6 +73,19 @@ def test_lsh_paths_have_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_session_hardening_confs(spark):
+    """Scale/correctness confs every query depends on are actually set
+    by session.harden (AQE + skew join + UTC + ANSI-off + nanos)."""
+    from ida_dataengineerproject_spark.session import harden
+
+    harden(spark)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+
+
 def test_unpivot_is_shuffle_free(spark):
     import __spark_entry__ as e
 
