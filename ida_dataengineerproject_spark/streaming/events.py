@@ -90,6 +90,47 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def purchases_with_recent_views(
+    events: DataFrame,
+    max_lag: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each 'purchase' paired with the same
+    user's 'view' events in the preceding ``max_lag`` window (the
+    streaming analog of the batch as-of join, x05b).
+
+    Both sides carry watermarks + the time-range join condition, so state
+    for either side is evicted once the watermark passes the range — the
+    boundedness contract stream-stream joins require.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("view_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts", "view_value")
+
+
 def run_to_memory(spark: SparkSession, df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drive a streaming frame to completion against a memory sink and
     return the materialized result (test/batch-parity harness)."""

@@ -54,6 +54,37 @@ def test_session_window_total_events(spark, stream):
             assert s2 >= e1
 
 
+def test_stream_stream_join_matches_batch(spark, stream):
+    from ida_dataengineerproject_spark.sources.tables import table
+    from ida_dataengineerproject_spark.streaming.events import (
+        purchases_with_recent_views,
+        run_to_memory,
+    )
+
+    out = run_to_memory(
+        spark, purchases_with_recent_views(stream), "t_ssjoin", mode="append"
+    )
+    ev = table(spark, SF_SMOKE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"),
+    )
+    batch = p.join(
+        v,
+        (p.user_id == v.vu)
+        & (v.vts <= p.pts)
+        & (v.vts >= p.pts - F.expr("INTERVAL 30 MINUTES")),
+    )
+    got = {(r.purchase_id, r.view_id) for r in out.collect()}
+    want = {(r.purchase_id, r.view_id) for r in batch.collect()}
+    # single availableNow batch: watermark never advances mid-run, so the
+    # streaming result must equal the batch join exactly
+    assert got == want and len(got) > 0
+
+
 def test_streaming_dedup(spark, stream):
     from ida_dataengineerproject_spark.streaming.events import (
         run_to_memory,
