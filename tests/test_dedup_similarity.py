@@ -105,6 +105,19 @@ def test_cosine_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_approx_count_distinct_accuracy(spark):
+    """HLL++ at rsd=0.01 must land within 2% of the exact distinct count."""
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    ev = table(spark, SF_SMOKE, "events")
+    exact = {r.event_type: r.n for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    approx = {r.event_type: r.n for r in ev.groupBy("event_type")
+              .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("n")).collect()}
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.02 * n), (k, n, approx[k])
+
+
 def test_exact_dedup_idempotent(spark):
     """Dedup of already-deduped input is a no-op (ON CONFLICT semantics)."""
     from ida_dataengineerproject_spark.operators.dedup import exact_dedup
