@@ -217,11 +217,11 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (rows / nulls / distinct / min / max per column)
-    — the first pass any corpus-ingest pipeline runs.  Spark side is ONE
-    scan computing all measures (multi-aggregate), then the per-column
-    rows are unpacked with inline() — at 100 TB that's 1 pass instead of
-    the oracle's 4.  Numeric min/max are cast to string so every profile
-    row has one schema."""
+    — the first pass any corpus-ingest pipeline runs.  Spark side is one
+    multi-aggregate (the exact-distinct rewrite costs a second scan — 2
+    total vs the oracle's 4), then the per-column rows are unpacked with
+    inline().  Numeric min/max are cast to string so every profile row
+    has one schema."""
     docs = table(spark, sf_dir, "documents")
 
     def measures(colname):

@@ -91,3 +91,56 @@ def test_unpivot_is_shuffle_free(spark):
 
     plan = _plan(e.queries()["op16_unpivot_measures"](spark, SF_SMOKE))
     assert "Exchange" not in plan  # Expand node only — no shuffle
+
+
+def test_q19_derives_disjunctive_pushdown(spark):
+    """Catalyst must derive the per-table implications of the
+    OR-of-ANDs (brand/size on part, quantity bands on lineitem) and push
+    both into the parquet scans — the property that makes Q19 scale."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tpch_q19_disjunctive"](spark, SF_SMOKE))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed)
+    assert any("p_brand" in l and "Or(" in l for l in pushed)
+
+
+def test_q21_semi_and_anti_joins(spark):
+    """EXISTS/NOT EXISTS become LeftSemi/LeftAnti physical joins (never a
+    distinct+inner or a cartesian), with dims broadcast."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tpch_q21_suppliers_kept_waiting"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zscore_stats_broadcast_back(spark):
+    """Group stats are aggregated first and broadcast back to the corpus —
+    never a per-row Window over the full table."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xt7_zscore_by_group"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_column_profile_scan_count(spark):
+    """Single multi-aggregate pass: 2 scans (exact-distinct rewrite), not
+    one scan per profiled column like the UNION ALL oracle."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xt5_column_profile"](spark, SF_SMOKE))
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_chunking_is_shuffle_free_before_sort(spark):
+    """Chunk generation is per-row array work (Generate/posexplode) —
+    the only Exchange allowed is the final presentation orderBy."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xt3_doc_chunking"](spark, SF_SMOKE))
+    assert "Generate" in plan
+    # one range-partitioned exchange for the sort; no hash shuffle at all
+    assert plan.count("rangepartitioning") == 1
+    assert plan.count("hashpartitioning") == 0
