@@ -1,0 +1,78 @@
+"""Connected components over an edge list — the clustering step that
+turns near-dup *pairs* (MinHash-LSH / SimHash / Jaccard output) into
+dedup *groups*, so a pipeline can keep one canonical document per
+component.
+
+The reference deduplicates only by exact hash identity (ON CONFLICT DO
+NOTHING, etl/etl_ida.py:534); component-level dedup is the scale
+generalization the driver's north star asks for.
+
+Algorithm: iterative min-label propagation (the dataframe form of
+large-star/small-star, Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14).  Each round every node adopts the
+minimum label among itself and its neighbors; rounds = O(component
+diameter), which for dedup graphs (dense clusters of mutated copies) is
+tiny (2-4).  Each round is one shuffle keyed on node id; labels are
+checkpointed per round so the plan/lineage stays O(1) instead of
+O(rounds)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return (node, component) where component = min node id reachable.
+
+    ``edges`` is undirected (each pair once is fine).  Driver loop with a
+    per-round convergence action — acceptable because rounds are bounded
+    by graph diameter, not data size; every per-round job is fully
+    distributed (no collect of nodes/edges)."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # min neighbor label per node, via one hash-shuffle on node id
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -109,3 +109,26 @@ def q_x02c(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates via 16-bit chunk banding (pigeonhole over Hamming ≤ 3)."""
     d = table(spark, sf_dir, "documents")
     return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@register("x02d_dedup_components")  # rows-only: iterative, not SQL-expressible
+def q_x02d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the exact-Jaccard
+    pair graph (doc_id<300 slice) → one row per dedup group with size and
+    canonical (min) doc.  The iterative min-label propagation is the
+    non-SQL-expressible step (operators/graph.py); correctness vs a
+    union-find reference is asserted in tests/test_dedup_similarity.py."""
+    from ..operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b")
+    return (
+        labels.groupBy("comp")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.max("node").alias("max_doc"),
+        )
+        .withColumnRenamed("comp", "canonical_doc")
+        .orderBy("canonical_doc")
+    )

@@ -221,3 +221,77 @@ def q_x05b(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_view_value").alias("view_value"),
         )
     )
+
+
+@register(
+    "x06b_sliding_window",
+    f"""
+    SELECT make_timestamp(base_us - k.k * 1800000000) AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM (SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS base_us,
+                 event_type, value
+          FROM {EVENTS_US}) e,
+         (SELECT unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS k) k
+    GROUP BY 1, 2
+    """,
+)
+def q_x06b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1-hour window, 30-minute slide): every
+    event lands in exactly window/slide = 2 windows.  F.window emits both
+    assignments as generated rows (map-side, no extra shuffle beyond the
+    aggregate); the oracle reproduces the assignment arithmetic with an
+    explicit 2-element unnest.  Streaming twin: same F.window + watermark
+    (streaming/events.py)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_exact("value", scale=6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "x08b_decile_stats",
+    f"""
+    SELECT decile, COUNT(*) AS n,
+           MIN(value) AS min_v, MAX(value) AS max_v,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+    FROM (SELECT value,
+                 ntile(10) OVER (ORDER BY value, event_id) AS decile
+          FROM {EVENTS_US})
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def q_x08b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile bucketing via ntile — distribution profiling
+    of a numeric feature.  The (value, event_id) order key makes tie
+    assignment deterministic on both engines.  NB: ntile needs a global
+    order (single-partition Window) — fine for profiling samples; for the
+    full 100 TB corpus use approx_percentile cutpoints instead
+    (registered as `approx_percentiles`)."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "decile", F.ntile(10).over(W.orderBy("value", "event_id"))
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            sum_exact("value", scale=6).alias("sum_v"),
+        )
+        .orderBy("decile")
+    )

@@ -128,3 +128,39 @@ def test_exact_dedup_idempotent(spark):
         "n_dups"
     )
     assert once.count() == twice.count()
+
+
+def test_connected_components_vs_union_find(spark):
+    """Distributed min-label propagation must produce exactly the
+    components a sequential union-find computes on the same edge list."""
+    from ida_dataengineerproject_spark.operators.dedup import ngram_jaccard_pairs
+    from ida_dataengineerproject_spark.operators.graph import connected_components
+
+    d = _docs(spark).filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert edges, "testdata should contain near-dup pairs"
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    got = {
+        r.node: r.comp
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert got == expected
