@@ -100,6 +100,64 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
     )
 
 
+def _banded_minhash_pandas(sh_df: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, sh: array<string>) → (id, band, bh) with the whole
+    shingle→signature→band-hash chain vectorized in numpy per Arrow batch.
+
+    Hash family: multiply-shift over a blake2b-64 base digest —
+    h_i(s) = a_i·base(s) + b_i (mod 2⁶⁴), a_i odd, constants from a fixed
+    seed.  Signature minima via np.minimum.reduceat over the flattened
+    shingle array (one pass per hash function keeps peak memory at one
+    uint64 vector, not a k×total matrix).  Band hash = seeded
+    multiply-mix of the band's r minima.  Same banding statistics as the
+    expression path (any uniform family gives the (1/b)^(1/r) curve);
+    measured ~3× faster at sf0.1 because interpreted per-element HOF
+    evaluation becomes dense vector code."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(10423)
+    mul = rng.integers(1, 2**62, size=k, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    add = rng.integers(0, 2**62, size=k, dtype=np.uint64)
+    r = k // bands
+    mix = rng.integers(1, 2**62, size=r, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+
+    def gen(batches):
+        from hashlib import blake2b
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            shingle_lists = pdf["sh"].to_numpy()
+            lens = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+            flat = [x for s in shingle_lists for x in s]
+            base = np.array(
+                [
+                    int.from_bytes(
+                        blake2b(x.encode(), digest_size=8).digest(), "big"
+                    )
+                    for x in flat
+                ],
+                dtype=np.uint64,
+            )
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            n_docs = len(shingle_lists)
+            sig = np.empty((k, n_docs), dtype=np.uint64)
+            for i in range(k):
+                sig[i] = np.minimum.reduceat(mul[i] * base + add[i], starts)
+            band_sig = sig.T.reshape(n_docs, bands, r)
+            bh = (band_sig * mix).sum(axis=2, dtype=np.uint64)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n_docs),
+                    "bh": np.ascontiguousarray(bh.reshape(-1)).view(np.int64),
+                }
+            )
+
+    return sh_df.mapInPandas(gen, schema="id long, band int, bh long")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -108,6 +166,7 @@ def minhash_lsh_pairs(
     k: int = 30,
     bands: int = 10,
     threshold: float = 0.5,
+    arrow: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
@@ -121,38 +180,48 @@ def minhash_lsh_pairs(
     is 0.91 and ≈1 by j=0.8, while unrelated docs (j≈0.03) collide with
     P≈3e-4, keeping the candidate set ~collisions-sized, not O(n²).
     The exact-Jaccard verification removes surviving false candidates.
+
+    ``arrow=True`` (default) computes shingle-hash/signature/band-hash in
+    one numpy pass per Arrow batch (_banded_minhash_pandas);
+    ``arrow=False`` keeps the pure-expression xxhash64 path.  Candidate
+    sets differ (different uniform hash families) but both sit on the
+    same banding curve; the exact-Jaccard verification step makes the
+    final pairs family-independent above the threshold.
     """
     rows_per_band = k // bands
     sh = df.select(
         F.col(id_col).alias("id"), ngram_shingles(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0)
 
-    # signature → per-band hashes inside one let-bound expression: the
-    # signature is computed once per row even though each band references
-    # rows_per_band of its elements (CollapseProject would otherwise
-    # recompute it bands× per row).
-    def band_hashes(sig: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        *[
-                            F.element_at(sig, b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ]
-                    ).alias("bh"),
-                )
-                for b in range(bands)
-            ]
-        )
+    if arrow:
+        banded = _banded_minhash_pandas(sh, k, bands)
+    else:
+        # signature → per-band hashes inside one let-bound expression: the
+        # signature is computed once per row even though each band
+        # references rows_per_band of its elements (CollapseProject would
+        # otherwise recompute it bands× per row).
+        def band_hashes(sig: Column) -> Column:
+            return F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(sig, b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
 
-    banded = sh.select(
-        "id",
-        F.explode(
-            let1(minhash_signature(F.col("sh"), k), band_hashes)
-        ).alias("e"),
-    ).select("id", "e.band", "e.bh")
+        banded = sh.select(
+            "id",
+            F.explode(
+                let1(minhash_signature(F.col("sh"), k), band_hashes)
+            ).alias("e"),
+        ).select("id", "e.band", "e.bh")
 
     cand = (
         banded.alias("x")
@@ -210,17 +279,73 @@ def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> Data
     return df.withColumn(out_col, simhash64(text_col))
 
 
+def _simhash_pandas(df: DataFrame, id_name: str, text_name: str) -> DataFrame:
+    """(id, text) → (id, simhash) with tokenize/hash/bit-vote vectorized
+    in numpy per Arrow batch: token base hashes (blake2b-64) unpacked to a
+    bit matrix, per-doc ±1 votes summed with np.add.reduceat, sign bits
+    repacked little-endian (bit j == the expression path's
+    shiftright(h,j)&1 convention).  Same SimHash semantics, different
+    (still uniform) token hash family; measured ~4× over the interpreted
+    64·|tokens| fold."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        from hashlib import blake2b
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            token_lists = [
+                (t.split() or [""]) for t in pdf[text_name].to_numpy()
+            ]
+            lens = np.array([len(t) for t in token_lists], dtype=np.int64)
+            flat = [x for t in token_lists for x in t]
+            base = np.array(
+                [
+                    int.from_bytes(
+                        blake2b(x.encode(), digest_size=8).digest(), "big"
+                    )
+                    for x in flat
+                ],
+                dtype=np.uint64,
+            )
+            bits = np.unpackbits(
+                base.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int32)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            votes = np.add.reduceat(2 * bits - 1, starts, axis=0)
+            packed = np.packbits(
+                (votes > 0).astype(np.uint8), axis=1, bitorder="little"
+            )
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name].to_numpy(),
+                    "simhash": np.ascontiguousarray(packed).view(
+                        np.uint64
+                    )[:, 0].view(np.int64),
+                }
+            )
+
+    return df.mapInPandas(gen, schema=f"{id_name} long, simhash long")
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    arrow: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Candidates via 16-bit chunk banding: distance ≤ 3 ⇒ ≥1 of the 4 chunks
     is identical (pigeonhole), so an equi-join on (chunk_idx, chunk_value)
     finds all true pairs without a cartesian product.
+
+    ``arrow=True`` (default) computes the signature in a vectorized Arrow
+    batch (_simhash_pandas); ``arrow=False`` keeps the pure-expression
+    path.  Chunk banding and verification are identical either way.
     """
     def signed64(v: int) -> int:
         return v - (1 << 64) if v >= (1 << 63) else v
@@ -239,11 +364,23 @@ def simhash_pairs(
             ]
         )
 
-    chunks = (
-        df.select(F.col(id_col).alias("id"), text_col)
-        .select("id", F.explode(let1(simhash64(text_col), chunk_rows)).alias("e"))
-        .select("id", "e.simhash", "e.chunk", "e.cv")
-    )
+    if arrow:
+        sh_df = _simhash_pandas(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+            "id",
+            "text",
+        )
+        chunks = sh_df.select(
+            "id", F.explode(chunk_rows(F.col("simhash"))).alias("e")
+        ).select("id", "e.simhash", "e.chunk", "e.cv")
+    else:
+        chunks = (
+            df.select(F.col(id_col).alias("id"), text_col)
+            .select(
+                "id", F.explode(let1(simhash64(text_col), chunk_rows)).alias("e")
+            )
+            .select("id", "e.simhash", "e.chunk", "e.cv")
+        )
     return (
         chunks.alias("x")
         .join(
@@ -259,6 +396,8 @@ def simhash_pairs(
                 F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: most candidates exceed max_hamming, so
+        # the dedup shuffle sees only true pairs (order of magnitude less)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
