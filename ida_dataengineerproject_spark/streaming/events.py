@@ -90,6 +90,43 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def streaming_dedup_within_watermark(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Dedup on event_id alone with state bounded by the watermark
+    (dropDuplicatesWithinWatermark, Spark ≥3.5): unlike plain
+    dropDuplicates — whose key must include the event-time column for
+    state to ever be evicted — this keeps one state entry per key and
+    expires it when the watermark passes, the right semantics when the
+    duplicate key does NOT embed the timestamp (retried webhook
+    deliveries, at-least-once sources)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window counts (streaming twin of the batch
+    x06b_sliding_window): every event contributes to window/slide = 2
+    open windows; state per (window, event_type) is evicted when the
+    watermark passes window end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def purchases_with_recent_views(
     events: DataFrame,
     max_lag: str = "30 minutes",

@@ -95,3 +95,38 @@ def test_streaming_dedup(spark, stream):
     n = out.count()
     assert n == out.select("event_id").distinct().count()
     assert n > 0
+
+
+def test_streaming_dedup_within_watermark(spark, stream):
+    from ida_dataengineerproject_spark.streaming.events import (
+        run_to_memory,
+        streaming_dedup_within_watermark,
+    )
+
+    out = run_to_memory(
+        spark, streaming_dedup_within_watermark(stream), "t_dedup_wm", mode="append"
+    )
+    n = out.count()
+    assert n == out.select("event_id").distinct().count()
+    assert n > 0
+
+
+def test_sliding_counts_match_batch(spark, stream):
+    """Streaming sliding windows must equal the batch x06b aggregation
+    (every event in exactly 2 windows)."""
+    from ida_dataengineerproject_spark.sources.tables import table
+    from ida_dataengineerproject_spark.streaming.events import (
+        run_to_memory,
+        sliding_counts,
+    )
+
+    out = run_to_memory(spark, sliding_counts(stream), "t_sliding")
+    batch = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    got = {(str(r.window_start), r.event_type): r.n_events for r in out.collect()}
+    want = {(str(r.w.start), r.event_type): r.n_events for r in batch.collect()}
+    assert got == want
+    assert sum(got.values()) == 2 * table(spark, SF_SMOKE, "events").count()
