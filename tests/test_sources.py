@@ -76,3 +76,46 @@ def test_bootstrap_and_health(spark):
     status = health_check(spark, ["lineitem", "orders", "no_such_table"])
     assert status["lineitem"] and status["orders"]
     assert not status["no_such_table"]
+
+
+def test_csv_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """CSV/JSONL scan wrappers: explicit schema, malformed rows
+    quarantined (not failures), parquet normalization round-trips."""
+    from pyspark.sql import types as T
+
+    from ida_dataengineerproject_spark.sources.text_formats import (
+        read_csv,
+        read_jsonl,
+        split_quarantine,
+        write_parquet_normalized,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    csv_path = str(tmp_path / "in.csv")
+    with open(csv_path, "w") as f:
+        f.write("id,name,score\n1,alice,0.5\n2,bob,0.75\nnot_a_long,x,oops\n")
+    clean, bad = split_quarantine(read_csv(spark, csv_path, schema))
+    assert {(r.id, r.name) for r in clean.collect()} == {(1, "alice"), (2, "bob")}
+    assert bad.count() == 1
+
+    jsonl_path = str(tmp_path / "in.jsonl")
+    with open(jsonl_path, "w") as f:
+        f.write('{"id": 1, "name": "alice", "score": 0.5}\n')
+        f.write("this is not json\n")
+        f.write('{"id": 3, "name": "carol", "score": 1.0}\n')
+    clean_j, bad_j = split_quarantine(read_jsonl(spark, jsonl_path, schema))
+    assert {r.id for r in clean_j.collect()} == {1, 3}
+    assert bad_j.count() == 1
+
+    out = str(tmp_path / "out_parquet")
+    write_parquet_normalized(clean_j, out, partition_by=["name"])
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert set(back.columns) == {"id", "name", "score"}
