@@ -232,3 +232,20 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; driver checks rows-only."""
     li = table(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.01, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@register("sample_stratified")  # rows-only: sampling is engine-specific RNG
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample (sampleBy): per-stratum Bernoulli fractions keyed
+    on document language — the corpus-balancing primitive a training
+    pipeline uses to re-weight sources/languages.  Seeded → deterministic
+    within Spark; per-stratum counts are asserted against binomial bounds
+    in tests.  Scale: a map-side filter per row, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "pt": 1.0, "es": 0.25}
+    sampled = d.sampleBy("lang", fractions=fractions, seed=42)
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("lang")
+    )

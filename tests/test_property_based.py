@@ -104,3 +104,30 @@ def test_sessionize_partitions_events(spark, gaps_minutes):
             assert cur == prev + 1  # big gap ⇒ new session
         else:
             assert cur == prev  # small gap ⇒ same session
+
+
+def test_stratified_sample_fractions(spark):
+    """sampleBy per-stratum counts must track the requested fractions
+    (binomial 5-sigma bounds) and never include an unlisted stratum."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.sources.tables import table
+    from .conftest import SF_SMOKE
+
+    d = table(spark, SF_SMOKE, "documents")
+    fractions = {"en": 0.5, "pt": 1.0, "es": 0.25}
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {
+        r.lang: r.n
+        for r in d.sampleBy("lang", fractions=fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) <= set(fractions)
+    for lang, frac in fractions.items():
+        n = totals.get(lang, 0)
+        if n == 0:
+            continue
+        mean, sd = n * frac, (n * frac * (1 - frac)) ** 0.5
+        assert abs(got.get(lang, 0) - mean) <= 5 * sd + 1, (lang, got.get(lang), mean)
