@@ -129,3 +129,36 @@ def q_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((s_qq - s_q * s_q / n) / (n - 1), 6).alias("var_qty"),
         F.round((s_qp - s_q * s_p / n) / (n - 1), 6).alias("covar_qty_price"),
     )
+
+
+@register(
+    "window_lead_nth_cume",
+    """
+    SELECT s_suppkey, s_nationkey,
+           lead(s_acctbal) OVER w AS next_bal,
+           nth_value(s_suppkey, 2) OVER (PARTITION BY s_nationkey
+                                         ORDER BY s_acctbal DESC, s_suppkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING) AS second_richest,
+           ROUND(cume_dist() OVER w, 9) AS cd
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def q_lead_nth_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead / nth_value (full-frame) / cume_dist — the remaining window
+    functions after lag/rank/ntile/first_value elsewhere.  nth_value uses
+    an unbounded frame so every partition row sees the same 2nd-ranked
+    supplier; deterministic tie order throughout."""
+    s = table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.lead("s_acctbal").over(w).alias("next_bal"),
+        F.nth_value("s_suppkey", 2).over(w_full).alias("second_richest"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
