@@ -131,3 +131,40 @@ def test_stratified_sample_fractions(spark):
             continue
         mean, sd = n * frac, (n * frac * (1 - frac)) ** 0.5
         assert abs(got.get(lang, 0) - mean) <= 5 * sd + 1, (lang, got.get(lang), mean)
+
+
+def test_chunking_covers_and_overlaps(spark):
+    """xt3 invariants: (1) stride-decimated chunk concatenation
+    reconstructs the document exactly; (2) consecutive chunks overlap by
+    window-stride words; (3) every chunk except possibly the last has
+    exactly `window` words."""
+    import __spark_entry__ as e
+    from ida_dataengineerproject_spark.sources.tables import table
+    from .conftest import SF_SMOKE
+
+    window, stride = 32, 24
+    chunks = e.queries()["xt3_doc_chunking"](spark, SF_SMOKE).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk
+
+    assert set(by_doc) == set(texts)
+    for doc_id, parts in by_doc.items():
+        ordered = [parts[i] for i in range(len(parts))]
+        words = texts[doc_id].split(" ")
+        # reconstruction: first `stride` words of each chunk + full tail
+        rebuilt = []
+        for i, ch in enumerate(ordered):
+            cw = ch.split(" ") if ch else []
+            rebuilt.extend(cw if i == len(ordered) - 1 else cw[:stride])
+        assert rebuilt == words, doc_id
+        for i, ch in enumerate(ordered):
+            expect = min(window, len(words) - i * stride)
+            assert len(ch.split(" ")) == expect, (doc_id, i)
+        for a, b in zip(ordered, ordered[1:]):
+            aw, bw = a.split(" "), b.split(" ")
+            assert aw[stride:] == bw[: len(aw) - stride], doc_id
