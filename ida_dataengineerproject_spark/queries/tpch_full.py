@@ -567,3 +567,70 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "tpch_q21b_aggregate_rewrite",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_5'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q21b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 rewritten as ONE per-order aggregate instead of semi+anti
+    probes (oracle SQL unchanged — results must be identical to
+    tpch_q21_suppliers_kept_waiting).
+
+    Key observation: both correlated subqueries test order-level
+    conditions ("another supplier exists in the order", "another
+    supplier is late in the order"), and lateness depends only on
+    o_orderdate — constant within an order.  So aggregate lineitem⋈orders
+    once per orderkey: EXISTS ⇔ count(distinct suppkey) ≥ 2;
+    NOT EXISTS ⇔ count(distinct late suppkey) = 1 (l1 itself, which the
+    WHERE already requires to be late).  Plan: 2 lineitem scans/shuffles
+    instead of the probe form's 3, and the aggregate's shuffle carries
+    one row per (orderkey) — strictly less data than re-shuffling raw
+    lineitem twice.  The probe-form query stays registered as the
+    semi/anti plan-shape coverage."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("agg_orderkey"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+        )
+    )
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("l_orderkey", "s_name")
+    )
+    return (
+        l1.join(per_order, F.col("l_orderkey") == F.col("agg_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+    )
