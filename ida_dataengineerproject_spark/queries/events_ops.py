@@ -295,3 +295,19 @@ def q_x08b(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register("x09b_cms_user_frequency")  # rows-only: sketch is approximate by design
+def q_x09b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates for every user (x09 companion:
+    approx_count_distinct answers "how many users", the CMS answers "how
+    often does THIS user appear" in sketch space).  est ≥ true always;
+    overshoot bounded by ε·N — both asserted against exact counts in
+    tests/test_dedup_similarity.py::test_cms_bounds.  The sketch shuffle
+    is ≤ depth×width rows regardless of event volume."""
+    from ..operators.sketch import cms_build, cms_estimate
+
+    ev = table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id")
+    users = ev.select("user_id").distinct()
+    return cms_estimate(sketch, users, "user_id").orderBy("user_id")

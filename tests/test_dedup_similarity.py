@@ -164,3 +164,42 @@ def test_connected_components_vs_union_find(spark):
         for r in connected_components(pairs, "id_a", "id_b").collect()
     }
     assert got == expected
+
+
+def test_cms_bounds(spark):
+    """Count-Min guarantees: estimate >= true count for every key, and
+    overshoot <= eps*N with eps = e/width (checked deterministically —
+    the seeds are fixed, so this is reproducible, not probabilistic)."""
+    import math
+
+    from ida_dataengineerproject_spark.operators.sketch import (
+        WIDTH,
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    ev = table(spark, SF_SMOKE, "events")
+    n_total = ev.count()
+    exact = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+
+    sketch = cms_build(ev, "user_id")
+    est = {
+        r.user_id: r.est_count
+        for r in cms_estimate(sketch, ev.select("user_id").distinct(), "user_id").collect()
+    }
+    assert set(est) == set(exact)
+    eps_n = math.e / WIDTH * n_total
+    for uid, true_n in exact.items():
+        assert est[uid] >= true_n, (uid, est[uid], true_n)
+        assert est[uid] <= true_n + eps_n, (uid, est[uid], true_n, eps_n)
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A union B) counters
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = cms_merge(cms_build(a, "user_id"), cms_build(b, "user_id"))
+    whole = cms_build(ev, "user_id")
+    m = {(r.row_idx, r.bucket): r.cnt for r in merged.collect()}
+    w = {(r.row_idx, r.bucket): r.cnt for r in whole.collect()}
+    assert m == w
