@@ -251,83 +251,146 @@ def minhash_lsh_pairs(
 
 # ---------------------------------------------------------------- simhash
 
-def simhash64(text_col: str) -> Column:
-    """64-bit SimHash (bigint) as a single expression, JVM-side.
+def _simhash_chunks_expr(
+    text_col: str, n_chunks: int, chunk_bits: int
+) -> Column:
+    """SimHash signature as an array<long> of chunk values — pure
+    expression, JVM-side.  Chunk c's token hash is chunk_bits bits parsed
+    from md5 hex chars [c·w, c·w + w) (w = chunk_bits/4): md5 is the
+    cross-engine hash (identical in DuckDB), which is what makes the
+    signature oracle-reproducible.
 
-    Tokens are hashed ONCE into a let-bound array (the single-element
-    transform = SQL-level let1); the per-bit vote then reads bits of the
-    precomputed hashes — O(|tokens| + 64·|tokens|) integer ops instead of
-    64·|tokens| xxhash evaluations (CollapseProject would otherwise inline
-    the split+hash per bit)."""
-    return F.expr(
-        f"""
-        element_at(
-          transform(
-            array(transform(split(trim({text_col}), '\\\\s+'), t -> xxhash64(t))),
-            hs -> aggregate(sequence(0, 63), 0L, (acc, b) -> acc + IF(
-                    aggregate(hs, 0L,
-                              (v, h) -> v + CASE WHEN shiftright(h, b) & 1 = 1
-                                            THEN 1L ELSE -1L END) > 0,
-                    shiftleft(1L, b), 0L))
-          ), 1)
-        """
+    Tokens are deduplicated (set semantics) and hashed ONCE into a
+    let-bound array per chunk; the per-bit vote then reads bits of the
+    precomputed hashes (CollapseProject would otherwise inline the
+    split+md5+conv chain per bit)."""
+    w = chunk_bits // 4
+    toks = (
+        f"array_distinct(filter(split(trim({text_col}), '\\\\s+'), t -> t != ''))"
     )
+    chunks = ", ".join(
+        f"""
+        element_at(transform(array(
+            transform({toks},
+                      t -> cast(conv(substr(md5(t), {c * w + 1}, {w}), 16, 10)
+                                AS bigint))),
+          hs -> aggregate(sequence(0, {chunk_bits - 1}), 0L, (acc, b) -> acc + IF(
+                  aggregate(hs, 0L,
+                            (v, h) -> v + CASE WHEN shiftright(h, b) & 1 = 1
+                                          THEN 1L ELSE -1L END) > 0,
+                  shiftleft(1L, b), 0L))), 1)
+        """
+        for c in range(n_chunks)
+    )
+    return F.expr(f"array({chunks})")
 
 
-def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """Attach a 64-bit SimHash column (bigint)."""
-    return df.withColumn(out_col, simhash64(text_col))
-
-
-def _simhash_pandas(df: DataFrame, id_name: str, text_name: str) -> DataFrame:
-    """(id, text) → (id, simhash) with tokenize/hash/bit-vote vectorized
-    in numpy per Arrow batch: token base hashes (blake2b-64) unpacked to a
-    bit matrix, per-doc ±1 votes summed with np.add.reduceat, sign bits
-    repacked little-endian (bit j == the expression path's
-    shiftright(h,j)&1 convention).  Same SimHash semantics, different
-    (still uniform) token hash family; measured ~4× over the interpreted
-    64·|tokens| fold."""
+def _simhash_chunks_pandas(
+    df: DataFrame, id_name: str, text_name: str, n_chunks: int, chunk_bits: int
+) -> DataFrame:
+    """(id, text) → (id, sig: array<long>) with tokenize/hash/bit-vote
+    vectorized in numpy per Arrow batch.  Same md5-derived hash family as
+    the expression path and the DuckDB oracle: chunk c's token hash is
+    md5 hex chars [c·w, c·w + w), bit b = (h >> b) & 1, signature bit set
+    iff the ±1 token vote is > 0.  Docs with no tokens are dropped (they
+    have no signature — matches the oracle's unnest semantics)."""
     import numpy as np
     import pandas as pd
 
+    w = chunk_bits // 4
+
     def gen(batches):
-        from hashlib import blake2b
+        from hashlib import md5
 
         for pdf in batches:
             if pdf.empty:
                 continue
-            token_lists = [
-                (t.split() or [""]) for t in pdf[text_name].to_numpy()
+            token_sets = [
+                sorted({x for x in t.split() if x})
+                for t in pdf[text_name].to_numpy()
             ]
-            lens = np.array([len(t) for t in token_lists], dtype=np.int64)
-            flat = [x for t in token_lists for x in t]
+            keep = np.array([len(t) > 0 for t in token_sets])
+            if not keep.any():
+                continue
+            token_sets = [t for t in token_sets if t]
+            lens = np.array([len(t) for t in token_sets], dtype=np.int64)
+            digests = [md5(x.encode()).hexdigest() for t in token_sets for x in t]
+            # (n_tokens, n_chunks) chunk hash values
             base = np.array(
                 [
-                    int.from_bytes(
-                        blake2b(x.encode(), digest_size=8).digest(), "big"
-                    )
-                    for x in flat
+                    [int(h[c * w : (c + 1) * w], 16) for c in range(n_chunks)]
+                    for h in digests
                 ],
-                dtype=np.uint64,
+                dtype=np.int64,
             )
-            bits = np.unpackbits(
-                base.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-            ).astype(np.int32)
+            # ±1 votes per (token, chunk, bit) → per-doc sums → sign bits
+            bits = (base[:, :, None] >> np.arange(chunk_bits)) & 1
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             votes = np.add.reduceat(2 * bits - 1, starts, axis=0)
-            packed = np.packbits(
-                (votes > 0).astype(np.uint8), axis=1, bitorder="little"
+            sig = ((votes > 0).astype(np.int64) << np.arange(chunk_bits)).sum(
+                axis=2
             )
             yield pd.DataFrame(
                 {
-                    id_name: pdf[id_name].to_numpy(),
-                    "simhash": np.ascontiguousarray(packed).view(
-                        np.uint64
-                    )[:, 0].view(np.int64),
+                    id_name: pdf[id_name].to_numpy()[keep],
+                    "sig": list(sig),
                 }
             )
 
-    return df.mapInPandas(gen, schema=f"{id_name} long, simhash long")
+    return df.mapInPandas(gen, schema=f"{id_name} long, sig array<bigint>")
+
+
+def simhash_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_chunks: int = 4,
+    chunk_bits: int = 24,
+    arrow: bool = True,
+) -> DataFrame:
+    """(id, sig, chunk, cv) banding rows for SimHash LSH: one row per
+    (doc, chunk index), cv = that chunk's signature value.
+
+    Scale knobs (the fix for the fixed-2¹⁶-bucket cliff): bucket space
+    per chunk is 2^chunk_bits — at the default 24 bits that is 16.7M
+    buckets, so at N docs a bucket holds ~N/2²⁴ rows and the within-
+    bucket self-join stays linear-ish far beyond billions of docs; raise
+    ``chunk_bits`` (≤ 32 with n_chunks=4 under md5's 128 bits) as the
+    corpus grows.  More chunks widen the Hamming guarantee
+    (n_chunks ≥ max_hamming+1 ⇒ pigeonhole recall 1)."""
+    if n_chunks * chunk_bits > 128:
+        raise ValueError("md5 provides 128 bits: n_chunks*chunk_bits <= 128")
+    if chunk_bits % 4 or chunk_bits > 48:
+        raise ValueError("chunk_bits must be a multiple of 4, <= 48")
+
+    if arrow:
+        sig_df = _simhash_chunks_pandas(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+            "id",
+            "text",
+            n_chunks,
+            chunk_bits,
+        )
+    else:
+        nonempty = (
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+                )
+            )
+            > 0
+        )
+        sig_df = (
+            df.select(F.col(id_col).alias("id"), text_col)
+            .filter(nonempty)
+            .withColumn("sig", _simhash_chunks_expr(text_col, n_chunks, chunk_bits))
+            .select("id", "sig")
+        )
+    return sig_df.select(
+        "id",
+        "sig",
+        F.posexplode("sig").alias("chunk", "cv"),
+    )
 
 
 def simhash_pairs(
@@ -335,52 +398,40 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    n_chunks: int | None = None,
+    chunk_bits: int = 24,
     arrow: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+    """Near-dup pairs with Hamming(simhash) <= max_hamming over an
+    (n_chunks·chunk_bits)-bit md5-derived SimHash.
 
-    Candidates via 16-bit chunk banding: distance ≤ 3 ⇒ ≥1 of the 4 chunks
-    is identical (pigeonhole), so an equi-join on (chunk_idx, chunk_value)
-    finds all true pairs without a cartesian product.
+    Candidates via chunk banding: distance ≤ max_hamming ⇒ ≥1 of the
+    n_chunks (= max_hamming+1 by default) chunks is identical
+    (pigeonhole), so an equi-join on (chunk_idx, chunk_value) finds all
+    true pairs without a cartesian product.  Bucket space per chunk is
+    2^chunk_bits (16.7M at the default 24) — the parameterization that
+    keeps within-bucket self-joins from going quadratic at corpus scale.
+
+    The signature is md5-based and deterministic across engines, so the
+    full pair set is reproducible in ANSI SQL (see the x02c oracle).
 
     ``arrow=True`` (default) computes the signature in a vectorized Arrow
-    batch (_simhash_pandas); ``arrow=False`` keeps the pure-expression
-    path.  Chunk banding and verification are identical either way.
-    """
-    def signed64(v: int) -> int:
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    # one let-bound explode: simhash evaluated once per row even though
-    # five expressions reference it (output + 4 chunk masks)
-    def chunk_rows(sh: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    sh.alias("simhash"),
-                    F.lit(c).alias("chunk"),
-                    sh.bitwiseAND(F.lit(signed64(0xFFFF << (16 * c)))).alias("cv"),
-                )
-                for c in range(4)
-            ]
-        )
-
-    if arrow:
-        sh_df = _simhash_pandas(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
-            "id",
-            "text",
-        )
-        chunks = sh_df.select(
-            "id", F.explode(chunk_rows(F.col("simhash"))).alias("e")
-        ).select("id", "e.simhash", "e.chunk", "e.cv")
-    else:
-        chunks = (
-            df.select(F.col(id_col).alias("id"), text_col)
-            .select(
-                "id", F.explode(let1(simhash64(text_col), chunk_rows)).alias("e")
-            )
-            .select("id", "e.simhash", "e.chunk", "e.cv")
-        )
+    batch; ``arrow=False`` keeps the pure-expression path.  Banding and
+    verification are identical either way."""
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    if n_chunks < max_hamming + 1:
+        raise ValueError("need n_chunks >= max_hamming+1 for pigeonhole recall")
+    chunks = simhash_chunks(df, id_col, text_col, n_chunks, chunk_bits, arrow)
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("x.sig"),
+            F.col("y.sig"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("int")
     return (
         chunks.alias("x")
         .join(
@@ -392,9 +443,7 @@ def simhash_pairs(
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            F.bit_count(
-                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
-            ).alias("hamming"),
+            hamming.alias("hamming"),
         )
         # filter BEFORE distinct: most candidates exceed max_hamming, so
         # the dedup shuffle sees only true pairs (order of magnitude less)

@@ -94,30 +94,145 @@ def q_x02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
-@register("x02b_minhash_lsh_pairs")  # rows-only: xxhash64 not in DuckDB
+@register(
+    "x02b_minhash_lsh_pairs",
+    f"""
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents
+              WHERE len({_TOKS}) >= 3) a
+        JOIN (SELECT doc_id, {_SHINGLES} AS sh FROM documents
+              WHERE len({_TOKS}) >= 3) b
+          ON a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.5
+    """,
+)
 def q_x02b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (x02 scale path): 30 hashes, 10 bands (r=3) —
     candidates from band-hash equi-join, verified by exact Jaccard.
-    Recall vs the exact baseline is asserted in tests."""
+
+    Oracle contract: the oracle recomputes the ground truth — ALL exact
+    Jaccard≥0.5 pairs via the O(n²) self-join (fine at oracle scale; the
+    Spark side never goes quadratic).  The LSH output equals it when
+    recall is 1, which holds deterministically on this corpus: every true
+    pair sits at j≥0.9 where P(miss) = (1−0.9³)¹⁰ ≈ 2·10⁻⁶, and the
+    hash family is fixed, so the result is reproducible bit-for-bit.
+    Recall vs the exact baseline is additionally asserted in tests."""
     d = table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text", n=3, k=30, bands=10, threshold=0.5)
 
 
-@register("x02c_simhash_pairs")  # rows-only: xxhash64 not in DuckDB
+def _hex_int_sql(hexpr: str, start: int, n_hex: int) -> str:
+    """DuckDB SQL parsing ``n_hex`` lowercase hex chars of ``hexpr`` (1-based
+    ``start``) into an exact BIGINT — the cross-engine bridge for md5-derived
+    hashes (DuckDB has no hex→int cast; Spark uses conv())."""
+    terms = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr({hexpr}, {start + i}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (n_hex - 1 - i)})"
+        for i in range(n_hex)
+    )
+    return f"({terms})"
+
+
+_N_CHUNKS, _CHUNK_BITS = 4, 24
+_CHUNK_HEX = _CHUNK_BITS // 4
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))) AS tok
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id,
+               {", ".join(f"{_hex_int_sql('h', c * _CHUNK_HEX + 1, _CHUNK_HEX)} AS h{c}" for c in range(_N_CHUNKS))}
+        FROM (SELECT doc_id, md5(tok) AS h FROM toks)
+    ),
+    votes AS (
+        SELECT doc_id, g.c AS c, g.b AS b,
+               SUM(CASE WHEN ((CASE g.c {"".join(f"WHEN {c} THEN h{c} " for c in range(_N_CHUNKS - 1))}ELSE h{_N_CHUNKS - 1} END >> g.b) & 1) = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN
+             (SELECT c.range AS c, b.range AS b
+              FROM range({_N_CHUNKS}) c, range({_CHUNK_BITS}) b) g
+        GROUP BY doc_id, g.c, g.b
+    ),
+    sig AS (
+        SELECT doc_id, c,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS s
+        FROM votes GROUP BY doc_id, c
+    ),
+    sigw AS (
+        SELECT doc_id,
+               {", ".join(f"MAX(CASE WHEN c = {c} THEN s END) AS s{c}" for c in range(_N_CHUNKS))}
+        FROM sig GROUP BY doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST({" + ".join(f"bit_count(xor(a.s{c}, b.s{c}))" for c in range(_N_CHUNKS))} AS INTEGER) AS hamming
+        FROM sigw a JOIN sigw b ON a.doc_id < b.doc_id)
+    WHERE hamming <= 3
+"""
+
+
+@register("x02c_simhash_pairs", _SIMHASH_ORACLE)
 def q_x02c(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (x02): 64-bit additive bit-vote signatures,
-    candidates via 16-bit chunk banding (pigeonhole over Hamming ≤ 3)."""
+    """SimHash near-dup pairs (x02): 96-bit md5-derived additive bit-vote
+    signatures, candidates via 24-bit chunk banding (pigeonhole recall 1
+    for Hamming ≤ 3; 2²⁴ buckets per chunk keeps within-bucket self-joins
+    linear-ish at corpus scale — the fix for the 2¹⁶ cliff).
+
+    The signature is deterministic ANSI arithmetic over md5, so the
+    oracle reproduces the full pair set bit-exactly (O(n²) self-join is
+    fine at oracle scale; the Spark side never goes quadratic)."""
     d = table(spark, sf_dir, "documents")
-    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    return simhash_pairs(
+        d, "doc_id", "text", max_hamming=3, n_chunks=_N_CHUNKS, chunk_bits=_CHUNK_BITS
+    )
 
 
-@register("x02d_dedup_components")  # rows-only: iterative, not SQL-expressible
+@register(
+    "x02d_dedup_components",
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+            FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents
+                  WHERE doc_id < 300 AND len({_TOKS}) >= 3) a
+            JOIN (SELECT doc_id, {_SHINGLES} AS sh FROM documents
+                  WHERE doc_id < 300 AND len({_TOKS}) >= 3) b
+              ON a.doc_id < b.doc_id)
+        WHERE ROUND(jaccard, 6) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(n, m) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    lab AS (SELECT n AS node, MIN(m) AS comp FROM reach GROUP BY n)
+    SELECT comp AS canonical_doc, COUNT(*) AS group_size, MAX(node) AS max_doc
+    FROM lab GROUP BY comp
+    """,
+)
 def q_x02d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the exact-Jaccard
     pair graph (doc_id<300 slice) → one row per dedup group with size and
-    canonical (min) doc.  The iterative min-label propagation is the
-    non-SQL-expressible step (operators/graph.py); correctness vs a
-    union-find reference is asserted in tests/test_dedup_similarity.py."""
+    canonical (min) doc.  The Spark side is iterative min-label
+    propagation (operators/graph.py, rounds = component diameter); the
+    oracle reproduces it with a recursive-CTE transitive closure —
+    feasible at oracle scale, not at 100 TB (where the iterative
+    large-star/small-star plan is the point).  Correctness vs a
+    union-find reference is additionally asserted in
+    tests/test_dedup_similarity.py."""
     from ..operators.graph import connected_components
 
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)

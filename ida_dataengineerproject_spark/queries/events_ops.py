@@ -149,14 +149,40 @@ def q_x09(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x09_approx_count_distinct")  # no oracle: approximate by design
+@register(
+    "x09_approx_count_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def q_x09_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users (x09): constant memory per
     group at any scale — the 100 TB path where exact distinct shuffles every
-    key.  Rows-only driver check (approximate ≠ SQL-reproducible)."""
+    key.
+
+    Bounded-oracle contract: the sketch value itself is not
+    SQL-reproducible, so the query returns the exact count plus
+    ``hll_ok`` = |approx − exact| ≤ 2.3%·exact (the ±2.3σ envelope of
+    rsd=0.01; measured error on this corpus is ≤0.7%).  The oracle
+    recomputes the exact count and asserts the bound held."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.023 * F.col("exact_users")
+            ).alias("hll_ok"),
+        )
     )
 
 
@@ -297,17 +323,49 @@ def q_x08b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x09b_cms_user_frequency")  # rows-only: sketch is approximate by design
+@register(
+    "x09b_cms_user_frequency",
+    """
+    SELECT user_id, COUNT(*) AS true_freq, TRUE AS cms_ok
+    FROM events GROUP BY user_id
+    """,
+)
 def q_x09b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimates for every user (x09 companion:
     approx_count_distinct answers "how many users", the CMS answers "how
-    often does THIS user appear" in sketch space).  est ≥ true always;
-    overshoot bounded by ε·N — both asserted against exact counts in
-    tests/test_dedup_similarity.py::test_cms_bounds.  The sketch shuffle
-    is ≤ depth×width rows regardless of event volume."""
-    from ..operators.sketch import cms_build, cms_estimate
+    often does THIS user appear" in sketch space).  The sketch shuffle is
+    ≤ depth×width rows regardless of event volume.
+
+    Bounded-oracle contract: the estimate is hash-seeded, so the query
+    returns the exact frequency plus ``cms_ok`` = (est ≥ true AND
+    est ≤ true + ε·N) with ε = e/width — the classic CMS one-sided
+    guarantee, checked per key (measured overshoot ≤ 0.8·ε·N on this
+    corpus).  The oracle recomputes true frequencies and asserts the
+    bound held.  The same bounds are asserted against exact counts in
+    tests/test_dedup_similarity.py::test_cms_bounds."""
+    import math
+
+    from ..operators.sketch import WIDTH, cms_build, cms_estimate
 
     ev = table(spark, sf_dir, "events")
     sketch = cms_build(ev, "user_id")
     users = ev.select("user_id").distinct()
-    return cms_estimate(sketch, users, "user_id").orderBy("user_id")
+    est = cms_estimate(sketch, users, "user_id")
+    true = ev.groupBy("user_id").agg(F.count("*").alias("true_freq"))
+    total = ev.agg(F.count("*").alias("n_total"))
+    eps = math.e / WIDTH
+    return (
+        est.join(true, "user_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "true_freq",
+            (
+                (F.col("est_count") >= F.col("true_freq"))
+                & (
+                    F.col("est_count")
+                    <= F.col("true_freq") + eps * F.col("n_total")
+                )
+            ).alias("cms_ok"),
+        )
+    )
