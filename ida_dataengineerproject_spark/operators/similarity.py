@@ -113,18 +113,24 @@ def cosine_topk_ivf(
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning.
 
-    Coarse quantizer: ``n_centroids`` vectors chosen deterministically from
-    the corpus itself (lowest xxhash64(id) — a seeded uniform sample with
-    no driver-side RNG state).  Every corpus vector is assigned to its
-    nearest centroid (one let-bound argmin over the broadcast centroid
-    matrix); queries probe their ``n_probe`` nearest centroid lists.  The
-    candidate join is an equi-join on centroid id — at scale each query
-    scores |corpus|·n_probe/n_centroids vectors instead of |corpus|.
+    Coarse quantizer: spherical k-means via ``pyspark.ml.clustering.KMeans``
+    (k-means‖ init, fixed seed) over L2-normalized corpus vectors —
+    Euclidean clustering of unit vectors is cosine clustering, so the
+    inverted lists follow the corpus's angular structure (hash-sampled
+    centroids degrade badly on clustered corpora).  The fit is one ml job;
+    only ``n_centroids`` center vectors ever reach the driver.
 
-    Centroid selection by hash is a stand-in for k-means iterations; the
-    assignment/probe/score plumbing — the part that must scale — is
-    identical either way.
+    Every corpus vector is assigned to its nearest centroid (one
+    let-bound argmin over the broadcast centroid matrix, or one numpy
+    matmul per Arrow batch); queries probe their ``n_probe`` nearest
+    centroid lists.  The candidate join is an equi-join on centroid id —
+    at scale each query scores |corpus|·n_probe/n_centroids vectors
+    instead of |corpus|.
     """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
     )
@@ -132,18 +138,16 @@ def cosine_topk_ivf(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     )
 
-    # deterministic coarse centroids (driver collects n_centroids rows only)
-    cents = (
-        c.withColumn("h", F.xxhash64("neighbor_id"))
-        .orderBy("h")
-        .limit(n_centroids)
-        .select(F.col("neighbor_id").alias("cent_id"), F.col("cv").alias("cent"))
-        .collect()
+    train = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
+        c.select(array_to_vector(F.col("cv")).alias("raw"))
     )
+    model = KMeans(
+        k=n_centroids, seed=7, maxIter=10, featuresCol="features"
+    ).fit(train)
+    cents = [center.tolist() for center in model.clusterCenters()]
     cent_matrix = F.array(
-        *[F.array(*[F.lit(float(x)) for x in r.cent]) for r in cents]
+        *[F.array(*[F.lit(float(x)) for x in cent]) for cent in cents]
     )
-    cent_ids = [int(r.cent_id) for r in cents]
 
     def dists(vec: Column) -> Column:
         # negative cosine to each centroid (array<double>), one pass
@@ -161,7 +165,7 @@ def cosine_topk_ivf(
                     F.array_sort(
                         F.zip_with(
                             ds,
-                            F.array(*[F.lit(i) for i in range(len(cent_ids))]),
+                            F.array(*[F.lit(i) for i in range(len(cents))]),
                             lambda d, i: F.struct(d.alias("d"), i.alias("i")),
                         )
                     ),
@@ -173,7 +177,7 @@ def cosine_topk_ivf(
         )
 
     if arrow:
-        cents_np = np.asarray([r.cent for r in cents], dtype=np.float64)
+        cents_np = np.asarray(cents, dtype=np.float64)
 
         def probes_pandas(df: DataFrame, id_name: str, vec_name: str, n: int):
             """(id, vec) → (id, vec, cent_idx)×n via one cosine-matrix

@@ -216,36 +216,108 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentiles")  # rows-only: approximate by design
+@register(
+    "approx_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(median(l_extendedprice), 4) AS exact_median,
+           TRUE AS approx_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile sketch — the constant-memory scale path for
-    quantiles (exact percentile sorts each group)."""
+    quantiles (exact percentile sorts each group).
+
+    Bounded-oracle contract: the sketch value is not SQL-reproducible, so
+    the query returns the exact median plus ``approx_rank_ok`` = the
+    approx answer's true rank sits within ±0.5% of the 0.5 quantile
+    (tie-safe two-sided check; the sketch's guarantee at default
+    accuracy=10000 is ±0.01%).  The oracle recomputes the exact median
+    and asserts the rank bound held."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    ap = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median")
+    )
+    eps = 0.005
+    return (
+        li.join(F.broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "exact_median"
+            ),
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("approx_median")).cast("long")
+            ).alias("n_below"),
+            F.sum(
+                (F.col("l_extendedprice") > F.col("approx_median")).cast("long")
+            ).alias("n_above"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_median",
+            (
+                (F.col("n_below") <= (0.5 + eps) * F.col("n"))
+                & (F.col("n_above") <= (0.5 + eps) * F.col("n"))
+            ).alias("approx_rank_ok"),
+        )
     )
 
 
-@register("sample_fraction")  # rows-only: sampling is engine-specific RNG
+@register(
+    "sample_fraction",
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 2) <= '02'
+    """,
+)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sample (seeded) — deterministic within Spark, not across
-    engines; driver checks rows-only."""
+    """Deterministic hash sample (~3/256 ≈ 1.2%): keep rows whose key-md5
+    falls in a fixed hex prefix range — the reproducible-sampling
+    primitive a training pipeline needs (membership is stable across
+    runs, engines and machines, unlike RNG-seeded Bernoulli whose
+    sequence is engine-specific).  Scale: a map-side filter, no shuffle,
+    no RNG state; md5 is identical everywhere, so the sample is
+    bit-exactly reproducible in the oracle."""
     li = table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.01, seed=42).select("l_orderkey", "l_linenumber")
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    return li.filter(F.substring(F.md5(key), 1, 2) <= "02").select(
+        "l_orderkey", "l_linenumber"
+    )
 
 
-@register("sample_stratified")  # rows-only: sampling is engine-specific RNG
+@register(
+    "sample_stratified",
+    """
+    SELECT lang, COUNT(*) AS n_sampled FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+          CASE lang WHEN 'en' THEN '7f' WHEN 'pt' THEN 'ff'
+                    WHEN 'es' THEN '3f' ELSE '' END
+    GROUP BY lang ORDER BY lang
+    """,
+)
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sample (sampleBy): per-stratum Bernoulli fractions keyed
-    on document language — the corpus-balancing primitive a training
-    pipeline uses to re-weight sources/languages.  Seeded → deterministic
-    within Spark; per-stratum counts are asserted against binomial bounds
-    in tests.  Scale: a map-side filter per row, no shuffle."""
+    """Stratified deterministic hash sample: per-stratum hex-prefix
+    thresholds on md5(doc_id) — the corpus-balancing primitive a training
+    pipeline uses to re-weight sources/languages (en 128/256 = 50%,
+    pt 256/256 = 100%, es 64/256 = 25%, everything else dropped).
+    Membership is content-independent and stable across runs/engines;
+    a map-side filter per row, no shuffle beyond the final aggregate."""
     d = table(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "pt": 1.0, "es": 0.25}
-    sampled = d.sampleBy("lang", fractions=fractions, seed=42)
+    threshold = (
+        F.when(F.col("lang") == "en", "7f")
+        .when(F.col("lang") == "pt", "ff")
+        .when(F.col("lang") == "es", "3f")
+        .otherwise("")
+    )
     return (
-        sampled.groupBy("lang")
+        d.filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= threshold)
+        .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"))
         .orderBy("lang")
     )
