@@ -21,6 +21,7 @@ materializes it (column pruning works per-column).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -68,6 +69,93 @@ def extract_byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(op, FEATURE_SCHEMA)
+
+
+def _bmp_encode(width: int, height: int, gray: int) -> bytes:
+    """Minimal 24-bit uncompressed BMP (BITMAPINFOHEADER), solid gray.
+
+    Real file layout: 14-byte file header, 40-byte info header, bottom-up
+    pixel rows padded to 4-byte boundaries — the standard Windows BMP
+    format (public spec), written with struct.pack only.
+    """
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    pixel_bytes = (row_bytes + pad) * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    row = bytes([gray]) * row_bytes + b"\x00" * pad
+    return header + row * height
+
+
+def _bmp_decode(data: bytes) -> tuple[int, int, int, float]:
+    """Parse a 24-bit BMP: header fields + mean over actual pixel bytes
+    (skipping row padding).  Returns (width, height, n_channels, mean)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", data, 10)
+    _, width, height, _, bpp = struct.unpack_from("<IiiHH", data, 14)
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    total = 0
+    for r in range(height):
+        start = pixel_off + r * stride
+        total += sum(data[start : start + row_bytes])
+    n_px_bytes = row_bytes * height
+    return width, height, 3, (total / n_px_bytes if n_px_bytes else 0.0)
+
+
+def attach_bmp_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic REAL image payload: each document becomes a valid
+    24-bit BMP whose dimensions and gray level derive from the text length
+    (width = n%16+1, height = n%8+1, gray = n%256) — so a SQL oracle can
+    predict the decoded metadata while the decoder genuinely parses bytes.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[text_col].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _bmp_encode(ln % 16 + 1, ln % 8 + 1, ln % 256)
+                        for ln in n
+                    ],
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        op, "doc_id long, payload binary"
+    )
+
+
+def decode_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real image decode over the binary column: parses the BMP container
+    (file header, BITMAPINFOHEADER, padded bottom-up rows) with no external
+    codec library — replaces the round-1 fake-decode stub.  Arrow-batched
+    mapInPandas; payload bytes never round-trip Python row objects outside
+    the batch."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(_bmp_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": decoded.map(lambda t: t[0]).astype("int32"),
+                    "height": decoded.map(lambda t: t[1]).astype("int32"),
+                    "n_channels": decoded.map(lambda t: t[2]).astype("int32"),
+                    "mean_pixel": decoded.map(lambda t: t[3]),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(op, DECODE_SCHEMA)
 
 
 def decode_image_stub(

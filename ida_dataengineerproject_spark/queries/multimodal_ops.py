@@ -8,8 +8,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..multimodal.binary_ops import (
+    attach_bmp_payload,
     attach_fake_payload,
-    decode_image_stub,
+    decode_bmp,
     extract_byte_features,
     frame_sample_stub,
 )
@@ -35,17 +36,40 @@ def q_xmm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_byte_features(d).select("doc_id", "n_bytes", "first_byte")
 
 
-@register("xmm_decode_stub")  # rows-only: decode is a deterministic fake
+@register(
+    "xmm_decode_bmp",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) % 16 + 1 AS INTEGER) AS width,
+           CAST(strlen(text) % 8 + 1 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels,
+           CAST(strlen(text) % 256 AS DOUBLE) AS mean_pixel
+    FROM documents
+    """,
+)
 def q_xmm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-decode plumbing (stubbed decode — no image libs in container):
-    real schema/partitioning/batch shape, fake pixels."""
-    d = attach_fake_payload(table(spark, sf_dir, "documents"))
-    return decode_image_stub(d)
+    """REAL image decode: each doc carries a valid 24-bit BMP (pure-Python
+    struct encoder, dims/gray derived from text length); ``decode_bmp``
+    parses the container byte-for-byte (header, padded bottom-up rows) and
+    computes the pixel mean.  The oracle predicts the decoded metadata
+    from the same strlen formula — decode correctness is checked exactly,
+    no codec library required."""
+    d = attach_bmp_payload(table(spark, sf_dir, "documents"))
+    return decode_bmp(d)
 
 
-@register("xmm_frame_sample")  # rows-only: row-exploding mapInPandas shape
+@register(
+    "xmm_frame_sample",
+    """
+    SELECT doc_id, CAST(unnest(range(0, CAST(ceil(strlen(text)/64.0) AS BIGINT)))
+                        AS INTEGER) AS frame_idx
+    FROM documents
+    """,
+)
 def q_xmm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: one payload row → many frame rows via
-    mapInPandas (count checkable: sum of ceil(n_bytes/64))."""
+    mapInPandas (one frame per 64-byte chunk).  Oracle reproduces the
+    (doc_id, frame_idx) explosion with a lateral range over
+    ceil(strlen/64) — exact row-level check of the exploding shape."""
     d = attach_fake_payload(table(spark, sf_dir, "documents"))
     return frame_sample_stub(d).drop("frame")

@@ -55,6 +55,36 @@ def test_decode_real_path_raises(spark, docs_with_payload):
         out.collect()
 
 
+def test_bmp_encode_decode_roundtrip():
+    from ida_dataengineerproject_spark.multimodal.binary_ops import (
+        _bmp_decode,
+        _bmp_encode,
+    )
+
+    for w, h, g in [(1, 1, 0), (3, 2, 255), (16, 8, 47), (5, 7, 128)]:
+        data = _bmp_encode(w, h, g)
+        assert data[:2] == b"BM"
+        assert _bmp_decode(data) == (w, h, 3, float(g))
+
+
+def test_decode_bmp_matches_formula(spark):
+    from ida_dataengineerproject_spark.multimodal.binary_ops import (
+        attach_bmp_payload,
+        decode_bmp,
+    )
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    docs = table(spark, SF_SMOKE, "documents")
+    out = decode_bmp(attach_bmp_payload(docs))
+    joined = out.join(docs.select("doc_id", F.length("text").alias("n")), "doc_id")
+    bad = joined.filter(
+        (F.col("width") != F.col("n") % 16 + 1)
+        | (F.col("height") != F.col("n") % 8 + 1)
+        | (F.col("mean_pixel") != (F.col("n") % 256).cast("double"))
+    ).count()
+    assert bad == 0
+
+
 def test_frame_sample_explosion_count(spark, docs_with_payload):
     from ida_dataengineerproject_spark.multimodal.binary_ops import (
         frame_sample_stub,
