@@ -48,24 +48,66 @@ def q_x03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, queries, k=_K)
 
 
-@register("x03b_cosine_topk_lsh")  # rows-only: approximate by design
+def _recall_contract(exact: DataFrame, approx: DataFrame, bound: float) -> DataFrame:
+    """Bounded-oracle shape for approximate top-k: per query, recall@k of
+    the approximate result against the exact brute-force top-k, asserted
+    ``>= bound`` as a boolean the DuckDB oracle can predict (the
+    approximate neighbor set itself is hash/seed-dependent and not
+    SQL-reproducible; the recall guarantee is the checkable contract)."""
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("k").cast("int").alias("k"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k") >= F.lit(bound)
+            ).alias("recall_ok"),
+        )
+    )
+
+
+_RECALL_ORACLE = f"""
+    SELECT vec_id AS query_id, CAST({_K} AS INTEGER) AS k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+    """
+
+
+@register("x03b_cosine_topk_lsh", _RECALL_ORACLE)
 def q_x03b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via multi-table random-hyperplane LSH (x03
     scale path): bucketed equi-join instead of corpus-wide scoring.
-    Recall vs brute force asserted in tests."""
+
+    Bounded-oracle contract: per-query recall@10 vs the exact brute-force
+    top-k must be >= 0.5 (measured min 0.8 across sf0.001/0.01/0.1 with
+    16 tables x 4 planes — 60% safety margin)."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return cosine_topk_lsh(emb, queries, k=_K, n_tables=16, n_planes=4, dim=64)
+    exact = cosine_topk_bruteforce(emb, queries, k=_K)
+    approx = cosine_topk_lsh(emb, queries, k=_K, n_tables=16, n_planes=4, dim=64)
+    return _recall_contract(exact, approx, bound=0.5)
 
 
-@register("x03d_cosine_topk_ivf")  # rows-only: approximate by design
+@register("x03d_cosine_topk_ivf", _RECALL_ORACLE)
 def q_x03d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via IVF coarse quantization (x03 scale
-    path #2): nearest-centroid inverted lists, n_probe=6 of 16.
-    Recall vs brute force asserted in tests."""
+    path #2): k-means inverted lists, n_probe=8 of 16.
+
+    Bounded-oracle contract: per-query recall@10 >= 0.2 (measured min 0.5
+    at sf0.01/0.1, 0.3 at sf0.001 — the synthetic corpus is near-uniform,
+    the hardest case for IVF; clustered real corpora recall higher)."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return cosine_topk_ivf(emb, queries, k=_K, n_centroids=16, n_probe=6)
+    exact = cosine_topk_bruteforce(emb, queries, k=_K)
+    approx = cosine_topk_ivf(emb, queries, k=_K, n_centroids=16, n_probe=8)
+    return _recall_contract(exact, approx, bound=0.2)
 
 
 @register(
