@@ -60,6 +60,38 @@ def test_simhash_pairs_are_similar(spark):
         assert min(r.tok_jac for r in rows) > 0.5
 
 
+def test_simhash_bucket_cardinality_bounded(spark):
+    """The 2^chunk_bits banding knob bounds within-bucket load: on a
+    corpus of mutually-unrelated docs, 24-bit chunks must leave every
+    (chunk, value) bucket near-singleton, while 8-bit chunks (the scale
+    cliff the knob exists to avoid) visibly pile up — the within-bucket
+    self-join is quadratic in that pileup."""
+    from ida_dataengineerproject_spark.operators.dedup import simhash_chunks
+
+    rows = [
+        (i, " ".join(f"w{(i * 131 + j * 17) % 99991}" for j in range(20)))
+        for i in range(2000)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def max_bucket(chunk_bits: int) -> int:
+        return (
+            simhash_chunks(d, "doc_id", "text", n_chunks=4, chunk_bits=chunk_bits)
+            .groupBy("chunk", "cv")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()
+            .m
+        )
+
+    wide, narrow = max_bucket(24), max_bucket(8)
+    assert wide <= 4, f"24-bit buckets should be near-singleton, got {wide}"
+    assert narrow >= 4 * wide, (
+        f"8-bit banding should visibly pile up ({narrow} vs {wide}) — "
+        "otherwise this corpus can't demonstrate the cliff"
+    )
+
+
 def test_cosine_lsh_recall_vs_bruteforce(spark):
     """LSH top-k must recover >=60% of true top-3 neighbors (16 tables ×
     4 planes, 500 vectors)."""
