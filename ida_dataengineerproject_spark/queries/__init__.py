@@ -15,5 +15,6 @@ from . import skew_ops  # noqa: F401
 from . import windows_arrays  # noqa: F401
 from . import pipeline_ops  # noqa: F401
 from . import etl_ops  # noqa: F401
+from . import ingest_e2e  # noqa: F401
 from . import nested_ops  # noqa: F401
 from . import training_ops  # noqa: F401

@@ -129,37 +129,62 @@ def q_x04d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", token_count_bpe_ish("text").alias("n_bpe_ish"))
 
 
+_POW31 = [31**p for p in range(8)]  # 31^0 .. 31^7, max term 127*31^7 < 2^63
+
+
 @register(
     "x04e_fingerprint",
-    """
+    f"""
     SELECT doc_id,
-           CASE WHEN length(norm) >= 8
+           CAST(CASE WHEN length(norm) >= 8
                 THEN list_aggregate(list_transform(range(1, length(norm) - 6),
-                                    i -> md5(substr(norm, i, 8))), 'min')
-                ELSE md5(norm) END AS fingerprint
+                       i -> {" + ".join(
+                           f"CAST(ascii(substr(norm, i + {j}, 1)) AS BIGINT)"
+                           f" * {_POW31[7 - j]}"
+                           for j in range(8))}), 'min')
+                ELSE list_sum(list_transform(range(1, length(norm) + 1),
+                       i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT)
+                            * CAST(pow(31, length(norm) - i) AS BIGINT)))
+           END AS BIGINT) AS fingerprint
     FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
           FROM documents)
     """,
 )
 def q_x04e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling fingerprint (x04): min md5 over 8-char
-    windows of normalized text — one representative hash per document.
-    (The scale path uses xxhash64 — functions/textstats.rolling_fingerprint;
-    md5 here because the oracle can reproduce it.)"""
+    """Winnowing-style rolling fingerprint (x04): min Karp-Rabin
+    polynomial hash (base-31 over char codes, the classic rolling-hash
+    family) across 8-char windows of normalized text — one representative
+    value per document.
+
+    Replaces round 1's md5-per-window variant: the hash is pure int64
+    arithmetic, so Spark keeps it inside whole-stage codegen (no digest
+    + hex-string allocation per window) and DuckDB reproduces it exactly
+    — same values, same oracle, ~arithmetic speed.  Max value
+    127·Σ31^j (j<8) ≈ 3.7e12, no overflow under ANSI mode."""
     from ..functions.exprs import let1
 
     d = table(spark, sf_dir, "documents")
     norm_expr = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
 
-    def fp(norm: Column) -> Column:
-        windows = F.transform(
-            F.sequence(F.lit(1), F.length(norm) - F.lit(7)),
-            lambda i: F.md5(norm.substr(i, F.lit(8))),
-        )
-        return F.when(F.length(norm) >= 8, F.array_min(windows)).otherwise(
-            F.md5(norm)
+    def roll(chars: Column) -> Column:
+        # fold acc*31 + code == sum(code_j * 31^(n-1-j)) over the slice
+        return F.aggregate(
+            chars, F.lit(0).cast("long"), lambda acc, c: acc * 31 + c
         )
 
-    # norm is let-bound: its three references would otherwise re-run the
-    # regex per reference (CollapseProject inlining)
+    def fp(norm: Column) -> Column:
+        codes = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm), F.lit(1))),
+            lambda i: F.ascii(norm.substr(i, F.lit(1))).cast("long"),
+        )
+        windows = F.transform(
+            F.sequence(F.lit(1), F.length(norm) - F.lit(7)),
+            lambda i: roll(F.slice(codes, i, 8)),
+        )
+        return F.when(F.length(norm) >= 8, F.array_min(windows)).otherwise(
+            roll(codes)
+        )
+
+    # norm is let-bound: its references would otherwise re-run the regex
+    # per reference (CollapseProject inlining)
     return d.select("doc_id", let1(norm_expr, fp).alias("fingerprint"))

@@ -128,3 +128,23 @@ def test_write_star_partitioned(spark, wide, tmp_path):
     fact = spark.read.parquet(str(tmp_path / "fact_ida"))
     assert fact.count() == star["fact_ida"].count()
     assert "ano" in fact.columns  # partition column survived
+
+
+def test_ingest_rerun_is_idempotent(spark, wide, tmp_path):
+    """Run-twice stability: re-ingesting the same sheets against the fact
+    read back from parquet must add zero rows (ON CONFLICT DO NOTHING,
+    etl_ida.py:534) and leave the written star row-count-stable."""
+    from ida_dataengineerproject_spark.plans.etl import ingest, write_star
+
+    star = ingest(spark, wide)
+    write_star(star, str(tmp_path))
+    fact1 = spark.read.parquet(str(tmp_path / "fact_ida"))
+    n1 = fact1.count()
+
+    rerun = ingest(spark, wide, existing_fact=fact1)
+    assert rerun["fact_ida"].count() == 0
+
+    # writing the (empty) delta plus existing content keeps counts stable
+    assert fact1.unionByName(
+        rerun["fact_ida"], allowMissingColumns=True
+    ).count() == n1
