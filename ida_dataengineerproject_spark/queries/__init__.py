@@ -18,3 +18,4 @@ from . import etl_ops  # noqa: F401
 from . import ingest_e2e  # noqa: F401
 from . import nested_ops  # noqa: F401
 from . import training_ops  # noqa: F401
+from . import corpus_ops  # noqa: F401

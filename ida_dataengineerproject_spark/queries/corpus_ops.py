@@ -1,0 +1,288 @@
+"""Corpus-preparation operators round 2 (xt8-xt12): the quality /
+safety gates a pretraining-data pipeline runs between crawl and tokenizer
+that round 1 didn't cover — benchmark-contamination checks, repetition
+filters (Gopher-style), sequence packing, vocabulary building, and
+incremental cross-corpus dedup.  All pure built-in expressions with exact
+DuckDB oracle twins.
+
+Scale notes common to all five: per-document signals are single-projection
+maps (no shuffle, whole-stage codegen); the only shuffles are the final
+aggregates (contamination join is a broadcast of the eval-set n-gram
+index; packing windows are partitioned by shard, never global).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import text_fingerprint
+from ..functions.textstats import ngram_shingles, token_count_bpe_ish, tokens
+from ..registry import register
+from ..sources.tables import table
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _shingles_sql(n: int, toks: str = _TOKS) -> str:
+    """DuckDB distinct word n-gram shingles (mirrors textstats.ngram_shingles)."""
+    parts = ", ".join(f"{toks}[i+{k}]" for k in range(n))
+    return f"""
+    list_distinct(list_transform(
+        range(1, greatest(len({toks}) - {n - 2}, 1)),
+        i -> concat_ws(' ', {parts})))
+    """
+
+
+@register(
+    "xt8_contamination_overlap",
+    f"""
+    WITH g AS (
+        SELECT doc_id, unnest({_shingles_sql(5)}) AS g FROM documents),
+    idx AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+    tr AS (
+        SELECT doc_id, CASE WHEN g IN (SELECT g FROM idx) THEN 1 ELSE 0 END AS hit
+        FROM g WHERE doc_id % 97 <> 0)
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_grams,
+           CAST(sum(hit) AS INTEGER) AS n_hit,
+           ROUND(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS overlap_frac,
+           (CAST(sum(hit) AS DOUBLE) / count(*)) > 0.1 AS contaminated
+    FROM tr GROUP BY doc_id
+    """,
+)
+def q_xt8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag training documents whose 5-gram
+    overlap with a held-out eval set (docs with doc_id % 97 == 0 playing
+    the benchmark) exceeds 10% — the n-gram decontamination step every
+    LLM data pipeline runs (GPT-3-style 13-gram dedup, here 5-gram).
+
+    Scale: the eval index is DISTINCT n-grams of the (small) benchmark —
+    broadcast to every executor; the training side is one explode +
+    broadcast-hash probe + per-doc aggregate.  No shuffle touches the
+    full corpus-side n-gram stream except the final doc_id agg."""
+    docs = table(spark, sf_dir, "documents")
+    grams5 = lambda df: df.select(  # noqa: E731
+        "doc_id", F.explode(ngram_shingles("text", 5)).alias("g")
+    )
+    idx = grams5(docs.filter(F.col("doc_id") % 97 == 0)).select("g").distinct()
+    train = grams5(docs.filter(F.col("doc_id") % 97 != 0))
+    frac = F.col("n_hit").cast("double") / F.col("n_grams")
+    return (
+        train.join(F.broadcast(idx.withColumn("hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("int").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(frac, 6).alias("overlap_frac"),
+            (frac > 0.1).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "xt9_repetition_filter",
+    f"""
+    SELECT doc_id,
+           ROUND(CAST(list_max(list_transform(list_distinct(lt),
+                     t -> len(list_filter(lt, x -> x = t)))) AS DOUBLE)
+                 / len(lt), 6) AS top_word_frac,
+           ROUND(CAST(list_max(list_transform(list_distinct(bg),
+                     t -> len(list_filter(bg, x -> x = t)))) AS DOUBLE)
+                 / len(bg), 6) AS top_bigram_frac,
+           (CAST(list_max(list_transform(list_distinct(lt),
+                     t -> len(list_filter(lt, x -> x = t)))) AS DOUBLE)
+                 / len(lt)) > 0.2
+           OR (CAST(list_max(list_transform(list_distinct(bg),
+                     t -> len(list_filter(bg, x -> x = t)))) AS DOUBLE)
+                 / len(bg)) > 0.18 AS repetitive
+    FROM (
+        SELECT doc_id, lt,
+               list_transform(range(1, greatest(len(lt), 1)),
+                              i -> lt[i] || ' ' || lt[i+1]) AS bg
+        FROM (SELECT doc_id,
+                     list_transform({_TOKS}, t -> lower(t)) AS lt
+              FROM documents)
+        WHERE len(lt) >= 2)
+    """,
+)
+def q_xt9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: fraction of tokens taken by the
+    single most frequent word, and of bigrams by the most frequent
+    bigram; a doc is `repetitive` above 0.2 / 0.18 (the published Gopher
+    rule thresholds for the analogous signals).
+
+    Scale: per-doc expression only — the count-per-distinct-token loop is
+    O(unique x len) inside one codegen'd projection, bounded by document
+    length; no shuffle, no explode."""
+    from ..functions.exprs import let1
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.size(tokens("text")) >= 2
+    )
+
+    def top_frac(items: Column) -> Column:
+        counts = F.transform(
+            F.array_distinct(items),
+            lambda t: F.size(F.filter(items, lambda x: x == t)),
+        )
+        return F.array_max(counts).cast("double") / F.size(items)
+
+    def body(lt: Column) -> Column:
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(lt) - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(lt, i), F.element_at(lt, i + 1)
+            ),
+        )
+        return F.struct(
+            top_frac(lt).alias("w"),
+            # lt has >=2 tokens (filtered) so the bigram list is well-formed
+            top_frac(bigrams).alias("b"),
+        )
+
+    lt_expr = F.transform(tokens("text"), lambda t: F.lower(t))
+    return docs.select("doc_id", let1(lt_expr, body).alias("s")).select(
+        "doc_id",
+        F.round(F.col("s.w"), 6).alias("top_word_frac"),
+        F.round(F.col("s.b"), 6).alias("top_bigram_frac"),
+        ((F.col("s.w") > 0.2) | (F.col("s.b") > 0.18)).alias("repetitive"),
+    )
+
+
+@register(
+    "xt10_sequence_packing",
+    """
+    WITH sized AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tok
+        FROM documents),
+    packed AS (
+        SELECT shard, n_tok,
+               SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM sized)
+    SELECT shard,
+           CAST(FLOOR((cum - n_tok) / 2048.0) AS INTEGER) AS bin,
+           CAST(count(*) AS INTEGER) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           ROUND(CAST(sum(n_tok) AS DOUBLE) / 2048.0, 6) AS fill_ratio
+    FROM packed GROUP BY shard, CAST(FLOOR((cum - n_tok) / 2048.0) AS INTEGER)
+    """,
+)
+def q_xt10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for the tokenizer: greedy sequential packing of
+    documents into 2048-token context bins, per shard — docs are laid
+    into a bin until the cumulative token count crosses the context
+    length (a doc starts in the bin its preceding cumsum falls in).
+
+    Scale: the cumsum window is PARTITIONED BY shard (docs are sharded by
+    id hash), never a global single-partition window — each shard packs
+    independently, which is exactly how a distributed tokenizer feeds
+    writers.  One shuffle on shard, one aggregate."""
+    ctx = 2048
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        token_count_bpe_ish("text").cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        packed.withColumn(
+            "bin", F.floor((F.col("cum") - F.col("n_tok")) / float(ctx)).cast("int")
+        )
+        .groupBy("shard", "bin")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.round(F.sum("n_tok").cast("double") / ctx, 6).alias("fill_ratio"),
+        )
+    )
+
+
+@register(
+    "xt11_vocab_topk",
+    f"""
+    SELECT token, n, rank FROM (
+        SELECT token, CAST(count(*) AS BIGINT) AS n,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS INTEGER)
+                 AS rank
+        FROM (SELECT unnest(list_transform({_TOKS}, t -> lower(t))) AS token
+              FROM documents)
+        WHERE token <> ''
+        GROUP BY token)
+    WHERE rank <= 100
+    """,
+)
+def q_xt11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: global top-100 lowercased whitespace tokens with
+    deterministic tie-break (count DESC, token ASC) — the frequency table
+    a tokenizer trainer starts from.
+
+    Scale: explode + partial-aggregated count (map-side combine), then a
+    top-k — Spark pushes the rank<=100 limit below the window as
+    TakeOrderedAndProject (per-partition top-100 + tree-ordered merge),
+    so the single-partition row_number only ever sees 100 rows (plan
+    pinned in tests/test_plan_quality.py)."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .select(F.lower("token").alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)  # rank filter BEFORE cast → WindowGroupLimit
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+@register(
+    "xt12_cross_corpus_dedup",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    WHERE doc_id % 7 <> 0
+      AND md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) NOT IN (
+          SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+          FROM documents WHERE doc_id % 7 = 0)
+    """,
+)
+def q_xt12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup: drop new-crawl documents whose
+    normalized-text fingerprint already exists in the reference corpus
+    (docs with doc_id % 7 == 0 playing yesterday's crawl) — the
+    snapshot-over-snapshot dedup step of a rolling crawl pipeline.
+
+    Scale: LEFT ANTI join on the md5 fingerprint; the existing-corpus
+    fingerprint set is the small side here (broadcast), at parity scale
+    it degrades gracefully to a shuffled anti-join on the hash — the
+    exact shape of operators/upsert.dedup_against."""
+    docs = table(spark, sf_dir, "documents")
+    existing = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(text_fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn("fp", text_fingerprint("text"))
+        .join(F.broadcast(existing), "fp", "left_anti")
+        .select("doc_id", "fp")
+    )

@@ -65,12 +65,25 @@ def test_ranked_filter_uses_window_group_limit(spark):
 
 
 def test_lsh_paths_have_no_cartesian(spark):
+    """The LSH operators themselves must stay equi-join-only.  (The x03b
+    registered query additionally embeds the brute-force baseline for its
+    recall contract — that part broadcasts by design, so the check runs
+    on the operators, not the contract query.)"""
     import __spark_entry__ as e
+    from pyspark.sql import functions as F
 
-    for name in ["x02b_minhash_lsh_pairs", "x03b_cosine_topk_lsh"]:
-        plan = _plan(e.queries()[name](spark, SF_SMOKE))
-        assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+    from ida_dataengineerproject_spark.operators.similarity import cosine_topk_lsh
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    plan = _plan(e.queries()["x02b_minhash_lsh_pairs"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    plan = _plan(cosine_topk_lsh(emb, q, k=10, n_tables=16, n_planes=4, dim=64))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_session_hardening_confs(spark):
@@ -144,3 +157,31 @@ def test_chunking_is_shuffle_free_before_sort(spark):
     # one range-partitioned exchange for the sort; no hash shuffle at all
     assert plan.count("rangepartitioning") == 1
     assert plan.count("hashpartitioning") == 0
+
+
+def test_vocab_topk_limit_pushed_below_window(spark):
+    """xt11: the rank<=100 filter must become TakeOrderedAndProject below
+    the Window (LimitPushDownThroughWindow), so the single-partition
+    row_number sees 100 rows, not the whole vocabulary."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xt11_vocab_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_contamination_index_is_broadcast(spark):
+    """xt8: the eval-set n-gram index probes as a broadcast join — the
+    corpus-side n-gram stream must never shuffle for the join itself."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xt8_contamination_overlap"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sequence_packing_window_is_partitioned(spark):
+    """xt10: the packing cumsum must be a shard-partitioned window, never
+    the classic global single-partition hazard."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xt10_sequence_packing"](spark, SF_SMOKE))
+    assert "windowspecdefinition(shard" in plan
