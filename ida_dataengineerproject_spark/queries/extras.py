@@ -208,11 +208,20 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median / continuous percentile per group (sort-based agg)."""
+    """Exact median / continuous percentile per group.  Both quantiles are
+    requested as ONE ``percentile(col, array(...))`` aggregate — a single
+    buffer and a single per-group sort, instead of one sorted buffer per
+    quantile (the exact-quantile cost is inherent; paying it once is
+    not)."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("med_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 4).alias("med_price"),
+            F.round(F.col("p")[1], 4).alias("p90_price"),
+        )
     )
 
 
