@@ -155,3 +155,41 @@ def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
         lambda i: F.xxhash64(norm.substr(i, F.lit(window))),
     )
     return F.array_min(hashes)
+
+
+def rolling_fingerprint_kr(norm: Column | str, window: int = 8) -> Column:
+    """Karp-Rabin rolling fingerprint: min base-31 polynomial hash over
+    ``window``-byte windows of an (already normalized, ASCII) string —
+    engine-independent pure-integer values, reproducible in ANSI SQL.
+
+    Arrow-vectorized pandas UDF: per batch, each string becomes a uint8
+    code array; all window hashes are one sliding-window matmul against
+    the power vector (numpy int64, wrap-free: max 127·Σ31^j ≈ 3.7e12).
+    The expression-level alternative (transform + 8 substr/ascii per
+    window) is interpreted per element by Spark — measured ~7x slower
+    than this batch path at sf0.1."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    pow_vec = (31 ** np.arange(window - 1, -1, -1)).astype(np.int64)
+
+    # no annotations: under `from __future__ import annotations` the hints
+    # become strings, which pandas_udf's signature inference rejects
+    @pandas_udf("long")
+    def kr_min(norm_s):
+        out = np.empty(len(norm_s), dtype=np.int64)
+        for idx, s in enumerate(norm_s):
+            a = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.int64)
+            if len(a) >= window:
+                win = np.lib.stride_tricks.sliding_window_view(a, window)
+                out[idx] = int((win @ pow_vec).min())
+            else:
+                h = 0
+                for cde in a:
+                    h = h * 31 + int(cde)
+                out[idx] = h
+        return pd.Series(out)
+
+    c = F.col(norm) if isinstance(norm, str) else norm
+    return kr_min(c)

@@ -152,39 +152,20 @@ _POW31 = [31**p for p in range(8)]  # 31^0 .. 31^7, max term 127*31^7 < 2^63
 )
 def q_x04e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling fingerprint (x04): min Karp-Rabin
-    polynomial hash (base-31 over char codes, the classic rolling-hash
+    polynomial hash (base-31 over byte codes, the classic rolling-hash
     family) across 8-char windows of normalized text — one representative
     value per document.
 
-    Replaces round 1's md5-per-window variant: the hash is pure int64
-    arithmetic, so Spark keeps it inside whole-stage codegen (no digest
-    + hex-string allocation per window) and DuckDB reproduces it exactly
-    — same values, same oracle, ~arithmetic speed.  Max value
-    127·Σ31^j (j<8) ≈ 3.7e12, no overflow under ANSI mode."""
-    from ..functions.exprs import let1
+    Replaces round 1's md5-per-window variant: values are pure int64
+    arithmetic (engine-independent, exactly reproduced by the DuckDB
+    oracle), computed Spark-side as one Arrow-batched sliding-window
+    matmul per batch (textstats.rolling_fingerprint_kr) — normalization
+    stays a JVM expression, only the dense numeric kernel crosses to
+    numpy.  ASCII corpus assumption: byte codes == ascii() codepoints."""
+    from ..functions.textstats import rolling_fingerprint_kr
 
     d = table(spark, sf_dir, "documents")
-    norm_expr = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-
-    def roll(chars: Column) -> Column:
-        # fold acc*31 + code == sum(code_j * 31^(n-1-j)) over the slice
-        return F.aggregate(
-            chars, F.lit(0).cast("long"), lambda acc, c: acc * 31 + c
-        )
-
-    def fp(norm: Column) -> Column:
-        codes = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm), F.lit(1))),
-            lambda i: F.ascii(norm.substr(i, F.lit(1))).cast("long"),
-        )
-        windows = F.transform(
-            F.sequence(F.lit(1), F.length(norm) - F.lit(7)),
-            lambda i: roll(F.slice(codes, i, 8)),
-        )
-        return F.when(F.length(norm) >= 8, F.array_min(windows)).otherwise(
-            roll(codes)
-        )
-
-    # norm is let-bound: its references would otherwise re-run the regex
-    # per reference (CollapseProject inlining)
-    return d.select("doc_id", let1(norm_expr, fp).alias("fingerprint"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select(
+        "doc_id", rolling_fingerprint_kr(norm).alias("fingerprint")
+    )
