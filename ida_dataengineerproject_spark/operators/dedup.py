@@ -314,14 +314,19 @@ def _simhash_chunks_pandas(
                 continue
             token_sets = [t for t in token_sets if t]
             lens = np.array([len(t) for t in token_sets], dtype=np.int64)
-            digests = [md5(x.encode()).hexdigest() for t in token_sets for x in t]
+            # hash each DISTINCT token once per batch (Zipf: the batch
+            # vocabulary is far smaller than the token stream), then look
+            # chunk values up per occurrence
+            vocab = {x for t in token_sets for x in t}
+            chunk_of = {}
+            for x in vocab:
+                h = md5(x.encode()).hexdigest()
+                chunk_of[x] = [
+                    int(h[c * w : (c + 1) * w], 16) for c in range(n_chunks)
+                ]
             # (n_tokens, n_chunks) chunk hash values
             base = np.array(
-                [
-                    [int(h[c * w : (c + 1) * w], 16) for c in range(n_chunks)]
-                    for h in digests
-                ],
-                dtype=np.int64,
+                [chunk_of[x] for t in token_sets for x in t], dtype=np.int64
             )
             # ±1 votes per (token, chunk, bit) → per-doc sums → sign bits
             bits = (base[:, :, None] >> np.arange(chunk_bits)) & 1
@@ -364,13 +369,15 @@ def simhash_chunks(
         raise ValueError("chunk_bits must be a multiple of 4, <= 48")
 
     if arrow:
-        sig_df = _simhash_chunks_pandas(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
-            "id",
-            "text",
-            n_chunks,
-            chunk_bits,
-        )
+        src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        # the Python stage parallelizes per input partition — a single
+        # parquet file arrives as 1 partition and would run the batch
+        # kernel single-threaded; a round-robin repartition of the raw
+        # (id, text) rows is cheap relative to signature work
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < target:
+            src = src.repartition(target)
+        sig_df = _simhash_chunks_pandas(src, "id", "text", n_chunks, chunk_bits)
     else:
         nonempty = (
             F.size(
@@ -423,14 +430,18 @@ def simhash_pairs(
     if n_chunks < max_hamming + 1:
         raise ValueError("need n_chunks >= max_hamming+1 for pigeonhole recall")
     chunks = simhash_chunks(df, id_col, text_col, n_chunks, chunk_bits, arrow)
-    hamming = F.aggregate(
-        F.zip_with(
-            F.col("x.sig"),
-            F.col("y.sig"),
-            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    # unrolled per-chunk XOR popcount: plain expressions stay inside
+    # whole-stage codegen, where a zip_with/aggregate lambda would be
+    # interpreted per candidate pair — and on a near-duplicate-heavy
+    # corpus the candidate set (true collisions) is orders of magnitude
+    # larger than the output, so per-candidate cost dominates
+    hamming = sum(
+        F.bit_count(
+            F.element_at(F.col("x.sig"), k + 1).bitwiseXOR(
+                F.element_at(F.col("y.sig"), k + 1)
+            )
+        )
+        for k in range(n_chunks)
     ).cast("int")
     return (
         chunks.alias("x")

@@ -117,41 +117,38 @@ def q_xt9(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram; a doc is `repetitive` above 0.2 / 0.18 (the published Gopher
     rule thresholds for the analogous signals).
 
-    Scale: per-doc expression only — the count-per-distinct-token loop is
-    O(unique x len) inside one codegen'd projection, bounded by document
-    length; no shuffle, no explode."""
-    from ..functions.exprs import let1
-
-    docs = table(spark, sf_dir, "documents").filter(
-        F.size(tokens("text")) >= 2
+    Scale: explode → two-level aggregate (count per (doc, gram), then
+    max/sum per doc) — everything stays in whole-stage codegen with
+    map-side partial aggregation.  (A per-doc count-per-distinct-token
+    lambda expression is O(unique x len) *interpreted* — higher-order
+    functions never codegen — measured ~10x slower at sf0.1.)"""
+    docs = table(spark, sf_dir, "documents").filter(F.size(tokens("text")) >= 2)
+    lt = docs.select(
+        "doc_id", F.transform(tokens("text"), lambda t: F.lower(t)).alias("lt")
     )
 
-    def top_frac(items: Column) -> Column:
-        counts = F.transform(
-            F.array_distinct(items),
-            lambda t: F.size(F.filter(items, lambda x: x == t)),
-        )
-        return F.array_max(counts).cast("double") / F.size(items)
-
-    def body(lt: Column) -> Column:
-        bigrams = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(lt) - 1, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", F.element_at(lt, i), F.element_at(lt, i + 1)
-            ),
-        )
-        return F.struct(
-            top_frac(lt).alias("w"),
-            # lt has >=2 tokens (filtered) so the bigram list is well-formed
-            top_frac(bigrams).alias("b"),
+    def top_frac(exploded: DataFrame, out: str) -> DataFrame:
+        per_gram = exploded.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return per_gram.groupBy("doc_id").agg(
+            (F.max("c").cast("double") / F.sum("c")).alias(out)
         )
 
-    lt_expr = F.transform(tokens("text"), lambda t: F.lower(t))
-    return docs.select("doc_id", let1(lt_expr, body).alias("s")).select(
+    words = top_frac(
+        lt.select("doc_id", F.explode("lt").alias("g")), "w"
+    )
+    bigrams_arr = F.zip_with(
+        F.slice(F.col("lt"), 1, F.size("lt") - 1),
+        F.slice(F.col("lt"), 2, F.size("lt") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bigrams = top_frac(
+        lt.select("doc_id", F.explode(bigrams_arr).alias("g")), "b"
+    )
+    return words.join(bigrams, "doc_id").select(
         "doc_id",
-        F.round(F.col("s.w"), 6).alias("top_word_frac"),
-        F.round(F.col("s.b"), 6).alias("top_bigram_frac"),
-        ((F.col("s.w") > 0.2) | (F.col("s.b") > 0.18)).alias("repetitive"),
+        F.round(F.col("w"), 6).alias("top_word_frac"),
+        F.round(F.col("b"), 6).alias("top_bigram_frac"),
+        ((F.col("w") > 0.2) | (F.col("b") > 0.18)).alias("repetitive"),
     )
 
 
