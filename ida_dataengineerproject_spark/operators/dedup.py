@@ -130,15 +130,17 @@ def _banded_minhash_pandas(sh_df: DataFrame, k: int, bands: int) -> DataFrame:
                 continue
             shingle_lists = pdf["sh"].to_numpy()
             lens = np.array([len(s) for s in shingle_lists], dtype=np.int64)
-            flat = [x for s in shingle_lists for x in s]
+            # hash each DISTINCT shingle once per batch, then gather —
+            # near-duplicate corpora repeat shingles heavily
+            vocab: dict[str, int] = {}
+            for s in shingle_lists:
+                for x in s:
+                    if x not in vocab:
+                        vocab[x] = int.from_bytes(
+                            blake2b(x.encode(), digest_size=8).digest(), "big"
+                        )
             base = np.array(
-                [
-                    int.from_bytes(
-                        blake2b(x.encode(), digest_size=8).digest(), "big"
-                    )
-                    for x in flat
-                ],
-                dtype=np.uint64,
+                [vocab[x] for s in shingle_lists for x in s], dtype=np.uint64
             )
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             n_docs = len(shingle_lists)
@@ -194,6 +196,11 @@ def minhash_lsh_pairs(
     ).filter(F.size("sh") > 0)
 
     if arrow:
+        # parallelize the Python signature stage even when the source is a
+        # single parquet partition (see simhash_chunks for rationale)
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if sh.rdd.getNumPartitions() < target:
+            sh = sh.repartition(target)
         banded = _banded_minhash_pandas(sh, k, bands)
     else:
         # signature → per-band hashes inside one let-bound expression: the
