@@ -138,8 +138,19 @@ def cosine_topk_ivf(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     )
 
+    # fit on a deterministic hash-sample capped at ~64 vectors/centroid —
+    # the quantizer only needs the coarse angular structure, and a sampled
+    # fit keeps the k-means cost flat as the corpus grows (standard IVF
+    # training practice); sampling is by xxhash64(id) so it is stable
+    # across runs/partitionings, no RNG state
+    fit_cap = n_centroids * 64
+    n_corpus = corpus.count()
+    fit_src = c
+    if n_corpus > fit_cap:
+        mod = max(1, n_corpus // fit_cap)
+        fit_src = c.filter(F.pmod(F.xxhash64("neighbor_id"), F.lit(mod)) == 0)
     train = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
-        c.select(array_to_vector(F.col("cv")).alias("raw"))
+        fit_src.select(array_to_vector(F.col("cv")).alias("raw"))
     )
     model = KMeans(
         k=n_centroids, seed=7, maxIter=10, featuresCol="features"
