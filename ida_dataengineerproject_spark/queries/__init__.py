@@ -16,6 +16,7 @@ from . import windows_arrays  # noqa: F401
 from . import pipeline_ops  # noqa: F401
 from . import etl_ops  # noqa: F401
 from . import ingest_e2e  # noqa: F401
+from . import ods_e2e  # noqa: F401
 from . import nested_ops  # noqa: F401
 from . import training_ops  # noqa: F401
 from . import corpus_ops  # noqa: F401

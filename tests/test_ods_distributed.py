@@ -1,0 +1,97 @@
+"""Distributed ODS reading: stdlib zip+XML parser under binaryFile +
+mapInPandas, through header inference and the full transform chain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _grid(servico_label: str):
+    """Reference-shaped sheet: junk preamble, header at row 2, merged-cell
+    group names (blank rows below), comma decimals, '-' invalid cells."""
+    return [
+        ["Indicadores IDA", None],
+        [None],
+        ["GRUPO ECONOMICO", "VARIAVEL", "2019-01", "2019-02"],
+        ["ACME", "Taxa de Respondidas em 5 dias Úteis", "10,5", "12,0"],
+        [None, "Taxa de Respondidas em 5 dias Úteis", "7,25", "-"],
+        ["OUTRA", "Taxa de Respondidas em 5 dias Úteis", "3,0", "4,5"],
+    ]
+
+
+def test_ods_roundtrip_parse(tmp_path):
+    from ida_dataengineerproject_spark.sources.ods import (
+        parse_ods_bytes,
+        write_minimal_ods,
+    )
+
+    p = str(tmp_path / "t.ods")
+    write_minimal_ods(p, {"Móvel_Pessoal": _grid("SMP")})
+    sheets = parse_ods_bytes(open(p, "rb").read())
+    assert "Móvel_Pessoal" in sheets
+    g = sheets["Móvel_Pessoal"]
+    assert g[2][0] == "GRUPO ECONOMICO" and g[3][2] == "10,5"
+    assert g[4][0] is None  # merged-cell blank survives
+
+
+def test_ods_repeated_columns_expand():
+    import io
+    import zipfile
+
+    from ida_dataengineerproject_spark.sources.ods import (
+        _MIMETYPE,
+        _NS,
+        parse_ods_bytes,
+    )
+
+    content = (
+        '<?xml version="1.0"?>'
+        f'<office:document-content xmlns:office="{_NS["office"]}" '
+        f'xmlns:table="{_NS["table"]}" xmlns:text="{_NS["text"]}">'
+        '<office:body><office:spreadsheet>'
+        '<table:table table:name="S"><table:table-row>'
+        '<table:table-cell office:value-type="string" '
+        'table:number-columns-repeated="3"><text:p>x</text:p>'
+        "</table:table-cell><table:table-cell/>"
+        "</table:table-row></table:table>"
+        "</office:spreadsheet></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", _MIMETYPE)
+        zf.writestr("content.xml", content)
+    assert parse_ods_bytes(buf.getvalue())["S"][0][:3] == ["x", "x", "x"]
+
+
+def test_ods_distributed_to_records(spark, tmp_path):
+    """Two real ODS files → binaryFile scan → long → wide →
+    transform_wide: values parsed, '-' dropped, group names forward-
+    filled, header row inferred past the preamble."""
+    from ida_dataengineerproject_spark.plans.etl import transform_wide
+    from ida_dataengineerproject_spark.sources.ods import (
+        long_to_wide,
+        read_ods_long,
+        write_minimal_ods,
+    )
+
+    write_minimal_ods(
+        str(tmp_path / "smp_2019.ods"), {"Móvel_Pessoal": _grid("SMP")}
+    )
+    write_minimal_ods(str(tmp_path / "stfc_2019.ods"), {"Fixo": _grid("STFC")})
+
+    long = read_ods_long(spark, str(tmp_path) + "/*.ods")
+    assert long.count() == 2 * 3 * 2  # 2 files x 3 data rows x 2 months
+
+    rec = transform_wide(long_to_wide(long))
+    rows = {
+        (r.servico, r.grupo_economico, str(r.ano_mes), float(r.valor))
+        for r in rec.collect()
+    }
+    # ffill: blank row belongs to ACME; '-' cell dropped
+    assert ("SMP", "ACME", "2019-01-01", 10.5) in rows
+    assert ("SMP", "ACME", "2019-02-01", 12.0) in rows
+    assert ("SMP", "ACME", "2019-01-01", 7.25) in rows
+    assert ("STFC", "OUTRA", "2019-02-01", 4.5) in rows
+    assert not any(v == "-" for *_, v in rows)
+    n_smp = rec.filter(F.col("servico") == "SMP").count()
+    assert n_smp == 5  # 6 cells minus the '-' one
