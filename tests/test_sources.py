@@ -119,3 +119,36 @@ def test_csv_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert set(back.columns) == {"id", "name", "score"}
+
+
+def test_fetch_catalog_file_scheme(tmp_path):
+    """op01/op03 live path: fetch_catalog + fetch_to_memory run the real
+    urllib code against a file:// fixture shaped like the dados.gov.br
+    payload (the sandbox has no network; the code path is identical)."""
+    import json
+
+    from ida_dataengineerproject_spark.sources.manifest import (
+        fetch_catalog,
+        fetch_to_memory,
+    )
+
+    ds = tmp_path / "ida-dataset"
+    ds.write_text(
+        json.dumps(
+            {
+                "recursos": [
+                    {"titulo": "IDA SMP 2017", "link": "http://x/smp.ods",
+                     "formato": "ODS"},
+                    {"titulo": "IDA STFC 2018", "link": "http://x/stfc.ods",
+                     "formato": "ods"},
+                ]
+            }
+        )
+    )
+    res = fetch_catalog("ida-dataset", api_base=f"file://{tmp_path}")
+    assert [r.titulo for r in res] == ["IDA SMP 2017", "IDA STFC 2018"]
+    assert res[0].formato == "ods"
+
+    blob = tmp_path / "payload.bin"
+    blob.write_bytes(b"\x00\x01spreadsheet-bytes")
+    assert fetch_to_memory(f"file://{blob}") == b"\x00\x01spreadsheet-bytes"
