@@ -28,12 +28,23 @@ def salted_sum(
     value: Column | str,
     out_col: str,
     salt: int = 16,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-stage SUM: (keys, salt) partial → keys final.  Decimal-exact so
-    stage order can't perturb float results."""
+    stage order can't perturb float results.
+
+    The salt hashes ``salt_cols`` (default: every non-key column) — a
+    STABLE row property, so a retried task salts identically.  A
+    ``monotonically_increasing_id()`` salt is nondeterministic under
+    task retry: harmless for algebraic SUM but a repeatability footgun
+    the moment the pattern is copied for non-algebraic aggregates."""
     v = F.col(value) if isinstance(value, str) else value
+    if salt_cols is None:
+        salt_cols = [c for c in df.columns if c not in set(keys)] or list(keys)
     partial = (
-        df.withColumn("__salt", F.pmod(F.xxhash64(*keys, F.monotonically_increasing_id()), F.lit(salt)))
+        df.withColumn(
+            "__salt", F.pmod(F.xxhash64(*keys, *salt_cols), F.lit(salt))
+        )
         .groupBy(*keys, "__salt")
         .agg(F.sum(v.cast("decimal(38,6)")).alias("__part"))
     )
