@@ -87,3 +87,37 @@ def test_scd2_idempotent(spark):
     once = scd2_merge(_dim(spark), updates, ["grupo_codigo"], ["grupo_nome"], ts)
     twice = scd2_merge(once, updates, ["grupo_codigo"], ["grupo_nome"], ts)
     assert twice.count() == once.count()
+
+
+def test_transform_with_state_counters(spark):
+    """Spark 4 StatefulProcessor path (transformWithStateInPandas +
+    RocksDB state store) must produce the same per-user totals as the
+    batch aggregate — and as the applyInPandasWithState twin.
+
+    Requires google.protobuf (the TWS state-protocol dependency), which
+    this container does not ship — skipped when absent, the same
+    environment-gate as Kafka/Delta."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from ida_dataengineerproject_spark.sources.tables import table
+    from ida_dataengineerproject_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from ida_dataengineerproject_spark.streaming.stateful import (
+        running_user_counters_tws,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    out = run_to_memory(
+        spark, running_user_counters_tws(stream), "t_tws", mode="update"
+    )
+    batch = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in out.collect()}
+    want = {r.user_id: (r.n, round(r.v, 6)) for r in batch.collect()}
+    assert got == want
