@@ -283,3 +283,77 @@ def q_xt12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(existing), "fp", "left_anti")
         .select("doc_id", "fp")
     )
+
+
+@register(
+    "xt13_per_source_cap",
+    """
+    SELECT source, CAST(count(*) AS INTEGER) AS n_kept,
+           CAST(min(keep_rank) AS INTEGER) AS min_rank,
+           CAST(max(keep_rank) AS INTEGER) AS max_rank
+    FROM (
+        SELECT source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS keep_rank
+        FROM documents)
+    WHERE keep_rank <= 40
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_xt13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep at most 40 docs per source, chosen
+    by a content-independent hash rank (md5 of doc_id) — the
+    cap-per-domain rule crawl pipelines apply so one hot site cannot
+    dominate the corpus, with a deterministic, engine-independent choice
+    of survivors (unlike `LIMIT` per group, which is order-undefined).
+
+    Scale: one hash-partitioned window per source; the rank<=cap filter
+    is a WindowGroupLimit (per-partition top-k before the full sort).
+    Output is the per-source audit (kept count + rank bounds)."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") <= 40)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("int").alias("n_kept"),
+            F.min("keep_rank").cast("int").alias("min_rank"),
+            F.max("keep_rank").cast("int").alias("max_rank"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "xt14_ngram_vocab_estimate",
+    f"""
+    SELECT CAST(count(DISTINCT g) AS BIGINT) AS exact_vocab, TRUE AS hll_ok
+    FROM (SELECT unnest({_shingles_sql(3)}) AS g FROM documents)
+    """,
+)
+def q_xt14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus 3-gram vocabulary size, exact + HLL estimate — the corpus
+    statistic that sizes tokenizer/dedup structures before a full pass.
+
+    Bounded-oracle contract (same shape as x09): the sketch value is not
+    SQL-reproducible, so the query returns the exact distinct count plus
+    ``hll_ok`` = |approx − exact| <= 2.3%·exact (±2.3σ at rsd=0.01).
+    Scale: HLL is one constant-memory pass, no shuffle of the n-gram
+    stream (partial sketches merge); the exact count exists only to
+    check the bound at oracle scale."""
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(ngram_shingles("text", 3)).alias("g"))
+    return grams.agg(
+        F.countDistinct("g").alias("exact_vocab"),
+        F.approx_count_distinct("g", rsd=0.01).alias("approx_vocab"),
+    ).select(
+        "exact_vocab",
+        (
+            F.abs(F.col("approx_vocab") - F.col("exact_vocab"))
+            <= 0.023 * F.col("exact_vocab")
+        ).alias("hll_ok"),
+    )
