@@ -180,3 +180,18 @@ def run_to_memory(spark: SparkSession, df: DataFrame, name: str, mode: str = "co
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def enriched_with_user_dim(stream: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static (batch)
+    user dimension — the broadcast-dim pattern of a streaming fact
+    pipeline.  The static side is re-resolved per micro-batch (so a
+    parquet dim picks up new files) and needs no watermark or state:
+    Spark plans it as a stateless broadcast-hash join inside each batch.
+    """
+    return stream.join(
+        F.broadcast(user_dim), stream.user_id == user_dim.dim_user_id, "left"
+    ).select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.coalesce("segment", F.lit("unknown")).alias("segment"),
+    )

@@ -130,3 +130,37 @@ def test_sliding_counts_match_batch(spark, stream):
     want = {(str(r.w.start), r.event_type): r.n_events for r in batch.collect()}
     assert got == want
     assert sum(got.values()) == 2 * table(spark, SF_SMOKE, "events").count()
+
+
+def test_stream_static_dim_enrichment(spark):
+    """Stream-static join enriches each event with its user segment;
+    users absent from the dim fall back to 'unknown' (left join) —
+    results equal the batch join exactly."""
+    from ida_dataengineerproject_spark.sources.tables import table
+    from ida_dataengineerproject_spark.streaming.events import (
+        enriched_with_user_dim,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    dim = (
+        table(spark, SF_SMOKE, "events")
+        .select(F.col("user_id").alias("dim_user_id"))
+        .distinct()
+        .filter(F.col("dim_user_id") % 2 == 0)  # half the users have a row
+        .withColumn(
+            "segment",
+            F.when(F.col("dim_user_id") % 4 == 0, "power").otherwise("casual"),
+        )
+    )
+    stream = read_events_stream(spark, SF_SMOKE)
+    out = run_to_memory(
+        spark, enriched_with_user_dim(stream, dim), "t_enrich", mode="append"
+    )
+    batch = table(spark, SF_SMOKE, "events")
+    n_even = batch.filter(F.col("user_id") % 2 == 0).count()
+    got = out.groupBy("segment").count().collect()
+    by_seg = {r.segment: r["count"] for r in got}
+    assert by_seg.get("unknown", 0) == batch.count() - n_even
+    assert set(by_seg) <= {"power", "casual", "unknown"}
+    assert sum(by_seg.values()) == batch.count()
