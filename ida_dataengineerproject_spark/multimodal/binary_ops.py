@@ -6,11 +6,13 @@ frame-sample run as Arrow-batched pandas iterators over ``mapInPandas`` —
 the payload never round-trips through Python row-by-row, and each batch
 stays columnar.
 
-The decode step itself is STUBBED (no image/audio libs in this container):
-``decode_image_stub`` raises NotImplementedError when asked for a real
-decode and otherwise produces a deterministic fake, so the Spark-side
-plumbing — schema, partitioning, UDF signature, batch shape — is real and
-tested end-to-end.
+The decode step is REAL for BMP (round 2): ``_bmp_encode``/``_bmp_decode``
+implement the 24-bit uncompressed BMP container with stdlib ``struct``
+only, and ``decode_bmp`` runs that parser distributed — no codec library
+required.  Formats that genuinely need PIL/opencv (JPEG/PNG/audio) keep
+the guarded ``decode_image_stub`` fake path: the Spark-side plumbing —
+schema, partitioning, UDF signature, batch shape — is identical and
+tested either way.
 
 Scale notes: binary payloads dominate partition size — set
 ``spark.sql.files.maxPartitionBytes`` down (or repartition by size) so a
