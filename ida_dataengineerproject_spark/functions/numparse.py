@@ -13,8 +13,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+_FLOAT_RE = (
+    r"(?i)^[+-]?((\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|inf(inity)?|nan)$"
+)
+
+
 def parse_locale_number(col: Column | str) -> Column:
-    """'12,34' → 12.34; '56,7%' → 56.7; '-', '', 'abc' → NULL."""
+    """'12,34' → 12.34; '56,7%' → 56.7; '-', '', 'abc' → NULL.
+
+    The shape guard exists because Spark's string→double cast follows
+    Java ``Double.parseDouble``, which accepts trailing D/F type
+    suffixes and spellings like 'Infinity' that Python ``float()`` (the
+    reference's parser, etl_ida.py:422-429) rejects — found by the
+    property-based parity test.  Only plain decimal/scientific forms
+    pass; everything else is NULL on both engines."""
     c = F.col(col) if isinstance(col, str) else col
     cleaned = F.regexp_replace(F.regexp_replace(F.trim(c), ",", "."), "%", "")
-    return cleaned.cast("double")
+    return F.when(cleaned.rlike(_FLOAT_RE), cleaned.cast("double"))

@@ -168,3 +168,78 @@ def test_chunking_covers_and_overlaps(spark):
         for a, b in zip(ordered, ordered[1:]):
             aw, bw = a.split(" "), b.split(" ")
             assert aw[stride:] == bw[: len(aw) - stride], doc_id
+
+
+def test_bmp_codec_roundtrip_property():
+    """Any (width, height, gray) encodes to a valid BMP that decodes back
+    exactly — including the row-padding edge cases (width % 4 != 0)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ida_dataengineerproject_spark.multimodal.binary_ops import (
+        _bmp_decode,
+        _bmp_encode,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=24),
+        g=st.integers(min_value=0, max_value=255),
+    )
+    def check(w, h, g):
+        assert _bmp_decode(_bmp_encode(w, h, g)) == (w, h, 3, float(g))
+
+    check()
+
+
+def test_rolling_kr_matches_pure_python(spark):
+    """The numpy sliding-window Karp-Rabin kernel must equal a direct
+    pure-Python fold for arbitrary ASCII strings (incl. len<8 fallback)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ida_dataengineerproject_spark.functions.textstats import (
+        rolling_fingerprint_kr,
+    )
+
+    def py_ref(s: str) -> int:
+        if len(s) >= 8:
+            def h(w):
+                acc = 0
+                for ch in w:
+                    acc = acc * 31 + ord(ch)
+                return acc
+            return min(h(s[i : i + 8]) for i in range(len(s) - 7))
+        acc = 0
+        for ch in s:
+            acc = acc * 31 + ord(ch)
+        return acc
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=1,
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(strings):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(strings)], "i long, s string"
+        )
+        got = {
+            r.i: r.fp
+            for r in df.select(
+                "i", rolling_fingerprint_kr(F.col("s")).alias("fp")
+            ).collect()
+        }
+        assert got == {i: py_ref(s) for i, s in enumerate(strings)}
+
+    check()
