@@ -206,4 +206,6 @@ def write_star(star: dict[str, DataFrame], base_dir: str) -> None:
                 f"{base_dir}/{name}"
             )
         else:
-            df.write.mode("overwrite").parquet(f"{base_dir}/{name}")
+            # dims are small by construction (distinct natural keys):
+            # one output file each instead of shuffle.partitions files
+            df.coalesce(1).write.mode("overwrite").parquet(f"{base_dir}/{name}")
