@@ -369,3 +369,115 @@ def q_x09b(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cms_ok"),
         )
     )
+
+
+@register(
+    "x11_funnel_conversion",
+    f"""
+    WITH stages AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM {EVENTS_US} GROUP BY user_id),
+    flags AS (
+        SELECT user_id,
+               (t_view IS NOT NULL) AS s1,
+               (t_view IS NOT NULL AND t_click > t_view) AS s2,
+               (t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click)
+                 AS s3
+        FROM stages)
+    SELECT CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+           CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
+           CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after,
+           ROUND(CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(sum(CASE WHEN s1 THEN 1 ELSE 0 END), 0), 6)
+             AS conversion
+    FROM flags
+    """,
+)
+def q_x11_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): a user
+    converts a stage only if its first event strictly follows the first
+    event of the previous stage — the earliest-occurrence funnel
+    definition (first-touch), computed as one conditional-min aggregate
+    per user, no self-joins.
+
+    Scale: single groupBy(user_id) with three conditional MINs (partial
+    aggregation applies), then a global 1-row reduce — no per-stage join
+    chain, no window.  NULL comparison semantics make `t_click > t_view`
+    false when either stage is missing on both engines."""
+    ev = table(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_buy") > F.col("t_click"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return stages.agg(
+        one(s1).cast("bigint").alias("n_viewed"),
+        one(s2).cast("bigint").alias("n_clicked_after"),
+        one(s3).cast("bigint").alias("n_purchased_after"),
+        F.round(
+            one(s3).cast("double") / F.nullif(one(s1), F.lit(0)), 6
+        ).alias("conversion"),
+    )
+
+
+@register(
+    "x11b_weekly_retention",
+    f"""
+    WITH ev AS (SELECT * FROM {EVENTS_US}),
+    firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM ev GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(datediff('week', f.cohort_week,
+                             date_trunc('week', e.ts)) AS INTEGER) AS week_k
+        FROM ev e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_k,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity
+    WHERE week_k <= 8
+    GROUP BY cohort_week, week_k
+    ORDER BY cohort_week, week_k
+    """,
+)
+def q_x11b_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    as active in each subsequent week (distinct user-week) — the classic
+    cohort triangle, weeks 0..8.
+
+    Scale: one groupBy(user) for cohorts (small output, broadcast), one
+    distinct over (user, week) — both partial-aggregated; no windows.
+    Weeks via date_trunc so both engines bucket identically (Monday
+    start)."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("int").alias("week_k"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_k") <= 8)
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_k",
+        )
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .orderBy("cohort_week", "week_k")
+    )
