@@ -6,7 +6,7 @@ A user of a general engine expects them; each carries a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.aggs import sum_exact
@@ -329,4 +329,70 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"))
         .orderBy("lang")
+    )
+
+
+@register(
+    "x12_resample_gap_fill",
+    """
+    WITH b AS (
+        SELECT date_trunc('month', min(o_orderdate)) AS lo,
+               date_trunc('month', max(o_orderdate)) AS hi
+        FROM orders),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM b),
+    rev AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders WHERE o_totalprice > 400000 GROUP BY 1)
+    SELECT strftime(s.m, '%Y-%m') AS mes,
+           r.revenue IS NULL AS was_gap,
+           COALESCE(r.revenue,
+                    last_value(r.revenue IGNORE NULLS) OVER (
+                        ORDER BY s.m
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             AS revenue_filled
+    FROM spine s LEFT JOIN rev r ON s.m = r.m
+    ORDER BY mes
+    """,
+)
+def q_x12_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: a generated monthly calendar spine left-
+    joined to sparse monthly revenue, gaps forward-filled from the last
+    observed month — the resample + ffill every metrics pipeline needs
+    (missing months must EXIST as rows, carrying the last value, before
+    window math is meaningful).
+
+    Scale: the spine is sequence+explode from one min/max aggregate (a
+    few hundred rows at any input scale — aggregate-before-window rule),
+    the revenue side is a partial-aggregated groupBy; the ffill window
+    orders the ~10^2 aggregated months, never raw rows."""
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("m")
+    )
+    rev = (
+        o.filter(F.col("o_totalprice") > 400000)
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"))
+        .agg(sum_exact("o_totalprice", scale=2).alias("revenue"))
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        spine.join(rev, "m", "left")
+        .select(
+            F.date_format("m", "yyyy-MM").alias("mes"),
+            F.col("revenue").isNull().alias("was_gap"),
+            F.coalesce(
+                F.col("revenue"),
+                F.last("revenue", ignorenulls=True).over(w),
+            ).alias("revenue_filled"),
+        )
+        .orderBy("mes")
     )
