@@ -11,7 +11,21 @@ wires the contract.  Query keys follow SURVEY.md §2 operator IDs.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Make the package importable on BOTH the driver and the Python workers
+# regardless of the caller's CWD: workers unpickle mapInPandas closures by
+# module reference, so the repo root must be on the worker PYTHONPATH too
+# (exported before the lazy worker daemon starts).
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
 
 from pyspark.sql import DataFrame, SparkSession
 

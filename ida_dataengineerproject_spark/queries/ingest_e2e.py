@@ -107,8 +107,13 @@ def q_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in sheets[1:]:
         wide = wide.unionByName(s)
 
-    # first run: ingest + persist the star
-    base = str(Path("spark-warehouse") / f"e2e_ingest_{Path(sf_dir).name}")
+    # first run: ingest + persist the star (path anchored to the repo, not
+    # the caller's CWD — the driver may invoke from anywhere)
+    base = str(
+        Path(__file__).resolve().parents[2]
+        / "spark-warehouse"
+        / f"e2e_ingest_{Path(sf_dir).name}"
+    )
     star = ingest(spark, wide)
     write_star(star, base)
 

@@ -83,7 +83,12 @@ def q_pipeline_ods(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda r: r.n_nationkey,
     )
 
-    base = Path("spark-warehouse") / f"e2e_ods_{Path(sf_dir).name}"
+    # anchored to the repo, not the caller's CWD (driver may run anywhere)
+    base = (
+        Path(__file__).resolve().parents[2]
+        / "spark-warehouse"
+        / f"e2e_ods_{Path(sf_dir).name}"
+    )
     base.mkdir(parents=True, exist_ok=True)
     for svc, sheet in _SHEET_OF.items():
         write_minimal_ods(
