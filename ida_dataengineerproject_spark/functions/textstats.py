@@ -159,15 +159,20 @@ def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
 
 def rolling_fingerprint_kr(norm: Column | str, window: int = 8) -> Column:
     """Karp-Rabin rolling fingerprint: min base-31 polynomial hash over
-    ``window``-byte windows of an (already normalized, ASCII) string —
+    ``window``-CHARACTER windows of an (already normalized) string —
     engine-independent pure-integer values, reproducible in ANSI SQL.
 
-    Arrow-vectorized pandas UDF: per batch, each string becomes a uint8
-    code array; all window hashes are one sliding-window matmul against
-    the power vector (numpy int64, wrap-free: max 127·Σ31^j ≈ 3.7e12).
-    The expression-level alternative (transform + 8 substr/ascii per
-    window) is interpreted per element by Spark — measured ~7x slower
-    than this batch path at sf0.1."""
+    Character codes are Unicode CODEPOINTS (obtained vectorized via a
+    UTF-32 decode), matching the oracle's per-character ``ascii(substr)``
+    for any text, not just ASCII.  NULL text yields a NULL fingerprint
+    (matching SQL semantics).
+
+    Arrow-vectorized pandas UDF: per batch, each string becomes a uint32
+    codepoint array; all window hashes are one sliding-window matmul
+    against the power vector (numpy int64, wrap-free: max
+    0x10FFFF·Σ31^j ≈ 3.1e16 < 2^63).  The expression-level alternative
+    (transform + 8 substr/ascii per window) is interpreted per element by
+    Spark — measured ~7x slower than this batch path at sf0.1."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -178,18 +183,26 @@ def rolling_fingerprint_kr(norm: Column | str, window: int = 8) -> Column:
     # become strings, which pandas_udf's signature inference rejects
     @pandas_udf("long")
     def kr_min(norm_s):
-        out = np.empty(len(norm_s), dtype=np.int64)
-        for idx, s in enumerate(norm_s):
-            a = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.int64)
+        out: list[int | None] = []
+        for s in norm_s:
+            if not isinstance(s, str):
+                out.append(None)
+                continue
+            a = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
             if len(a) >= window:
                 win = np.lib.stride_tricks.sliding_window_view(a, window)
-                out[idx] = int((win @ pow_vec).min())
+                out.append(int((win @ pow_vec).min()))
+            elif len(a) == 0:
+                # SQL list_sum over an empty list is NULL
+                out.append(None)
             else:
                 h = 0
                 for cde in a:
                     h = h * 31 + int(cde)
-                out[idx] = h
-        return pd.Series(out)
+                out.append(h)
+        return pd.Series(out, dtype=object)
 
     c = F.col(norm) if isinstance(norm, str) else norm
     return kr_min(c)

@@ -114,14 +114,18 @@ def _bmp_decode(data: bytes) -> tuple[int, int, int, float]:
 
 def attach_bmp_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic REAL image payload: each document becomes a valid
-    24-bit BMP whose dimensions and gray level derive from the text length
-    (width = n%16+1, height = n%8+1, gray = n%256) — so a SQL oracle can
-    predict the decoded metadata while the decoder genuinely parses bytes.
+    24-bit BMP whose dimensions and gray level derive from the text's
+    UTF-8 BYTE length (width = n%16+1, height = n%8+1, gray = n%256) — the
+    byte count matches DuckDB ``strlen()`` even for non-ASCII text, so a
+    SQL oracle can predict the decoded metadata while the decoder
+    genuinely parses bytes.  NULL text counts as 0 bytes.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = pdf[text_col].map(len)
+            n = pdf[text_col].map(
+                lambda s: len(s.encode("utf-8")) if isinstance(s, str) else 0
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

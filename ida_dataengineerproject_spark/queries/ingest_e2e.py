@@ -26,6 +26,8 @@ the driver's hash check.
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -107,13 +109,11 @@ def q_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in sheets[1:]:
         wide = wide.unionByName(s)
 
-    # first run: ingest + persist the star (path anchored to the repo, not
-    # the caller's CWD — the driver may invoke from anywhere)
-    base = str(
-        Path(__file__).resolve().parents[2]
-        / "spark-warehouse"
-        / f"e2e_ingest_{Path(sf_dir).name}"
-    )
+    # first run: ingest + persist the star.  Unique temp dir PER INVOCATION
+    # — concurrent runs at the same sf must not race on a shared path, and
+    # the repo tree must not accrete output dirs; cleaned up after the
+    # eager readout below.
+    base = tempfile.mkdtemp(prefix=f"e2e_ingest_{Path(sf_dir).name}_")
     star = ingest(spark, wide)
     write_star(star, base)
 
@@ -144,7 +144,7 @@ def q_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("servico").orderBy("mes")
-    return (
+    out = (
         monthly.withColumn("prev", F.lag("valor_medio").over(w))
         .filter(F.col("prev").isNotNull())
         .select(
@@ -161,3 +161,10 @@ def q_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(stable))
     )
+    # Materialize the readout (a handful of service×month rows — control
+    # plane, not data plane) so the temp star can be deleted before
+    # returning; the caller gets a local-relation DataFrame that no longer
+    # depends on the temp files.
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -10,6 +10,8 @@ parsing path the reference does with pandas+odf on one machine
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -83,13 +85,10 @@ def q_pipeline_ods(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda r: r.n_nationkey,
     )
 
-    # anchored to the repo, not the caller's CWD (driver may run anywhere)
-    base = (
-        Path(__file__).resolve().parents[2]
-        / "spark-warehouse"
-        / f"e2e_ods_{Path(sf_dir).name}"
-    )
-    base.mkdir(parents=True, exist_ok=True)
+    # unique temp dir per invocation (no shared-path race between
+    # concurrent runs, no repo-tree accretion); removed after the eager
+    # readout below
+    base = Path(tempfile.mkdtemp(prefix=f"e2e_ods_{Path(sf_dir).name}_"))
     for svc, sheet in _SHEET_OF.items():
         write_minimal_ods(
             str(base / f"{svc.lower()}_2017.ods"),
@@ -109,7 +108,7 @@ def q_pipeline_ods(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("servico").orderBy("mes")
-    return (
+    out = (
         monthly.withColumn("prev", F.lag("valor_medio").over(w))
         .filter(F.col("prev").isNotNull())
         .select(
@@ -125,3 +124,8 @@ def q_pipeline_ods(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+    # eager readout (handful of service×month rows) so the temp .ods files
+    # can be deleted before returning
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -161,7 +161,8 @@ def q_x04e(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle), computed Spark-side as one Arrow-batched sliding-window
     matmul per batch (textstats.rolling_fingerprint_kr) — normalization
     stays a JVM expression, only the dense numeric kernel crosses to
-    numpy.  ASCII corpus assumption: byte codes == ascii() codepoints."""
+    numpy.  Codes are Unicode codepoints (UTF-32 decode), matching the
+    oracle's per-character ascii() for any text."""
     from ..functions.textstats import rolling_fingerprint_kr
 
     d = table(spark, sf_dir, "documents")

@@ -52,7 +52,12 @@ LONG_SCHEMA = (
 def parse_ods_bytes(data: bytes) -> dict[str, list[list[str | None]]]:
     """ZIP → content.xml → {sheet name: cell grid} (strings; empty cells
     None).  Expands ``table:number-columns-repeated`` /
-    ``table:number-rows-repeated`` (capped to the used range)."""
+    ``table:number-rows-repeated`` FAITHFULLY — LibreOffice emits repeats
+    for interior blank runs (merged-cell blanks), and collapsing those
+    would shift later columns/rows left/up.  Repeats are capped at 1024
+    (real ODS pads the sheet tail to 2^14 cols / 2^20 rows), and only the
+    TRAILING run of all-empty cells per row / all-empty rows per sheet is
+    stripped after expansion."""
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
         root = ET.fromstring(zf.read("content.xml"))
     sheets: dict[str, list[list[str | None]]] = {}
@@ -72,10 +77,17 @@ def parse_ods_bytes(data: bytes) -> dict[str, list[list[str | None]]]:
                         for p in cell.findall(f"{{{_NS['text']}}}p")
                     ]
                     value = "\n".join(texts) if texts else None
-                # cap trailing repeated empties (ODS pads to 2^14 columns)
-                cells.extend([value] * min(n_rep, 1024 if value else 1))
+                cells.extend([value] * min(n_rep, 1024))
+            # strip only the trailing empty-cell run (sheet-width padding)
+            while cells and (cells[-1] is None or cells[-1] == ""):
+                cells.pop()
             r_rep = int(row.get(f"{{{_NS['table']}}}number-rows-repeated", "1"))
-            grid.extend([list(cells)] * min(r_rep, 1024 if any(cells) else 1))
+            grid.extend(list(cells) for _ in range(min(r_rep, 1024)))
+        # strip only the trailing empty-row run (sheet-height padding)
+        while grid and not any(
+            c is not None and c != "" for c in grid[-1]
+        ):
+            grid.pop()
         sheets[name] = grid
     return sheets
 

@@ -63,6 +63,69 @@ def test_ods_repeated_columns_expand():
     assert parse_ods_bytes(buf.getvalue())["S"][0][:3] == ["x", "x", "x"]
 
 
+def _ods_of(content_body: str) -> bytes:
+    import io
+    import zipfile
+
+    from ida_dataengineerproject_spark.sources.ods import _MIMETYPE, _NS
+
+    content = (
+        '<?xml version="1.0"?>'
+        f'<office:document-content xmlns:office="{_NS["office"]}" '
+        f'xmlns:table="{_NS["table"]}" xmlns:text="{_NS["text"]}">'
+        "<office:body><office:spreadsheet>"
+        + content_body
+        + "</office:spreadsheet></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", _MIMETYPE)
+        zf.writestr("content.xml", content)
+    return buf.getvalue()
+
+
+def test_ods_interior_repeated_empty_cells_expand():
+    """LibreOffice emits number-columns-repeated for INTERIOR blank runs
+    (e.g. merged cells); collapsing them would shift later month columns
+    left.  Interior empties must expand; only the trailing run is
+    stripped."""
+    from ida_dataengineerproject_spark.sources.ods import parse_ods_bytes
+
+    body = (
+        '<table:table table:name="S"><table:table-row>'
+        "<table:table-cell><text:p>a</text:p></table:table-cell>"
+        '<table:table-cell table:number-columns-repeated="3"/>'
+        "<table:table-cell><text:p>b</text:p></table:table-cell>"
+        '<table:table-cell table:number-columns-repeated="16380"/>'
+        "</table:table-row></table:table>"
+    )
+    row = parse_ods_bytes(_ods_of(body))["S"][0]
+    # 3 interior empties preserved, b lands at index 4, trailing padding gone
+    assert row == ["a", None, None, None, "b"]
+
+
+def test_ods_interior_repeated_empty_rows_expand():
+    """Repeated EMPTY rows between data rows shift linha_origem if
+    collapsed; they must expand, while trailing empty-row padding is
+    stripped."""
+    from ida_dataengineerproject_spark.sources.ods import parse_ods_bytes
+
+    body = (
+        '<table:table table:name="S">'
+        "<table:table-row><table:table-cell><text:p>top</text:p>"
+        "</table:table-cell></table:table-row>"
+        '<table:table-row table:number-rows-repeated="2">'
+        "<table:table-cell/></table:table-row>"
+        "<table:table-row><table:table-cell><text:p>bottom</text:p>"
+        "</table:table-cell></table:table-row>"
+        '<table:table-row table:number-rows-repeated="1048570">'
+        "<table:table-cell/></table:table-row>"
+        "</table:table>"
+    )
+    grid = parse_ods_bytes(_ods_of(body))["S"]
+    assert [r[0] if r else None for r in grid] == ["top", None, None, "bottom"]
+
+
 def test_ods_distributed_to_records(spark, tmp_path):
     """Two real ODS files → binaryFile scan → long → wide →
     transform_wide: values parsed, '-' dropped, group names forward-
