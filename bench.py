@@ -39,7 +39,15 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    qs = e.queries()
+    # Sketch queries are timed on their PRODUCTION (verify=False) path:
+    # the registered forms carry an exact-ground-truth contract arm for
+    # the oracle, which is verification-harness cost, not engine cost.
+    from ida_dataengineerproject_spark.queries.production import (
+        production_overrides,
+    )
+
+    overrides = production_overrides()
+    qs = {**e.queries(), **overrides}
     names = args or list(qs)
 
     # warm-up: materialize one tiny query per input table (file listing,
@@ -63,6 +71,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # timed on the sketch-only production path (registered oracle
+        # forms add an exact ground-truth arm for correctness checking)
+        "production_paths": sorted(n for n in names if n in overrides),
     }
 
     if with_duckdb:

@@ -328,25 +328,28 @@ def q_xt13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "xt14_ngram_vocab_estimate",
-    f"""
-    SELECT CAST(count(DISTINCT g) AS BIGINT) AS exact_vocab, TRUE AS hll_ok
-    FROM (SELECT unnest({_shingles_sql(3)}) AS g FROM documents)
-    """,
-)
-def q_xt14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus 3-gram vocabulary size, exact + HLL estimate — the corpus
-    statistic that sizes tokenizer/dedup structures before a full pass.
+def ngram_vocab_estimate(
+    spark: SparkSession, sf_dir: str, verify: bool = False
+) -> DataFrame:
+    """Corpus 3-gram vocabulary size via HLL — the corpus statistic that
+    sizes tokenizer/dedup structures before a full pass.
 
-    Bounded-oracle contract (same shape as x09): the sketch value is not
-    SQL-reproducible, so the query returns the exact distinct count plus
-    ``hll_ok`` = |approx − exact| <= 2.3%·exact (±2.3σ at rsd=0.01).
-    Scale: HLL is one constant-memory pass, no shuffle of the n-gram
-    stream (partial sketches merge); the exact count exists only to
-    check the bound at oracle scale."""
+    PRODUCTION path (``verify=False``, the default): one constant-memory
+    HLL pass — partial sketches merge map-side, the n-gram stream itself
+    is never shuffled.  This is the only shape that survives 100 TB.
+
+    VERIFY path (``verify=True``, used only by the registered oracle
+    query): additionally computes the exact ``countDistinct`` over the
+    exploded 3-gram stream — a full shuffle of every distinct n-gram,
+    affordable only at oracle scale — and returns the bounded-oracle
+    contract ``hll_ok`` = |approx − exact| <= 2.3%·exact (±2.3σ at
+    rsd=0.01)."""
     docs = table(spark, sf_dir, "documents")
     grams = docs.select(F.explode(ngram_shingles("text", 3)).alias("g"))
+    if not verify:
+        return grams.agg(
+            F.approx_count_distinct("g", rsd=0.01).alias("approx_vocab")
+        )
     return grams.agg(
         F.countDistinct("g").alias("exact_vocab"),
         F.approx_count_distinct("g", rsd=0.01).alias("approx_vocab"),
@@ -357,3 +360,17 @@ def q_xt14(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.023 * F.col("exact_vocab")
         ).alias("hll_ok"),
     )
+
+
+@register(
+    "xt14_ngram_vocab_estimate",
+    f"""
+    SELECT CAST(count(DISTINCT g) AS BIGINT) AS exact_vocab, TRUE AS hll_ok
+    FROM (SELECT unnest({_shingles_sql(3)}) AS g FROM documents)
+    """,
+)
+def q_xt14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle registration for ``ngram_vocab_estimate`` — runs the VERIFY
+    arm (exact ground truth in-plan) so DuckDB can check the HLL bound.
+    Production callers and the bench use ``verify=False`` (sketch-only)."""
+    return ngram_vocab_estimate(spark, sf_dir, verify=True)

@@ -149,26 +149,24 @@ def q_x09(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x09_approx_count_distinct",
-    """
-    SELECT event_type,
-           COUNT(DISTINCT user_id) AS exact_users,
-           TRUE AS hll_ok
-    FROM events GROUP BY event_type
-    """,
-)
-def q_x09_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_distinct_users(
+    spark: SparkSession, sf_dir: str, verify: bool = False
+) -> DataFrame:
     """HyperLogLog++ approximate distinct users (x09): constant memory per
-    group at any scale — the 100 TB path where exact distinct shuffles every
-    key.
+    group at any scale — the 100 TB path where exact distinct shuffles
+    every key.
 
-    Bounded-oracle contract: the sketch value itself is not
-    SQL-reproducible, so the query returns the exact count plus
-    ``hll_ok`` = |approx − exact| ≤ 2.3%·exact (the ±2.3σ envelope of
-    rsd=0.01; measured error on this corpus is ≤0.7%).  The oracle
-    recomputes the exact count and asserts the bound held."""
+    PRODUCTION path (``verify=False``, default): approx_count_distinct
+    only — partial HLL sketches merge map-side, no per-key shuffle.
+    VERIFY path (``verify=True``, registered oracle query only): adds the
+    exact countDistinct ground truth in-plan and returns the
+    bounded-oracle contract ``hll_ok`` = |approx − exact| ≤ 2.3%·exact
+    (±2.3σ at rsd=0.01; measured error on this corpus ≤0.7%)."""
     ev = table(spark, sf_dir, "events")
+    if not verify:
+        return ev.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+        )
     return (
         ev.groupBy("event_type")
         .agg(
@@ -184,6 +182,22 @@ def q_x09_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_ok"),
         )
     )
+
+
+@register(
+    "x09_approx_count_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_x09_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle registration for ``approx_distinct_users`` — VERIFY arm so
+    DuckDB can assert the HLL bound; bench/production use the sketch-only
+    ``verify=False`` path."""
+    return approx_distinct_users(spark, sf_dir, verify=True)
 
 
 @register(

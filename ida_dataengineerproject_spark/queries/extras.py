@@ -225,29 +225,27 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "approx_percentiles",
-    """
-    SELECT l_returnflag,
-           ROUND(median(l_extendedprice), 4) AS exact_median,
-           TRUE AS approx_rank_ok
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_percentiles(
+    spark: SparkSession, sf_dir: str, verify: bool = False
+) -> DataFrame:
     """approx_percentile sketch — the constant-memory scale path for
     quantiles (exact percentile sorts each group).
 
-    Bounded-oracle contract: the sketch value is not SQL-reproducible, so
-    the query returns the exact median plus ``approx_rank_ok`` = the
-    approx answer's true rank sits within ±0.5% of the 0.5 quantile
-    (tie-safe two-sided check; the sketch's guarantee at default
-    accuracy=10000 is ±0.01%).  The oracle recomputes the exact median
-    and asserts the rank bound held."""
+    PRODUCTION path (``verify=False``, default): the sketch aggregate
+    alone — mergeable partial sketches, no per-group sort, the only
+    shape that survives 100 TB.
+    VERIFY path (``verify=True``, registered oracle query only): joins
+    the sketch back against the data to check its true rank and returns
+    the exact median + ``approx_rank_ok`` = the approx answer's true
+    rank sits within ±0.5% of the 0.5 quantile (tie-safe two-sided
+    check; the sketch's guarantee at default accuracy=10000 is ±0.01%).
+    """
     li = table(spark, sf_dir, "lineitem")
     ap = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median")
     )
+    if not verify:
+        return ap
     eps = 0.005
     return (
         li.join(F.broadcast(ap), "l_returnflag")
@@ -273,6 +271,22 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_rank_ok"),
         )
     )
+
+
+@register(
+    "approx_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(median(l_extendedprice), 4) AS exact_median,
+           TRUE AS approx_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle registration for ``approx_percentiles`` — VERIFY arm (exact
+    median + rank check in-plan) so DuckDB can assert the bound;
+    bench/production use the sketch-only ``verify=False`` path."""
+    return approx_percentiles(spark, sf_dir, verify=True)
 
 
 @register(
