@@ -3,6 +3,7 @@
 from . import reference_ops  # noqa: F401
 from . import tpch  # noqa: F401
 from . import tpch_full  # noqa: F401
+from . import tpch_partsupp  # noqa: F401
 from . import events_ops  # noqa: F401
 from . import text_ops  # noqa: F401
 from . import dedup_ops  # noqa: F401

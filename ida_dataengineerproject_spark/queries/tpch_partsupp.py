@@ -1,0 +1,375 @@
+"""TPC-H q2/q9/q11/q16/q20 over a DETERMINISTICALLY SYNTHESIZED partsupp
+(SURVEY.md §2.11 x10 completion — the driver testdata has no partsupp
+table, so the five queries that need one were blocked through round 2).
+
+``partsupp`` is derived from ``part`` × a 4-row generator in the style
+of the public TPC-H dbgen supplier assignment (adapted to this dataset's
+0-based keys; dbgen's stride ``i*(S/4 + p/S)`` degenerates to duplicate
+assignments at toy supplier counts, so the stride is replaced by a
+scattered base + consecutive offsets — distinct for any S >= 4): for
+i in 0..3,
+
+    ps_suppkey   = (p_partkey*7 + i) mod S
+    ps_availqty  = (p_partkey*7 + i*13) mod 9999 + 1
+    ps_supplycost= ((p_partkey*31 + ps_suppkey*7919) mod 99900 + 100)/100.0
+
+with S = COUNT(supplier) and all divisions integral.  The formula is
+pure integer arithmetic so Spark and the DuckDB oracle build bit-exact
+identical tables — the oracle CTE below is the SQL twin of
+``synth_partsupp``.  ps_supplycost spans [1.00, 1000.00) like the spec's
+random[1,1000] and ps_availqty [1, 9999] like random[1,9999].
+
+Scale notes: partsupp is |part|×4 rows built from a dim scan plus a
+broadcast 1-row supplier count — no shuffle to construct.  Every query
+below broadcasts its dim sides; the only shuffles are the keyed
+aggregates the query semantics require.  Reference parity: the original
+queries are from the public TPC-H spec (the reference repo has no TPC-H
+either; this closes our own SURVEY §2.11 inventory line).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.aggs import sum_exact
+from ..registry import register
+from ..sources.tables import table
+
+# SQL twin of synth_partsupp(): DuckDB CTE prefix shared by all oracles.
+_PS_SQL = """
+    WITH sc AS (SELECT COUNT(*) AS s FROM supplier),
+    partsupp AS (
+        SELECT p_partkey AS ps_partkey,
+               (p_partkey * 7 + g.i) % sc.s AS ps_suppkey,
+               (p_partkey * 7 + g.i * 13) % 9999 + 1 AS ps_availqty,
+               ((p_partkey * 31
+                 + ((p_partkey * 7 + g.i) % sc.s) * 7919)
+                % 99900 + 100) / 100.0 AS ps_supplycost
+        FROM part
+        CROSS JOIN sc
+        CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(i)
+    )
+"""
+
+
+def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp: |part|×4 rows, no shuffle, no action.
+
+    The supplier count arrives as a broadcast 1-row aggregate crossJoin
+    (the control-plane pattern — never a ``.count()`` action in the
+    plan-building path), so the whole table is a narrow map over the
+    part scan and composes lazily with downstream pushdown.
+    """
+    p = table(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = table(spark, sf_dir, "supplier").agg(F.count("*").alias("s"))
+    gen = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+    base = p.crossJoin(F.broadcast(s_cnt)).select("p_partkey", "s", gen)
+    suppkey = F.expr("pmod(p_partkey * 7 + i, s)")
+    return base.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        suppkey.alias("ps_suppkey"),
+        (
+            F.expr("pmod(p_partkey * 7 + i * 13, 9999)") + F.lit(1)
+        ).alias("ps_availqty"),
+        (
+            (
+                F.pmod(F.col("p_partkey") * 31 + suppkey * 7919, F.lit(99900))
+                + F.lit(100)
+            )
+            / F.lit(100.0)
+        ).alias("ps_supplycost"),
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    _PS_SQL
+    + """
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, ps.ps_supplycost
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'LARGE'
+      AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+          SELECT MIN(ps2.ps_supplycost)
+          FROM partsupp ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (min-cost supplier per part in a region).
+
+    The spec's correlated MIN subquery is a window MIN over ps_partkey on
+    the region-eligible rows — one pass, no self-join (the oracle keeps
+    the correlated form; Catalyst would also decorrelate it, but the
+    window is the shape you'd write at scale).  Dims (supplier, nation,
+    region, filtered part) all broadcast; the only exchange is the
+    hash partition by ps_partkey for the window."""
+    ps = synth_partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    eligible = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    _PS_SQL
+    + """
+    SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - ps.ps_supplycost * l.l_quantity
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit by nation and year).
+
+    lineitem joins partsupp on BOTH keys — with synthesized partsupp only
+    (partkey, suppkey) pairs the formula assigns exist, so this behaves
+    like the spec's 'where supply cost is known' join.  part (name
+    LIKE-filtered), partsupp, supplier, nation broadcast; orders↔lineitem
+    is the one fact-fact shuffle, then a tiny (nation, year) aggregate.
+    Profit per row is double IEEE (deterministic), summed in decimal for
+    oracle-exactness."""
+    li = table(spark, sf_dir, "lineitem")
+    ps = synth_partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(ps),
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(sum_exact(profit, scale=6).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    _PS_SQL
+    + """,
+    pv AS (
+        SELECT ps.ps_partkey,
+               CAST(SUM(CAST(ps.ps_supplycost * ps.ps_availqty
+                             AS DECIMAL(38,6))) AS DOUBLE) AS part_value
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7'
+        GROUP BY ps.ps_partkey
+    )
+    SELECT ps_partkey, part_value
+    FROM pv
+    WHERE part_value > (
+        SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE)
+               * 2.0 / COUNT(*)
+        FROM pv)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock: parts whose in-nation inventory value
+    exceeds a fraction of the nation total).
+
+    One aggregate produces the per-part values; the threshold is the
+    SAME aggregate re-aggregated (sum + count of per-part sums — no
+    second scan) and joined back as a broadcast 1-row crossJoin.  The
+    spec's 0.0001/SF fraction is replaced by the scale-free '2× the
+    mean per-part value' so the query returns non-trivial rows at every
+    SF (a fixed fraction goes to 0 rows as |part| grows).  Decimal sums
+    both sides → the comparison is bit-identical to DuckDB's."""
+    ps = synth_partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    value = F.col("ps_supplycost") * F.col("ps_availqty")
+    per_part = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("ps_partkey")
+        .agg(sum_exact(value, scale=6).alias("part_value"))
+    )
+    total = per_part.agg(
+        (
+            F.sum(F.col("part_value").cast("decimal(38,6)")).cast("double")
+            * 2.0
+            / F.count("*")
+        ).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    _PS_SQL
+    + """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#4' AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps.ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier count by part attributes, excluding flagged
+    suppliers).
+
+    The spec's 'complaints' comment scan becomes the deterministic
+    s_acctbal < 0 flag (this dataset has no comment column).  NOT IN is a
+    broadcast left-anti join (the excluded set is tiny by construction);
+    then one distinct-count aggregate keyed by the part attributes."""
+    ps = synth_partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@register(
+    "tpch_q20_excess_availability",
+    _PS_SQL
+    + """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (
+        SELECT ps.ps_suppkey
+        FROM partsupp ps
+        WHERE ps.ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND ps.ps_availqty > (
+            SELECT 0.5 * SUM(l.l_quantity)
+            FROM lineitem l
+            WHERE l.l_partkey = ps.ps_partkey
+              AND l.l_suppkey = ps.ps_suppkey
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'))
+    ORDER BY s_name
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (suppliers holding excess stock of promoted parts).
+
+    The correlated half-sum subquery is one (partkey, suppkey) aggregate
+    of the date-sliced lineitem joined back inner — pairs with no 1996
+    shipments drop out exactly as the spec's NULL comparison drops them.
+    part name-filter semi-joins broadcast; the final supplier IN is a
+    broadcast semi-join; lineitem is scanned once, date-pruned.  The
+    spec's single-nation filter is widened to one region (this dataset's
+    25 synthetic nations each hold ~4 suppliers — a single nation
+    intersects the excess set in ~0 rows at toy SF)."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ps = synth_partsupp(spark, sf_dir)
+    promoted = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    half = li.groupBy("l_partkey", "l_suppkey").agg(
+        (0.5 * F.sum("l_quantity")).alias("half_qty")
+    )
+    excess = (
+        ps.join(
+            F.broadcast(promoted), ps.ps_partkey == promoted.p_partkey, "left_semi"
+        )
+        .join(
+            half,
+            (F.col("ps_partkey") == half.l_partkey)
+            & (F.col("ps_suppkey") == half.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(excess), s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
