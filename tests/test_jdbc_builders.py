@@ -66,3 +66,81 @@ def test_jdbc_roundtrip_embedded_derby(spark):
     assert back.rdd.getNumPartitions() == 4  # partitioned range scan
     diff = df.exceptAll(back.select("n_nationkey", "n_name", "n_regionkey"))
     assert diff.count() == 0
+
+
+def test_jdbc_upsert_on_conflict_do_nothing(spark):
+    """Reference op06 conflict semantics (etl_ida.py:534 ON CONFLICT DO
+    NOTHING) via staging + server-side MERGE on embedded Derby: loading
+    twice — the second time with an overlap plus genuinely new rows —
+    yields zero duplicates and exactly the union of keys."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.sources.jdbc import (
+        jdbc_reader,
+        jdbc_upsert,
+        jdbc_writer,
+    )
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    url = "jdbc:derby:memory:jdbc_upsert;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    nation = table(spark, SF_SMOKE, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    first = nation.filter(F.col("n_nationkey") < 15)
+    # overlap 10..14 plus new 15..24
+    second = nation.filter(F.col("n_nationkey") >= 10)
+
+    jdbc_writer(
+        first, url=url, table="nation_up", batch_size=10, num_partitions=2,
+        mode="overwrite", driver=driver,
+    ).save()
+    jdbc_upsert(
+        second, url=url, target_table="nation_up",
+        key_cols=["n_nationkey"], num_partitions=2, driver=driver,
+    )
+    # idempotency: the whole load again — MERGE must insert nothing
+    jdbc_upsert(
+        nation, url=url, target_table="nation_up",
+        key_cols=["n_nationkey"], num_partitions=2, driver=driver,
+    )
+
+    back = jdbc_reader(spark, url=url, table="nation_up", driver=driver).load()
+    assert back.count() == nation.count()
+    assert (
+        back.groupBy("n_nationkey").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    assert back.exceptAll(nation).count() == 0
+
+
+def test_jdbc_upsert_update_on_match(spark):
+    """update_on_match=True: WHEN MATCHED THEN UPDATE refreshes non-key
+    columns in place (the reference's dimension refresh shape)."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.sources.jdbc import (
+        jdbc_reader,
+        jdbc_upsert,
+        jdbc_writer,
+    )
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    url = "jdbc:derby:memory:jdbc_upd;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    nation = table(spark, SF_SMOKE, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    jdbc_writer(
+        nation, url=url, table="nation_upd", batch_size=10, num_partitions=2,
+        mode="overwrite", driver=driver,
+    ).save()
+    renamed = nation.withColumn("n_name", F.concat(F.col("n_name"), F.lit("_v2")))
+    jdbc_upsert(
+        renamed, url=url, target_table="nation_upd",
+        key_cols=["n_nationkey"], update_on_match=True,
+        num_partitions=2, driver=driver,
+    )
+    back = jdbc_reader(spark, url=url, table="nation_upd", driver=driver).load()
+    assert back.count() == nation.count()
+    assert back.filter(~F.col("n_name").endswith("_v2")).count() == 0
