@@ -86,10 +86,21 @@ def q_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP with GROUPING markers (subtotal + grand-total rows)."""
+    """ROLLUP with GROUPING markers (subtotal + grand-total rows).
+
+    Pre-aggregate at the full (flag, status) grain FIRST, then ROLLUP the
+    handful of partial sums: rolling up the raw fact runs every row
+    through Expand×3 into wide-decimal accumulation (measured 3-4× the
+    flat aggregate at sf0.1), while rolling up partials is free — decimal
+    sums are associative, so values are bit-identical.  At 100 TB this is
+    the only sane shape: Expand multiplies the shuffled volume by the
+    grouping-set count."""
     li = table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        sum_exact("l_extendedprice").alias("revenue"),
+    flat = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("s")
+    )
+    return flat.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("s").cast("double").alias("revenue"),
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
     )
@@ -105,10 +116,15 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE (all grouping-set combinations)."""
+    """CUBE (all grouping-set combinations) — same partial-reaggregation
+    shape as rollup_revenue: CUBE the 8-row flat aggregate, not the
+    fact (Expand×4 over raw rows otherwise)."""
     li = table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        sum_exact("l_quantity").alias("qty")
+    flat = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("s")
+    )
+    return flat.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("s").cast("double").alias("qty")
     )
 
 
@@ -123,14 +139,17 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither rollup nor cube): per-flag and
-    per-status subtotals in one pass (single Expand + aggregate)."""
+    per-status subtotals — Expand runs over the 8-row (flag, status)
+    partial aggregate, not the fact (see rollup_revenue)."""
     li = table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem")
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("s")
+    ).createOrReplaceTempView("li_flat")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS qty
-        FROM lineitem
+               CAST(SUM(s) AS DOUBLE) AS qty
+        FROM li_flat
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )

@@ -18,10 +18,19 @@ WITH base AS (
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_linestatus = 'F'
 ),
+agg AS (
+    -- single (grupo, mes)-grain pass: the month grain is derived by
+    -- re-aggregating these partials (sum of sums / sum of counts), so
+    -- the base join+scan runs ONCE instead of once per grain (CTEs are
+    -- inlined by Catalyst — two grains over `base` = two scans)
+    SELECT grupo, mes,
+           SUM(CAST(valor AS DECIMAL(38,2))) AS s,
+           COUNT(valor) AS c
+    FROM base GROUP BY grupo, mes
+),
 media_mensal AS (
-    SELECT mes,
-           CAST(SUM(CAST(valor AS DECIMAL(38,2))) AS DOUBLE) / COUNT(valor) AS valor_medio
-    FROM base GROUP BY mes
+    SELECT mes, CAST(SUM(s) AS DOUBLE) / SUM(c) AS valor_medio
+    FROM agg GROUP BY mes
 ),
 media_calc AS (
     SELECT mes,
@@ -32,9 +41,8 @@ media_calc AS (
     WHERE prev IS NOT NULL
 ),
 grupo_mensal AS (
-    SELECT grupo, mes,
-           CAST(SUM(CAST(valor AS DECIMAL(38,2))) AS DOUBLE) / COUNT(valor) AS valor_grupo
-    FROM base GROUP BY grupo, mes
+    SELECT grupo, mes, CAST(s AS DOUBLE) / c AS valor_grupo
+    FROM agg
 ),
 grupo_calc AS (
     SELECT grupo, mes,

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.aggs import avg_exact, sum_exact
 from ..registry import register
@@ -599,38 +600,45 @@ def q21b(spark: SparkSession, sf_dir: str) -> DataFrame:
     Key observation: both correlated subqueries test order-level
     conditions ("another supplier exists in the order", "another
     supplier is late in the order"), and lateness depends only on
-    o_orderdate — constant within an order.  So aggregate lineitem⋈orders
-    once per orderkey: EXISTS ⇔ count(distinct suppkey) ≥ 2;
-    NOT EXISTS ⇔ count(distinct late suppkey) = 1 (l1 itself, which the
-    WHERE already requires to be late).  Plan: 2 lineitem scans/shuffles
-    instead of the probe form's 3, and the aggregate's shuffle carries
-    one row per (orderkey) — strictly less data than re-shuffling raw
-    lineitem twice.  The probe-form query stays registered as the
+    o_orderdate — constant within an order.  So reduce lineitem⋈orders
+    to the (orderkey, suppkey) grain ONCE (late_cnt = this pair's late
+    rows, which is also the pair's contribution to numwait), then get
+    the order-level counts as WINDOW aggregates over orderkey — EXISTS ⇔
+    count(*) over the order ≥ 2, NOT EXISTS ⇔ sum(late_any) = 1.
+
+    Plan: ONE lineitem scan (probe form: 3), one shuffle to the pair
+    grain, one to the order grain for the window, a broadcast supplier
+    join on the tiny survivor set, and a few-row final aggregate.  No
+    Expand (countDistinct would double the shuffled volume), no
+    row-grain rejoin.  The probe-form query stays registered as the
     semi/anti plan-shape coverage."""
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = table(spark, sf_dir, "lineitem")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_order = (
+    pair = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(F.col("l_orderkey").alias("agg_orderkey"))
-        .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(late.cast("long")).alias("late_cnt"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    qual = (
+        pair.withColumn("n_supp", F.count("*").over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum((F.col("late_cnt") > 0).cast("long")).over(w),
+        )
+        .filter(
+            (F.col("late_cnt") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
         )
     )
-    l1 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(late)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
-        .select("l_orderkey", "s_name")
-    )
     return (
-        l1.join(per_order, F.col("l_orderkey") == F.col("agg_orderkey"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        qual.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("late_cnt").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
     )

@@ -39,6 +39,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view for spark.sql() paths."""
+    """Register every testdata table as a temp view for spark.sql() paths.
+
+    Memoized per (session, sf_dir): re-registration re-reads 10 parquet
+    footers on the driver (~1 s warm), pure overhead when the views
+    already point at the same directory.  Switching sf_dir re-registers.
+    """
+    key = "spark_graft.registered_sf_dir"
+    if spark.conf.get(key, None) == sf_dir:
+        return
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+    spark.conf.set(key, sf_dir)
