@@ -55,15 +55,24 @@ def main() -> None:
     from ida_dataengineerproject_spark.sources.tables import load_tables
 
     for df in load_tables(spark, sf_dir).values():
-        df.limit(1).write.format("noop").mode("overwrite").save()
+        try:
+            df.limit(1).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001 — warm-up only, never fatal
+            pass
 
     # two runs per query, keep the best: BASELINE.md measures warm runs;
-    # run 1 absorbs codegen/classloader warmup for that plan shape
+    # run 1 absorbs codegen/classloader warmup for that plan shape.
+    # Per-query isolation: one broken query records an "err" row and the
+    # rest keep timing — a single failure must never zero the whole bench.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        timings[name] = round(
-            min(spark_time(qs[name], spark, sf_dir) for _ in range(2)), 3
-        )
+        try:
+            timings[name] = round(
+                min(spark_time(qs[name], spark, sf_dir) for _ in range(2)), 3
+            )
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     result = {
         "metric": "headline_queries_total_wall",
@@ -75,6 +84,8 @@ def main() -> None:
         # forms add an exact ground-truth arm for correctness checking)
         "production_paths": sorted(n for n in names if n in overrides),
     }
+    if errors:
+        result["errors"] = errors
 
     if with_duckdb:
         import duckdb
@@ -92,12 +103,20 @@ def main() -> None:
         for name in names:
             if name not in oracles:
                 continue
-            t0 = time.perf_counter()
-            con.execute(oracles[name]).fetchall()
-            duck[name] = round(time.perf_counter() - t0, 3)
+            try:
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                duck[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — isolate per oracle
+                result.setdefault("errors", {})[f"duckdb:{name}"] = (
+                    f"{type(exc).__name__}: {exc}"[:500]
+                )
         result["duckdb"] = duck
 
     print(json.dumps(result))
+    # exit 0 as long as at least one query produced a timing: partial bench
+    # beats no bench, and "errors" carries the red rows for the record
+    sys.exit(0 if timings else 1)
 
 
 if __name__ == "__main__":

@@ -21,15 +21,28 @@ from ..schemas import TESTDATA_TABLES
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Lazy; pushdown-friendly.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark timestamps are
-    microsecond precision, so (with ``nanosAsLong`` set in session.harden)
-    the raw int64 is truncated to micros losslessly via integer division.
-    DuckDB oracles must truncate identically:
-    ``make_timestamp(epoch_ns(ts)//1000)``.
+    ``events.ts`` has shipped under three parquet encodings across testdata
+    regenerations; all are normalized here — in ONE place — to Spark
+    ``timestamp`` (microsecond, session-TZ, and the session TZ is pinned to
+    UTC in session.harden) so every downstream consumer (sessionize, window
+    aggs, as-of join, streaming twins) sees one type:
+
+    * TIMESTAMP(NANOS) read as ``bigint`` (via ``nanosAsLong``): truncated
+      to micros losslessly via integer division;
+    * ``timestamp[us]`` without TZ, read as ``timestamp_ntz``: cast to
+      ``timestamp`` — identical instants under the UTC session TZ;
+    * ``timestamp[us]`` with UTC TZ: already ``timestamp``, no-op.
+
+    DuckDB oracles truncate identically via
+    ``make_timestamp(epoch_ns(ts)//1000)`` (idempotent on micros input).
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

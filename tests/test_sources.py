@@ -152,3 +152,106 @@ def test_fetch_catalog_file_scheme(tmp_path):
     blob = tmp_path / "payload.bin"
     blob.write_bytes(b"\x00\x01spreadsheet-bytes")
     assert fetch_to_memory(f"file://{blob}") == b"\x00\x01spreadsheet-bytes"
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_events_ts_normalized_per_sfdir(spark, sf_dir):
+    """Invariant: whatever encoding the testdata generator ships, table()
+    must hand every consumer a plain (session-TZ) `timestamp` ts column.
+    This regressed once (round 3: timestamp[us]-NTZ broke sessionize); the
+    testdata WILL change under us again."""
+    import os
+
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} absent")
+    df = table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_events_ts_all_three_encodings(spark, tmp_path):
+    """table() normalizes every ts encoding the testdata has ever shipped —
+    int64 TIMESTAMP(NANOS), timestamp[us] without TZ (Spark TIMESTAMP_NTZ),
+    timestamp[us] UTC — to identical `timestamp` instants, so sessionize &
+    co. never see encoding drift."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ida_dataengineerproject_spark.operators.sessionize import sessionize
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    base_us = [1_500_000_000_000_000, 1_500_000_000_123_456, 1_500_003_700_000_000]
+    cols = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "event_type": pa.array(["a", "b", "c"]),
+        "value": pa.array([1.0, 2.0, 3.0]),
+        "props": pa.array(["{}", "{}", "{}"]),
+    }
+    encodings = {
+        "nanos": pa.array([u * 1000 for u in base_us], pa.timestamp("ns")),
+        "ntz_us": pa.array(base_us, pa.timestamp("us")),
+        "utc_us": pa.array(base_us, pa.timestamp("us", tz="UTC")),
+    }
+    results = {}
+    for enc, ts_arr in encodings.items():
+        d = tmp_path / enc
+        d.mkdir()
+        pq.write_table(
+            pa.table({**cols, "ts": ts_arr}), d / "events.parquet"
+        )
+        df = table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", enc
+        rows = sessionize(df).select("event_id", "ts", "session_seq").collect()
+        results[enc] = sorted((r.event_id, r.ts, r.session_seq) for r in rows)
+    assert results["nanos"] == results["ntz_us"] == results["utc_us"]
+    # 3rd event is >30 min after the 2nd -> new session
+    assert [s for _, _, s in results["ntz_us"]] == [1, 1, 2]
+
+
+def test_events_stream_reader_matches_batch(spark, tmp_path):
+    """Streaming reader peeks at the footer and normalizes ts exactly like
+    the batch path, for both current encodings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ida_dataengineerproject_spark.streaming.events import read_events_stream
+
+    base_us = [1_500_000_000_000_000, 1_500_000_600_000_000]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([7, 8], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["{}", "{}"]),
+    }
+    for enc, ts_arr in {
+        "nanos": pa.array([u * 1000 for u in base_us], pa.timestamp("ns")),
+        "ntz_us": pa.array(base_us, pa.timestamp("us")),
+    }.items():
+        d = tmp_path / enc
+        d.mkdir()
+        pq.write_table(pa.table({**cols, "ts": ts_arr}), d / "events.parquet")
+        stream = read_events_stream(spark, str(d))
+        assert dict(stream.dtypes)["ts"] == "timestamp", enc
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(f"ts_enc_{enc}")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql(
+                f"SELECT ts FROM ts_enc_{enc} ORDER BY ts"
+            ).collect()
+        finally:
+            q.stop()
+        assert [r.ts.isoformat() for r in got] == [
+            "2017-07-14T02:40:00",
+            "2017-07-14T02:50:00",
+        ], enc

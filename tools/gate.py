@@ -1,0 +1,64 @@
+"""Round-close gate: refuse to snapshot with a red query or red test.
+
+Runs the full-registry parity sweep (tools/parity.py) and the full pytest
+suite (NO stop-on-first-failure), tees their transcripts to artifacts/, and
+exits non-zero if either reports a failure — so a known-red row can never be
+silently committed in a round snapshot again (round-3 lesson).
+
+Usage:  python tools/gate.py [sf_dir]        # default /root/testdata/sf0.01
+Writes: artifacts/PARITY_gate.txt, artifacts/pytest_gate.log
+"""
+
+from __future__ import annotations
+
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_tee(cmd: list[str], log: Path) -> tuple[int, str]:
+    proc = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=7200
+    )
+    out = proc.stdout + proc.stderr
+    log.parent.mkdir(exist_ok=True)
+    log.write_text(out)
+    return proc.returncode, out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    art = REPO / "artifacts"
+    failures: list[str] = []
+
+    rc, out = run_tee(
+        [sys.executable, "tools/parity.py", sf_dir], art / "PARITY_gate.txt"
+    )
+    n_fail = len(re.findall(r"^\[FAIL\]", out, re.M))
+    tail = out.strip().splitlines()[-1] if out.strip() else "(no output)"
+    print(f"parity: rc={rc} — {tail}")
+    if rc != 0 or n_fail:
+        failures.append(f"parity: {n_fail} [FAIL] rows (rc={rc})")
+
+    rc, out = run_tee(
+        [sys.executable, "-m", "pytest", "tests/", "-q", "-p", "no:cacheprovider"],
+        art / "pytest_gate.log",
+    )
+    tail = out.strip().splitlines()[-1] if out.strip() else "(no output)"
+    print(f"pytest: rc={rc} — {tail}")
+    if rc != 0:
+        failures.append(f"pytest: rc={rc} ({tail})")
+
+    if failures:
+        print("\nGATE RED — do NOT snapshot:")
+        for f in failures:
+            print(f"  - {f}")
+        sys.exit(1)
+    print("\nGATE GREEN — safe to snapshot.")
+
+
+if __name__ == "__main__":
+    main()
