@@ -1,0 +1,77 @@
+"""Z-order (Morton) clustering for multi-dimensional data skipping.
+
+At 100 TB, a filter on two independent columns (e.g. custkey AND order
+date) prunes
+parquet row groups only if the file sort order correlates with BOTH
+columns.  A lexicographic sort helps the leading column only; interleaving
+the bits of the two dimensions (Morton / Z-order curve) gives every file a
+tight min/max envelope in *each* dimension, so row-group statistics prune
+on either predicate.  This is the same technique Delta Lake's OPTIMIZE
+ZORDER BY and Iceberg's sort-order z-ordering apply; here it is a pure
+Catalyst expression (shift/mask arithmetic, whole-stage codegen) feeding a
+`repartitionByRange` + in-partition sort, so it scales to any input and
+never touches Python.
+
+The reference has no analogous operator (it is a 10^4-row pandas ETL);
+this is part of the driver-mandated large-scale extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Classic bit-spreading constants: spread the low 32 bits of x so bit i
+# moves to position 2i ("part1by1").  Five mask/shift rounds, all 64-bit.
+_SPREAD = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def spread_bits(col: Column) -> Column:
+    """Interleave-ready spread of the low 32 bits (bit i → bit 2i).
+
+    Pure shift/mask expression — stays in whole-stage codegen."""
+    x = col.cast("long")
+    for shift, mask in _SPREAD:
+        x = (x | F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def morton_key(a: Column, b: Column) -> Column:
+    """64-bit Morton key interleaving the low 32 bits of two non-negative
+    int columns: bit i of `a` → bit 2i, bit i of `b` → bit 2i+1."""
+    return spread_bits(a) | F.shiftleft(spread_bits(b), 1)
+
+
+def zorder_key_epoch_day(id_col: Column, date_col: Column) -> Column:
+    """Morton key for the common (integer id, date) filter pair: the date
+    becomes days-since-epoch (fits 32 bits for any sane date)."""
+    return morton_key(id_col, F.datediff(date_col, F.lit("1970-01-01")))
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    a: str,
+    b: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Cluster rows along the Z-curve of (a, b) so a subsequent parquet
+    write yields files whose min/max statistics are tight in BOTH columns.
+
+    `repartitionByRange` on the Morton key range-partitions the curve
+    (one shuffle — the same shuffle any clustering write pays), and the
+    in-partition `sortWithinPartitions` orders rows inside each file.
+    The key column is dropped before returning; writers see the original
+    schema."""
+    key = morton_key(F.col(a), F.col(b))
+    out = df.withColumn("__zkey", key)
+    if num_partitions:
+        out = out.repartitionByRange(num_partitions, "__zkey")
+    else:
+        out = out.repartitionByRange("__zkey")
+    return out.sortWithinPartitions("__zkey").drop("__zkey")

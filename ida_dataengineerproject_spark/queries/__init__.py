@@ -21,3 +21,4 @@ from . import ods_e2e  # noqa: F401
 from . import nested_ops  # noqa: F401
 from . import training_ops  # noqa: F401
 from . import corpus_ops  # noqa: F401
+from . import scale_ops  # noqa: F401

@@ -1,0 +1,147 @@
+"""Scale-operations queries (round 4): Z-order clustering keys, key-skew
+profiling, and compacted-write round-trips.
+
+These are 100 TB *operational* tools rather than analytics: the Morton key
+drives multi-dimensional data skipping at the parquet row-group level, the
+skew profile picks the salting strategy before a big shuffle, and the
+compaction round-trip proves the target-file-size writer preserves content
+exactly.  Each is oracle-paired so the driver's correctness gate covers
+them like any analytic operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.zorder import _SPREAD, zorder_key_epoch_day
+from ..registry import register
+from ..sources.tables import table
+
+
+def _spread_sql(var: str) -> str:
+    """DuckDB expression mirroring operators.zorder.spread_bits: the same
+    five mask/shift rounds, masks inlined as decimal literals from the
+    shared _SPREAD constants (single source of truth for both engines)."""
+    expr = var
+    for shift, mask in _SPREAD:
+        expr = f"(({expr} | ({expr} << {shift})) & {mask})"
+    return expr
+
+
+@register(
+    "xs1_zorder_key_orders",
+    f"""
+    SELECT o_orderkey,
+           ({_spread_sql('a')} | ({_spread_sql('b')} << 1)) AS zkey
+    FROM (SELECT o_orderkey,
+                 CAST(o_custkey AS BIGINT) AS a,
+                 CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS b
+          FROM orders)
+    ORDER BY zkey DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit Morton key over (o_custkey, days-since-epoch of
+    o_orderdate): pure shift/mask Catalyst expressions (whole-stage
+    codegen), top-10 via sort+limit → TakeOrderedAndProject (no global
+    sort).  The same key drives cluster_by_zorder's data-skipping write."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            zorder_key_epoch_day(
+                F.col("o_custkey"), F.col("o_orderdate")
+            ).alias("zkey"),
+        )
+        .orderBy(F.col("zkey").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "xs2_key_skew_profile",
+    """
+    WITH counts AS (
+      SELECT user_id AS key_value, COUNT(*) AS n_rows
+      FROM events GROUP BY 1),
+    stats AS (
+      SELECT SUM(n_rows) AS total_rows, COUNT(*) AS n_keys,
+             MAX(n_rows) AS max_rows
+      FROM counts),
+    top AS (
+      SELECT key_value, n_rows,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key_value) AS BIGINT)
+               AS rank
+      FROM counts ORDER BY n_rows DESC, key_value LIMIT 10)
+    SELECT key_value, n_rows,
+           CAST((n_rows * 1000000) // total_rows AS BIGINT) AS share_ppm,
+           CAST((max_rows * 1000 * n_keys) // total_rows AS BIGINT)
+             AS skew_ratio_x1000,
+           rank
+    FROM top, stats
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of events.user_id — same plan shape as
+    operators.skew.key_skew_profile (per-key counts with map-side combine,
+    top-10 via TakeOrderedAndProject, single stats row broadcast back),
+    with share/skew expressed in exact integer ppm / x1000 (`div`) so the
+    oracle compare is bit-exact with no float rounding.  The float-form
+    operator itself is exercised in tests/test_scale_ops.py."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.col("user_id").alias("key_value")).agg(
+        F.count("*").alias("n_rows")
+    )
+    stats = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key_value"))
+    top = (
+        counts.orderBy(F.col("n_rows").desc(), F.col("key_value"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    return top.join(F.broadcast(stats)).select(
+        "key_value",
+        "n_rows",
+        F.expr("(n_rows * 1000000) div total_rows").alias("share_ppm"),
+        F.expr("(max_rows * 1000 * n_keys) div total_rows").alias(
+            "skew_ratio_x1000"
+        ),
+        "rank",
+    )
+
+
+@register(
+    "xs3_compaction_roundtrip",
+    """
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct_md5,
+           SUM(length(text)) AS total_chars
+    FROM documents
+    """,
+)
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compacted-write round-trip: documents → target-file-size parquet →
+    re-read; the aggregate (count + distinct content hash + char mass)
+    matches the source exactly iff the rewrite preserved every row.  The
+    writer sizes output from Catalyst's plan statistics — no count job."""
+    import tempfile
+
+    from ..sources.compaction import write_compacted
+
+    docs = table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="spark_graft_compact_") + "/docs"
+    write_compacted(docs, out, target_file_mb=64)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_md5"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )

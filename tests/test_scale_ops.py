@@ -1,0 +1,149 @@
+"""Scale-operations tests: Z-order clustering (key correctness + actual
+min/max-envelope tightening), skew profiling, compaction writer."""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_SMOKE, assert_parity
+
+
+def _morton_ref(a: int, b: int) -> int:
+    """Bit-by-bit reference Morton interleave (independent of the
+    mask/shift implementation under test)."""
+    out = 0
+    for i in range(32):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_morton_key_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.operators.zorder import morton_key
+
+    pairs = [(0, 0), (1, 0), (0, 1), (5, 3), (12345, 54321), (2**31 - 1, 2**20)]
+    df = spark.createDataFrame(pairs, "a long, b long").withColumn(
+        "zkey", morton_key(F.col("a"), F.col("b"))
+    )
+    got = {(r.a, r.b): r.zkey for r in df.collect()}
+    for a, b in pairs:
+        assert got[(a, b)] == _morton_ref(a, b), (a, b)
+
+
+def test_zorder_clustering_tightens_file_envelopes(spark, tmp_path):
+    """The point of Z-ordering: after cluster_by_zorder, each output
+    file's (custkey-range × date-range) envelope covers a small fraction
+    of the total key space, so row-group min/max stats prune on EITHER
+    column.  Compare summed envelope area against an unclustered
+    round-robin write of the same rows into the same file count."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.operators.zorder import cluster_by_zorder
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    orders = table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    n_files = 8
+
+    def envelope_area(df):
+        per_file = (
+            df.withColumn("f", F.spark_partition_id())
+            .groupBy("f")
+            .agg(
+                (F.max("o_custkey") - F.min("o_custkey")).alias("ck_span"),
+                F.datediff(F.max("d"), F.min("d")).alias("d_span"),
+            )
+        )
+        row = per_file.agg(
+            F.sum(F.col("ck_span") * F.col("d_span")).alias("area")
+        ).collect()[0]
+        return row.area
+
+    with_epoch = orders.withColumn(
+        "d_epoch", F.datediff("d", F.lit("1970-01-01")).cast("long")
+    )
+    clustered = cluster_by_zorder(with_epoch, "o_custkey", "d_epoch", n_files)
+    plain = with_epoch.repartition(n_files)
+
+    area_z = envelope_area(clustered)
+    area_plain = envelope_area(plain)
+    # round-robin files each span ~the whole (custkey × date) space;
+    # Z-ordered files must cover far less of it combined
+    assert area_z < area_plain * 0.5, (area_z, area_plain)
+
+
+def test_key_skew_profile_and_salt_suggestion(spark):
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.operators.skew import (
+        key_skew_profile,
+        suggest_salt_buckets,
+    )
+
+    # 1 hot key (1000 rows) + 100 cold keys (10 rows each)
+    hot = spark.range(1000).select(F.lit(0).alias("k"))
+    cold = spark.range(1000).select((F.col("id") % 100 + 1).alias("k"))
+    df = hot.unionByName(cold)
+
+    prof = key_skew_profile(df, "k", top_k=3).collect()
+    assert [r.rank for r in prof] == [1, 2, 3]
+    assert prof[0].key_value == 0 and prof[0].n_rows == 1000
+    assert prof[0].share == 0.5
+    # mean rows/key = 2000/101 ≈ 19.8 → skew_ratio ≈ 50.5
+    assert 50 < prof[0].skew_ratio < 51
+    assert all(r.skew_ratio == prof[0].skew_ratio for r in prof)
+
+    n = suggest_salt_buckets(df, "k", target_ratio=2.0)
+    assert 20 <= n <= 30  # ceil(50.5 / 2) = 26
+
+    uniform = spark.range(1000).select((F.col("id") % 10).alias("k"))
+    assert suggest_salt_buckets(uniform, "k") == 1
+
+
+def test_write_compacted_file_count_and_content(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.sources.compaction import (
+        compact_directory,
+        estimated_plan_bytes,
+        write_compacted,
+    )
+
+    # 64 small files of the same table
+    src = str(tmp_path / "small_files")
+    df = spark.range(10_000).select(
+        "id", F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    df.repartition(64).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 64
+
+    assert estimated_plan_bytes(spark.read.parquet(src)) > 0
+
+    dst = str(tmp_path / "compacted")
+    stats = compact_directory(spark, src, dst, target_file_mb=128)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 8  # ~1 MB of data → a couple files max
+
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.select(F.sum(F.crc32("payload"))).collect()[0][0] == (
+        df.select(F.sum(F.crc32("payload"))).collect()[0][0]
+    )
+
+    # target size caps partition count from plan stats: tiny target → many
+    n = write_compacted(
+        spark.read.parquet(src), str(tmp_path / "tiny"), target_file_mb=1
+    )
+    assert n >= 1
+
+
+@pytest.mark.parametrize(
+    "name", ["xs1_zorder_key_orders", "xs2_key_skew_profile", "xs3_compaction_roundtrip"]
+)
+def test_scale_ops_oracle_parity(spark, duck, name):
+    from ida_dataengineerproject_spark.registry import ORACLES, QUERIES
+
+    assert_parity(QUERIES[name](spark, SF_SMOKE), duck, ORACLES[name])

@@ -1,9 +1,20 @@
-"""Regenerate the BASELINE.md per-query table from a bench --duckdb JSON."""
+"""Regenerate the BASELINE.md per-query table from a bench --duckdb JSON.
+
+Status legend (VERDICT r3 #7 — don't imply engine gaps where the DuckDB
+denominator is milliseconds):
+  faster than oracle / within 2x  — meets the 2x contract outright
+  overhead-floor — DuckDB side <200 ms: the ratio measures Spark's fixed
+      ~0.2-1 s per-job cost (scheduling, codegen, driver RPC), not the
+      engines; at scale the fixed cost amortizes (ROUND_NOTES scale table)
+  production path — timed on the sketch-only verify=False twin
+  slower — both sides large enough to compare and Spark >2x: a real gap
+"""
 import json
 import sys
 
 data = json.load(open(sys.argv[1]))
 sp, du = data["queries"], data.get("duckdb", {})
+prod = set(data.get("production_paths", []))
 rows = []
 for name in sorted(sp):
     s_ms = round(sp[name] * 1000)
@@ -12,10 +23,14 @@ for name in sorted(sp):
         ratio = s_ms / d_ms
         if ratio <= 2:
             status = "within 2x" if ratio > 1 else "faster than oracle"
+        elif d_ms < 200:
+            status = "overhead-floor (duckdb <0.2s; ratio is fixed-cost, not engine)"
         elif s_ms < 1000:
             status = "overhead-bound"
         else:
             status = "slower"
+        if name in prod:
+            status += "; production path"
         rows.append(f"| {name} | {d_ms} | {s_ms} | {ratio:.1f}x | {status} |")
     else:
         rows.append(f"| {name} | — | {s_ms} | — | no oracle |")
@@ -23,6 +38,8 @@ print("| query | duckdb sf0.1 (ms) | pyspark sf0.1 (ms) | ratio | status |")
 print("|---|---|---|---|---|")
 print("\n".join(rows))
 n_within = sum("within 2x" in r or "faster" in r for r in rows)
+n_floor = sum("overhead-floor" in r for r in rows)
 tot_s = sum(sp.values()); tot_d = sum(du.values())
 print(f"\nTotals: spark {tot_s:.1f}s, duckdb {tot_d:.1f}s, aggregate ratio "
-      f"{tot_s/tot_d:.2f}x, {n_within}/{len(rows)} queries <=2x")
+      f"{tot_s/tot_d:.2f}x, {n_within}/{len(rows)} queries <=2x, "
+      f"{n_floor} overhead-floor rows (sub-0.2s DuckDB denominator)")
