@@ -38,14 +38,16 @@ def spread_bits(col: Column) -> Column:
     Pure shift/mask expression — stays in whole-stage codegen."""
     x = col.cast("long")
     for shift, mask in _SPREAD:
-        x = (x | F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+        # NB: Column.__or__ is boolean OR in PySpark — bitwiseOR is the
+        # integer operator
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
     return x
 
 
 def morton_key(a: Column, b: Column) -> Column:
     """64-bit Morton key interleaving the low 32 bits of two non-negative
     int columns: bit i of `a` → bit 2i, bit i of `b` → bit 2i+1."""
-    return spread_bits(a) | F.shiftleft(spread_bits(b), 1)
+    return spread_bits(a).bitwiseOR(F.shiftleft(spread_bits(b), 1))
 
 
 def zorder_key_epoch_day(id_col: Column, date_col: Column) -> Column:

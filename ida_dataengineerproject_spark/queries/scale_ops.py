@@ -123,7 +123,7 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT COUNT(*) AS n_docs,
            COUNT(DISTINCT md5(text)) AS n_distinct_md5,
-           SUM(length(text)) AS total_chars
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
     FROM documents
     """,
 )
