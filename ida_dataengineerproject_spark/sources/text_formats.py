@@ -102,3 +102,17 @@ def write_parquet_normalized(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (Spark-native reader; columnar like parquet with its own
+    stripe-level statistics — predicate pushdown and column pruning work
+    the same way, and the format is splittable).  ORC matters for format
+    breadth because Hive-era lakes hold petabytes of it; reading in place
+    beats converting 100 TB first."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib default codec; stripe statistics written per file)."""
+    df.write.mode(mode).orc(path)

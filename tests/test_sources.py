@@ -255,3 +255,40 @@ def test_events_stream_reader_matches_batch(spark, tmp_path):
             "2017-07-14T02:40:00",
             "2017-07-14T02:50:00",
         ], enc
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC format breadth: lossless round-trip from parquet-sourced data,
+    and filter pushdown reaching the ORC scan (stripe statistics are the
+    data-skipping mechanism, like parquet row groups)."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.sources.tables import table
+    from ida_dataengineerproject_spark.sources.text_formats import (
+        read_orc,
+        write_orc,
+    )
+
+    src = table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    # value-level: aggregate fingerprint matches
+    agg = lambda df: df.agg(  # noqa: E731
+        F.sum("o_orderkey").alias("sk"),
+        F.sum(F.crc32(F.col("o_orderstatus"))).alias("ss"),
+    ).collect()[0]
+    assert agg(back) == agg(src)
+
+    plan = (
+        back.filter(F.col("o_orderkey") == 42)
+        .select("o_orderkey", "o_custkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in plan
