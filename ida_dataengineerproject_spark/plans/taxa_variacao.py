@@ -60,10 +60,21 @@ def taxa_variacao(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # ONE aggregation at the finest shared grain (grupo, mes): decimal sum
+    # + count partials.  The market mean per month is derived by re-summing
+    # the group partials — decimal addition is associative, so the result
+    # is bit-identical to aggregating the base rows directly, and the
+    # expensive fact⋈fact join + scan runs ONCE instead of once per grain
+    # (same single-scan rewrite the SQL-API twin got in round 3).
+    sums = base.groupBy("grupo", "mes").agg(
+        F.sum(F.col("valor").cast("decimal(38,2)")).alias("s"),
+        F.count("valor").alias("c"),
+    )
+
     # stage 1-2: market mean per month → LAG → pct-change (op33, op39, op26-28)
     media = (
-        base.groupBy("mes")
-        .agg(avg_exact("valor").alias("valor_medio"))
+        sums.groupBy("mes")
+        .agg((F.sum("s").cast("double") / F.sum("c")).alias("valor_medio"))
         .withColumn("prev", F.lag("valor_medio").over(Window.orderBy("mes")))
         .withColumn("taxa_variacao_media", _pct_change(F.col("valor_medio"), F.col("prev")))
         .filter(F.col("prev").isNotNull())  # op14
@@ -72,8 +83,9 @@ def taxa_variacao(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage 3-4: per-group mean → partitioned LAG → pct-change (op34, op40)
     grupo = (
-        base.groupBy("grupo", "mes")
-        .agg(avg_exact("valor").alias("valor_grupo"))
+        sums.select(
+            "grupo", "mes", (F.col("s").cast("double") / F.col("c")).alias("valor_grupo")
+        )
         .withColumn(
             "prev",
             F.lag("valor_grupo").over(Window.partitionBy("grupo").orderBy("mes")),
