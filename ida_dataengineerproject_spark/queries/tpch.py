@@ -163,23 +163,30 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 large-volume customers: aggregate semi-join (IN subquery
-    → left_semi against a pre-aggregated key set)."""
+    """TPC-H Q18 large-volume customers — aggregate-once form: the HAVING
+    subquery's per-order quantity sum IS the output's total_qty (the final
+    GROUP BY is keyed by o_orderkey; the other keys are functionally
+    dependent), so the aggregate is carried through the join instead of
+    re-scanning lineitem.  ONE lineitem scan + one shuffle; the filtered
+    per-order rows are few, so AQE broadcasts them against orders."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     big = (
-        li.groupBy("l_orderkey")
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("q"))
         .filter(F.col("q") > 150)
-        .select("l_orderkey")
     )
     return (
-        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        o.join(big, "o_orderkey")
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(sum_exact("l_quantity").alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("q").cast("double").alias("total_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
     )
