@@ -145,3 +145,57 @@ def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5("text")).alias("n_distinct_md5"),
         F.sum(F.length("text")).alias("total_chars"),
     )
+
+
+@register(
+    "xs4_zorder_pruned_scan",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 299
+      AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    """,
+)
+def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end data-skipping pipeline: Z-order-cluster orders on
+    (custkey, epoch-day), write 8 files, build a per-file min/max manifest
+    (one aggregation, rows == files), prune files by interval overlap for
+    a 2-D predicate, read + residual-filter, aggregate.  The aggregate
+    matches a plain filtered scan of the source exactly (pruning is a
+    superset guarantee); the file-skip ratio itself is asserted in
+    tests/test_scale_ops.py."""
+    import tempfile
+
+    from ..operators.zorder import cluster_by_zorder
+    from ..sources.file_pruning import build_file_manifest, pruned_read
+
+    # 1996 in days-since-epoch (computed constants; no Date.now anywhere)
+    LO_D, HI_D = 9496, 9861
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d_epoch"),
+    )
+    out = tempfile.mkdtemp(prefix="spark_graft_zorder_") + "/orders_z"
+    cluster_by_zorder(orders, "o_custkey", "d_epoch", 8).write.mode(
+        "overwrite"
+    ).parquet(out)
+
+    manifest = build_file_manifest(spark, out, ["o_custkey", "d_epoch"])
+    pruned, _stats = pruned_read(
+        spark,
+        out,
+        manifest,
+        {"o_custkey": (100, 299), "d_epoch": (LO_D, HI_D)},
+    )
+    from ..functions.aggs import sum_exact
+
+    return pruned.agg(
+        F.count("*").alias("n_rows"),
+        sum_exact("o_totalprice", scale=6).alias("sum_price"),
+    )

@@ -141,9 +141,59 @@ def test_write_compacted_file_count_and_content(spark, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "name", ["xs1_zorder_key_orders", "xs2_key_skew_profile", "xs3_compaction_roundtrip"]
+    "name",
+    [
+        "xs1_zorder_key_orders",
+        "xs2_key_skew_profile",
+        "xs3_compaction_roundtrip",
+        "xs4_zorder_pruned_scan",
+    ],
 )
 def test_scale_ops_oracle_parity(spark, duck, name):
     from ida_dataengineerproject_spark.registry import ORACLES, QUERIES
 
     assert_parity(QUERIES[name](spark, SF_SMOKE), duck, ORACLES[name])
+
+
+def test_manifest_pruning_skips_files(spark, tmp_path):
+    """Z-order write + manifest prune: a selective 2-D predicate must read
+    a strict subset of files, and the pruned read + residual filter must
+    equal the plain filtered scan exactly."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.operators.zorder import cluster_by_zorder
+    from ida_dataengineerproject_spark.sources.file_pruning import (
+        build_file_manifest,
+        pruned_read,
+    )
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    orders = table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"),
+    )
+    out = str(tmp_path / "orders_z")
+    cluster_by_zorder(orders, "o_custkey", "d", 8).write.parquet(out)
+
+    manifest = build_file_manifest(spark, out, ["o_custkey", "d"])
+    assert manifest.count() == 8
+
+    preds = {"o_custkey": (0, 120), "d": (9496, 9861)}
+    pruned, stats = pruned_read(spark, out, manifest, preds)
+    assert stats["files_total"] == 8
+    assert stats["files_read"] < 8, stats  # skipping actually happened
+
+    expected = orders.filter(
+        (F.col("o_custkey").between(0, 120)) & (F.col("d").between(9496, 9861))
+    )
+    assert pruned.count() == expected.count()
+    assert (
+        pruned.agg(F.sum("o_orderkey")).collect()[0][0]
+        == expected.agg(F.sum("o_orderkey")).collect()[0][0]
+    )
+
+    # non-overlapping predicate prunes everything
+    none, stats0 = pruned_read(spark, out, manifest, {"o_custkey": (10**9, 2 * 10**9)})
+    assert stats0["files_read"] == 0 and none.count() == 0
