@@ -431,3 +431,57 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def embedding_neardup_pairs_lsh(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_tables: int = 16,
+    n_planes: int = 4,
+    dim: int = 64,
+    arrow: bool = True,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale (the LSH twin of the
+    bounded O(n²) baseline in queries/vector_ops.q_x03c).
+
+    Self-join of the corpus's (table, bucket) rows generates candidates —
+    a bucketed equi-join, never all-pairs: expected candidate volume is
+    Σ_buckets n_b², which tracks the true near-dup density because random
+    hyperplanes concentrate similar vectors.  A pair at cosine θ collides
+    in ≥1 of L tables with 1-(1-(1-θ/π)^m)^L — at cosine 0.4 (θ≈66°),
+    m=4, L=16 → ≈0.94; higher-similarity pairs (the ones dedup must not
+    miss) approach 1.  Candidates are scored exactly and filtered to the
+    threshold, so precision is exact; only recall is probabilistic.
+    """
+    planes = _hyperplanes(dim, n_tables * n_planes, seed=1042)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    )
+    if arrow:
+        b = _bucket_rows_pandas(c, "vec_id", "v", planes, n_tables, n_planes)
+    else:
+        b = c.select(
+            "vec_id",
+            F.posexplode(
+                _all_buckets(F.col("v"), planes, n_tables, n_planes)
+            ).alias("tbl", "bucket"),
+        )
+    left = b.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+    right = b.select(F.col("vec_id").alias("id_b"), "tbl", "bucket")
+    cand = (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = c.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = c.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 9))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

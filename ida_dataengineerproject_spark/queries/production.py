@@ -29,7 +29,11 @@ def production_overrides() -> dict[str, QueryFn]:
     from .corpus_ops import ngram_vocab_estimate
     from .events_ops import approx_distinct_users
     from .extras import approx_percentiles
-    from .vector_ops import cosine_topk_ivf_query, cosine_topk_lsh_query
+    from .vector_ops import (
+        cosine_topk_ivf_query,
+        cosine_topk_lsh_query,
+        embedding_neardup_lsh_query,
+    )
 
     return {
         "xt14_ngram_vocab_estimate": ngram_vocab_estimate,
@@ -37,4 +41,5 @@ def production_overrides() -> dict[str, QueryFn]:
         "approx_percentiles": approx_percentiles,
         "x03b_cosine_topk_lsh": cosine_topk_lsh_query,
         "x03d_cosine_topk_ivf": cosine_topk_ivf_query,
+        "x03e_embedding_neardup_lsh": embedding_neardup_lsh_query,
     }

@@ -172,3 +172,57 @@ def q_x03c(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.4)
     )
+
+
+def embedding_neardup_lsh_query(
+    spark: SparkSession, sf_dir: str, verify: bool = False
+) -> DataFrame:
+    """Embedding near-dup pairs via LSH bucketing (scale twin of the
+    bounded O(n²) baseline x03c).
+
+    PRODUCTION path (``verify=False``): the LSH pairs alone — bucketed
+    self-equi-join, exact scoring of candidates only.
+    VERIFY path (``verify=True``, the registered oracle form): on the
+    x03c-bounded subset (vec_id < 200) compare against the exact pair set
+    and assert recall >= 0.8 (collision probability at the 0.4 threshold
+    is ≈0.94 with 16 tables × 4 planes; higher-cosine pairs approach 1).
+    Precision needs no contract — candidates are scored exactly."""
+    from ..functions.vectors import as_double_array, cosine as cos
+    from ..operators.similarity import embedding_neardup_pairs_lsh
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    approx = embedding_neardup_pairs_lsh(emb, threshold=0.4)
+    if not verify:
+        return approx
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double_array("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), as_double_array("embedding").alias("vb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos(F.col("va"), F.col("vb")), 9))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b")
+    )
+    n_exact = exact.count()
+    n_found = exact.join(
+        approx.select("id_a", "id_b"), ["id_a", "id_b"]
+    ).count()
+    return spark.createDataFrame(
+        [(n_exact, n_found >= 0.8 * n_exact)], "n_exact bigint, recall_ok boolean"
+    )
+
+
+@register(
+    "x03e_embedding_neardup_lsh",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 200 AND b.vec_id < 200
+          AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 9) >= 0.4)
+    """,
+)
+def q_x03e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle registration for ``embedding_neardup_lsh_query`` — VERIFY
+    arm (exact-pair recall contract); bench/production run LSH-only."""
+    return embedding_neardup_lsh_query(spark, sf_dir, verify=True)

@@ -235,3 +235,25 @@ def test_cms_bounds(spark):
     m = {(r.row_idx, r.bucket): r.cnt for r in merged.collect()}
     w = {(r.row_idx, r.bucket): r.cnt for r in whole.collect()}
     assert m == w
+
+
+def test_embedding_neardup_lsh_scale_path(spark, duck):
+    """x03e: LSH near-dup pairs — production path finds high-cosine pairs
+    with exact precision (every returned pair really is >= threshold), and
+    the registered verify arm passes its recall contract + oracle."""
+    from .conftest import SF_SMOKE, assert_parity
+
+    from ida_dataengineerproject_spark.queries.vector_ops import (
+        embedding_neardup_lsh_query,
+    )
+    from ida_dataengineerproject_spark.registry import ORACLES, QUERIES
+
+    pairs = embedding_neardup_lsh_query(spark, SF_SMOKE).collect()
+    assert all(r.cosine >= 0.4 for r in pairs)
+    assert all(r.id_a < r.id_b for r in pairs)
+
+    assert_parity(
+        QUERIES["x03e_embedding_neardup_lsh"](spark, SF_SMOKE),
+        duck,
+        ORACLES["x03e_embedding_neardup_lsh"],
+    )
