@@ -185,3 +185,38 @@ def test_sequence_packing_window_is_partitioned(spark):
 
     plan = _plan(e.queries()["xt10_sequence_packing"](spark, SF_SMOKE))
     assert "windowspecdefinition(shard" in plan
+
+
+def test_flagship_reuses_fact_join_exchange(spark):
+    """r4 single-scan rewrite: both grains consume one identical
+    Exchange(grupo, mes) subtree, which AQE dedups at runtime — the final
+    adaptive plan must contain a ReusedExchange (i.e., the lineitem-orders
+    join executed once)."""
+    from ida_dataengineerproject_spark.plans.taxa_variacao import taxa_variacao
+
+    df = taxa_variacao(spark, SF_SMOKE)
+    df.collect()  # finalize the adaptive plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
+
+
+def test_q18_single_lineitem_scan(spark):
+    """r4 aggregate-once rewrite: the HAVING sum is carried through the
+    join, so lineitem appears exactly once in the plan."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_q18_large_orders"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # each scan lists its Location exactly once in the tree string
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+
+
+def test_zorder_key_stays_in_codegen(spark):
+    """xs1: the Morton key must be pure codegen expressions — no
+    BatchEvalPython / mapInPandas stage — and top-10 must compile to
+    TakeOrderedAndProject (no global sort)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xs1_zorder_key_orders"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
