@@ -34,12 +34,15 @@ def main() -> None:
     art = REPO / "artifacts"
     failures: list[str] = []
 
+    def summary(out: str, pattern: str) -> str:
+        hits = re.findall(pattern, out, re.M)
+        return hits[-1] if hits else "(no summary line found)"
+
     rc, out = run_tee(
         [sys.executable, "tools/parity.py", sf_dir], art / "PARITY_gate.txt"
     )
     n_fail = len(re.findall(r"^\[FAIL\]", out, re.M))
-    tail = out.strip().splitlines()[-1] if out.strip() else "(no output)"
-    print(f"parity: rc={rc} — {tail}")
+    print(f"parity: rc={rc} — {summary(out, r'^.*\bok, .*\bfail.*$')}")
     if rc != 0 or n_fail:
         failures.append(f"parity: {n_fail} [FAIL] rows (rc={rc})")
 
@@ -47,10 +50,9 @@ def main() -> None:
         [sys.executable, "-m", "pytest", "tests/", "-q", "-p", "no:cacheprovider"],
         art / "pytest_gate.log",
     )
-    tail = out.strip().splitlines()[-1] if out.strip() else "(no output)"
-    print(f"pytest: rc={rc} — {tail}")
+    print(f"pytest: rc={rc} — {summary(out, r'^.*\b(passed|failed|error).*$')}")
     if rc != 0:
-        failures.append(f"pytest: rc={rc} ({tail})")
+        failures.append(f"pytest: rc={rc}")
 
     if failures:
         print("\nGATE RED — do NOT snapshot:")
