@@ -292,3 +292,53 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     )
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
     assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in plan
+
+
+def test_incremental_ingest_ledger(spark, tmp_path):
+    """Ledger-driven ingest: first run processes everything, a rerun with
+    no new files processes nothing, adding files processes ONLY them, and
+    the accumulated sink equals one full read (exactly-once per file)."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.sources.ingest_ledger import (
+        ingest_new_files,
+        read_ledger,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ledger = str(tmp_path / "ledger")
+
+    def write_src_file(name, lo, hi):
+        spark.range(lo, hi).toDF("id").coalesce(1).write.parquet(
+            str(src / name)
+        )
+        # flatten: move the part file up as <name>.parquet
+        import glob
+        import shutil
+
+        part = glob.glob(str(src / name / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+        shutil.rmtree(str(src / name))
+
+    def process(df):
+        df.write.mode("append").parquet(sink)
+
+    write_src_file("a", 0, 100)
+    write_src_file("b", 100, 250)
+
+    s1 = ingest_new_files(spark, str(src), ledger, process)
+    assert s1 == {"files_new": 2, "files_seen_total": 2}
+
+    s2 = ingest_new_files(spark, str(src), ledger, process)
+    assert s2 == {"files_new": 0, "files_seen_total": 2}  # idempotent rerun
+
+    write_src_file("c", 250, 300)
+    s3 = ingest_new_files(spark, str(src), ledger, process)
+    assert s3 == {"files_new": 1, "files_seen_total": 3}
+
+    out = spark.read.parquet(sink)
+    assert out.count() == 300  # each row ingested exactly once
+    assert out.agg(F.sum("id")).collect()[0][0] == 299 * 300 // 2
+    assert read_ledger(spark, ledger).count() == 3
