@@ -243,3 +243,68 @@ def test_rolling_kr_matches_pure_python(spark):
         assert got == {i: py_ref(s) for i, s in enumerate(strings)}
 
     check()
+
+
+def _morton_ref_py(a: int, b: int) -> int:
+    out = 0
+    for i in range(32):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**31 - 1),
+            st.integers(min_value=0, max_value=2**31 - 1),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_morton_spark_matches_reference(spark, pairs):
+    """Spark's mask/shift Morton key == bit-by-bit Python reference on
+    arbitrary 31-bit pairs (31 so spread(b)<<1 never reaches the sign
+    bit, the documented domain)."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.operators.zorder import morton_key
+
+    df = spark.createDataFrame(pairs, "a long, b long").withColumn(
+        "z", morton_key(F.col("a"), F.col("b"))
+    )
+    got = {(r.a, r.b): r.z for r in df.collect()}
+    for a, b in pairs:
+        assert got[(a, b)] == _morton_ref_py(a, b)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**31 - 1),
+            st.integers(min_value=0, max_value=2**31 - 1),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_morton_duckdb_oracle_matches_reference(pairs):
+    """The DuckDB SQL generated by _spread_sql (the xs1 oracle's engine
+    side) == the same Python reference — both engines are pinned to one
+    ground truth independently, so the oracle compare can't mask a
+    matching-but-wrong pair of implementations."""
+    import duckdb
+
+    from ida_dataengineerproject_spark.queries.scale_ops import _spread_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    rows = con.execute(
+        f"SELECT a, b, ({_spread_sql('a')} | ({_spread_sql('b')} << 1)) FROM t"
+    ).fetchall()
+    for a, b, z in rows:
+        assert z == _morton_ref_py(a, b), (a, b)
