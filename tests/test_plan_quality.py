@@ -220,3 +220,49 @@ def test_zorder_key_stays_in_codegen(spark):
     plan = _plan(e.queries()["xs1_zorder_key_orders"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The scale posture leans on AQE skew-join for hot keys (sessionize,
+    dim joins): force a skewed sort-merge join and assert the runtime plan
+    actually marks it skew-handled (isSkew=true partitions)."""
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k)
+        for k in [
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        ]
+    }
+    try:
+        # force SMJ (no broadcast) and make the skew detector sensitive
+        # enough to fire on a local-scale hot key
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        # one key owns 80% of the left side
+        left = spark.range(100_000).select(
+            F.when(F.col("id") % 5 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(10_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("attr")
+        )
+        joined = left.join(right, "k")
+        # finalize THIS DataFrame's adaptive plan (a writer would execute a
+        # separate QueryExecution and leave this one isFinalPlan=false)
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in final or "skew=true" in final, final[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
