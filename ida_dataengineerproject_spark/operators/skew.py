@@ -112,6 +112,8 @@ def suggest_salt_buckets(
         )
         .collect()[0]
     )
+    if not row.keys:  # empty input: nothing to salt
+        return 1
     ratio = row.max_n / (row.total / row.keys)
     if ratio <= target_ratio:
         return 1

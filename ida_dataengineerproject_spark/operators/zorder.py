@@ -21,8 +21,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Classic bit-spreading constants: spread the low 32 bits of x so bit i
-# moves to position 2i ("part1by1").  Five mask/shift rounds, all 64-bit.
+# Each dimension contributes its LOW 31 BITS: 31+31 = 62-bit key, so the
+# interleave can never reach the long sign bit — a negative key would sort
+# before (0,0) and destroy Z-curve locality.  Larger values are truncated
+# to their low 31 bits (documented: the key is a clustering sort key, not
+# an identity; ids beyond 2^31 should be pre-bucketed/hashed by the caller).
+_INPUT_MASK = 0x7FFFFFFF
+
+# Classic bit-spreading constants: spread the (masked) low 32 bits of x so
+# bit i moves to position 2i ("part1by1").  Five mask/shift rounds, 64-bit.
 _SPREAD = [
     (16, 0x0000FFFF0000FFFF),
     (8, 0x00FF00FF00FF00FF),
@@ -33,10 +40,13 @@ _SPREAD = [
 
 
 def spread_bits(col: Column) -> Column:
-    """Interleave-ready spread of the low 32 bits (bit i → bit 2i).
+    """Interleave-ready spread of the low 31 bits (bit i → bit 2i).
 
-    Pure shift/mask expression — stays in whole-stage codegen."""
-    x = col.cast("long")
+    Pure shift/mask expression — stays in whole-stage codegen.  The input
+    mask makes the function total: any long input yields a valid spread of
+    its low 31 bits (without it, bit 32+ of an unmasked input would leak
+    through the first round's mask and corrupt the key)."""
+    x = col.cast("long").bitwiseAND(F.lit(_INPUT_MASK))
     for shift, mask in _SPREAD:
         # NB: Column.__or__ is boolean OR in PySpark — bitwiseOR is the
         # integer operator
@@ -45,8 +55,9 @@ def spread_bits(col: Column) -> Column:
 
 
 def morton_key(a: Column, b: Column) -> Column:
-    """64-bit Morton key interleaving the low 32 bits of two non-negative
-    int columns: bit i of `a` → bit 2i, bit i of `b` → bit 2i+1."""
+    """62-bit Morton key interleaving the low 31 bits of two non-negative
+    int columns: bit i of `a` → bit 2i, bit i of `b` → bit 2i+1.  Always
+    non-negative for any long inputs (see _INPUT_MASK)."""
     return spread_bits(a).bitwiseOR(F.shiftleft(spread_bits(b), 1))
 
 

@@ -32,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.aggs import avg_exact
 from ..sources.tables import table
 
 # l_returnflag plays the reference's 10 hard-coded operator groups

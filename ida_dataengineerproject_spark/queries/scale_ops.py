@@ -14,16 +14,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.zorder import _SPREAD, zorder_key_epoch_day
+from ..operators.zorder import _INPUT_MASK, _SPREAD, zorder_key_epoch_day
 from ..registry import register
 from ..sources.tables import table
 
 
+def _scratch_dir(op: str, sf_dir: str) -> str:
+    """Deterministic per-(op, sf_dir) scratch path, REUSED (and
+    overwritten) across invocations — bench/parity/gate run each query
+    repeatedly, and per-call mkdtemp would fill the disk monotonically."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_{op}_{key}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _spread_sql(var: str) -> str:
     """DuckDB expression mirroring operators.zorder.spread_bits: the same
-    five mask/shift rounds, masks inlined as decimal literals from the
-    shared _SPREAD constants (single source of truth for both engines)."""
-    expr = var
+    input mask + five mask/shift rounds, masks inlined as decimal literals
+    from the shared constants (single source of truth for both engines)."""
+    expr = f"({var} & {_INPUT_MASK})"
     for shift, mask in _SPREAD:
         expr = f"(({expr} | ({expr} << {shift})) & {mask})"
     return expr
@@ -132,12 +146,10 @@ def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-read; the aggregate (count + distinct content hash + char mass)
     matches the source exactly iff the rewrite preserved every row.  The
     writer sizes output from Catalyst's plan statistics — no count job."""
-    import tempfile
-
     from ..sources.compaction import write_compacted
 
     docs = table(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="spark_graft_compact_") + "/docs"
+    out = _scratch_dir("compact", sf_dir) + "/docs"
     write_compacted(docs, out, target_file_mb=64)
     back = spark.read.parquet(out)
     return back.agg(
@@ -165,8 +177,6 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches a plain filtered scan of the source exactly (pruning is a
     superset guarantee); the file-skip ratio itself is asserted in
     tests/test_scale_ops.py."""
-    import tempfile
-
     from ..operators.zorder import cluster_by_zorder
     from ..sources.file_pruning import build_file_manifest, pruned_read
 
@@ -181,7 +191,7 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("d_epoch"),
     )
-    out = tempfile.mkdtemp(prefix="spark_graft_zorder_") + "/orders_z"
+    out = _scratch_dir("zorder", sf_dir) + "/orders_z"
     cluster_by_zorder(orders, "o_custkey", "d_epoch", 8).write.mode(
         "overwrite"
     ).parquet(out)

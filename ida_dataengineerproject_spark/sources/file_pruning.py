@@ -49,14 +49,19 @@ def pruned_read(
     `predicates` maps column → (lo, hi) inclusive bounds.  The manifest
     collect is bounded (one row per file); at scale it would be a
     pre-persisted table read the same way."""
+    def overlaps(d: dict, c: str, lo, hi) -> bool:
+        mn, mx = d[f"min_{c}"], d[f"max_{c}"]
+        if mn is None or mx is None:
+            # all-NULL column in this file: no row can satisfy the
+            # inclusive-bounds residual filter — prune it
+            return False
+        return not (mx < lo or mn > hi)
+
     rows = manifest.collect()
     keep = []
     for r in rows:
         d = r.asDict()
-        if all(
-            not (d[f"max_{c}"] < lo or d[f"min_{c}"] > hi)
-            for c, (lo, hi) in predicates.items()
-        ):
+        if all(overlaps(d, c, lo, hi) for c, (lo, hi) in predicates.items()):
             keep.append(d["__file"])
     stats = {"files_total": len(rows), "files_read": len(keep)}
     if not keep:

@@ -59,8 +59,14 @@ def list_source_files(
 
 def unprocessed_files(listing: DataFrame, ledger: DataFrame) -> DataFrame:
     """Files present in the listing but absent from the ledger: one
-    left-anti join on the file identity."""
-    return listing.join(ledger.select("path"), "path", "left_anti")
+    left-anti join on the FULL file identity (path, size_bytes) — a file
+    rewritten in place under the same name (size changed) counts as new
+    and is re-ingested rather than silently skipped.  Lake sources should
+    still treat files as immutable (an in-place append re-ingests the
+    whole file; pair with the hash-dedup sink)."""
+    return listing.join(
+        ledger.select("path", "size_bytes"), ["path", "size_bytes"], "left_anti"
+    )
 
 
 def ingest_new_files(
@@ -73,10 +79,11 @@ def ingest_new_files(
     """One incremental run: list → anti-join ledger → process ONLY new
     files via ``process(df)`` → append their identities to the ledger.
 
-    ``process`` receives the DataFrame of new-file rows (empty schema-
-    stable DataFrame when nothing is new) and performs the sink write.
-    Returns {files_new, files_seen_total}.  The new-file list is a
-    bounded driver-side readout (file names, not data)."""
+    ``process`` receives the DataFrame of the new files' rows and performs
+    the sink write; it is NOT invoked when no new files exist (the ledger
+    is untouched and the run is a no-op).  Returns {files_new,
+    files_seen_total}.  The new-file list is a bounded driver-side readout
+    (file identities, not data)."""
     ledger = read_ledger(spark, ledger_path)
     listing = list_source_files(spark, src_dir, suffix)
     new = unprocessed_files(listing, ledger)

@@ -40,14 +40,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ts`` encoding varies across testdata generations (see
     sources/tables.py); streaming needs the schema up front, so peek at the
     footer with a one-off batch read (driver-side, no data scan) and
-    normalize to ``timestamp`` exactly as the batch path does."""
+    normalize to ``timestamp`` exactly as the batch path does.  If the
+    file hasn't landed yet (the stream may start before the first file
+    arrives), fall back to the current generator encoding (timestamp[us]
+    without TZ → TIMESTAMP_NTZ) instead of failing eagerly."""
     import os
 
-    raw_ts = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .schema["ts"]
-        .dataType
-    )
+    try:
+        raw_ts = (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .schema["ts"]
+            .dataType
+        )
+    except Exception:  # noqa: BLE001 — path not found yet: stay lazy
+        raw_ts = T.TimestampNTZType()
     raw = (
         spark.readStream.schema(_event_schema(raw_ts))
         .option("pathGlobFilter", "events.parquet")

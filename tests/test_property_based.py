@@ -246,8 +246,10 @@ def test_rolling_kr_matches_pure_python(spark):
 
 
 def _morton_ref_py(a: int, b: int) -> int:
+    a &= 0x7FFFFFFF  # the operator's documented low-31-bit truncation
+    b &= 0x7FFFFFFF
     out = 0
-    for i in range(32):
+    for i in range(31):
         out |= ((a >> i) & 1) << (2 * i)
         out |= ((b >> i) & 1) << (2 * i + 1)
     return out
@@ -256,8 +258,8 @@ def _morton_ref_py(a: int, b: int) -> int:
 @given(
     pairs=st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=2**31 - 1),
-            st.integers(min_value=0, max_value=2**31 - 1),
+            st.integers(min_value=0, max_value=2**63 - 1),
+            st.integers(min_value=0, max_value=2**63 - 1),
         ),
         min_size=1,
         max_size=20,
@@ -266,8 +268,8 @@ def _morton_ref_py(a: int, b: int) -> int:
 @settings(max_examples=15, deadline=None)
 def test_morton_spark_matches_reference(spark, pairs):
     """Spark's mask/shift Morton key == bit-by-bit Python reference on
-    arbitrary 31-bit pairs (31 so spread(b)<<1 never reaches the sign
-    bit, the documented domain)."""
+    ARBITRARY longs — the operator is total (inputs truncate to their low
+    31 bits; keys never reach the sign bit)."""
     from pyspark.sql import functions as F
 
     from ida_dataengineerproject_spark.operators.zorder import morton_key
@@ -283,8 +285,8 @@ def test_morton_spark_matches_reference(spark, pairs):
 @given(
     pairs=st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=2**31 - 1),
-            st.integers(min_value=0, max_value=2**31 - 1),
+            st.integers(min_value=0, max_value=2**63 - 1),
+            st.integers(min_value=0, max_value=2**63 - 1),
         ),
         min_size=1,
         max_size=50,

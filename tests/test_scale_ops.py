@@ -10,9 +10,11 @@ from .conftest import SF_SMOKE, assert_parity
 
 def _morton_ref(a: int, b: int) -> int:
     """Bit-by-bit reference Morton interleave (independent of the
-    mask/shift implementation under test)."""
+    mask/shift implementation under test); low-31-bit domain."""
+    a &= 0x7FFFFFFF
+    b &= 0x7FFFFFFF
     out = 0
-    for i in range(32):
+    for i in range(31):
         out |= ((a >> i) & 1) << (2 * i)
         out |= ((b >> i) & 1) << (2 * i + 1)
     return out

@@ -342,3 +342,37 @@ def test_incremental_ingest_ledger(spark, tmp_path):
     assert out.count() == 300  # each row ingested exactly once
     assert out.agg(F.sum("id")).collect()[0][0] == 299 * 300 // 2
     assert read_ledger(spark, ledger).count() == 3
+
+
+def test_ingest_ledger_detects_rewritten_file(spark, tmp_path):
+    """A source file rewritten in place (same name, different size) must
+    count as new — silently skipping changed files is data loss."""
+    from ida_dataengineerproject_spark.sources.ingest_ledger import (
+        ingest_new_files,
+    )
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    sink = str(tmp_path / "sink2")
+
+    def write_file(lo, hi):
+        import glob
+        import shutil
+
+        tmp = str(src / "_stage")
+        spark.range(lo, hi).toDF("id").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        shutil.move(part, str(src / "data.parquet"))
+        shutil.rmtree(tmp)
+
+    def process(df):
+        df.write.mode("append").parquet(sink)
+
+    write_file(0, 10)
+    s1 = ingest_new_files(spark, str(src), str(tmp_path / "ledger2"), process)
+    assert s1["files_new"] == 1
+    write_file(0, 500)  # rewritten in place, different size
+    s2 = ingest_new_files(spark, str(src), str(tmp_path / "ledger2"), process)
+    assert s2["files_new"] == 1  # re-ingested, not silently skipped

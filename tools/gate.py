@@ -50,7 +50,7 @@ def main() -> None:
         [sys.executable, "-m", "pytest", "tests/", "-q", "-p", "no:cacheprovider"],
         art / "pytest_gate.log",
     )
-    print(f"pytest: rc={rc} — {summary(out, r'^.*\b(passed|failed|error).*$')}")
+    print(f"pytest: rc={rc} — {summary(out, r'^.*\b(?:passed|failed|error).*$')}")
     if rc != 0:
         failures.append(f"pytest: rc={rc}")
 
