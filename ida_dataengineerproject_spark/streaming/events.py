@@ -218,3 +218,29 @@ def enriched_with_user_dim(stream: DataFrame, user_dim: DataFrame) -> DataFrame:
         "event_id", "user_id", "ts", "event_type", "value",
         F.coalesce("segment", F.lit("unknown")).alias("segment"),
     )
+
+
+def compacting_batch_sink(out_dir: str, target_file_mb: int = 128):
+    """foreachBatch sink that writes each micro-batch COMPACTED to
+    target-size files under a batchId-keyed directory.
+
+    Composes the two operational pieces: exactly-once via the
+    deterministic per-batch path (a replayed batch overwrites its own
+    directory — same contract as tests/test_foreach_batch.py) and
+    small-file hygiene via sources/compaction.write_compacted (streaming
+    sinks are the #1 producer of kilobyte files at scale; compacting at
+    write time beats a separate rewrite job reading everything twice).
+
+    Use: ``stream.writeStream.foreachBatch(compacting_batch_sink(dir))``.
+    """
+    from ..sources.compaction import write_compacted
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_compacted(
+            batch_df,
+            f"{out_dir}/batch_id={batch_id}",
+            target_file_mb=target_file_mb,
+            mode="overwrite",
+        )
+
+    return write_batch

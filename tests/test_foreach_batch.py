@@ -45,3 +45,30 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     n_before = len(rows)
     write_batch(spark.createDataFrame(rows, replay.schema), 0)
     assert spark.read.parquet(f"{out_dir}/batch_id=0").count() == n_before
+
+
+def test_compacting_batch_sink(spark, tmp_path):
+    """Streaming sink compaction: each micro-batch lands as few
+    target-size files (not one per shuffle partition), replay-safe."""
+    from ida_dataengineerproject_spark.streaming.events import (
+        compacting_batch_sink,
+        read_events_stream,
+    )
+
+    out_dir = str(tmp_path / "compact_sink")
+    # repartition wide so the naive write WOULD produce many small files
+    stream = read_events_stream(spark, SF_SMOKE).repartition(32)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(compacting_batch_sink(out_dir, target_file_mb=128))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch0 = spark.read.parquet(f"{out_dir}/batch_id=0")
+    files = batch0.inputFiles()
+    assert len(files) < 8, len(files)  # compacted, not 32 shards
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    assert batch0.count() == table(spark, SF_SMOKE, "events").count()
