@@ -38,11 +38,14 @@ def main() -> None:
         hits = re.findall(pattern, out, re.M)
         return hits[-1] if hits else "(no summary line found)"
 
+    parity_pat = r"^.*\bok, .*\bfail.*$"
+    pytest_pat = r"^.*\b(?:passed|failed|error).*$"
+
     rc, out = run_tee(
         [sys.executable, "tools/parity.py", sf_dir], art / "PARITY_gate.txt"
     )
     n_fail = len(re.findall(r"^\[FAIL\]", out, re.M))
-    print(f"parity: rc={rc} — {summary(out, r'^.*\bok, .*\bfail.*$')}")
+    print(f"parity: rc={rc} — {summary(out, parity_pat)}")
     if rc != 0 or n_fail:
         failures.append(f"parity: {n_fail} [FAIL] rows (rc={rc})")
 
@@ -50,7 +53,7 @@ def main() -> None:
         [sys.executable, "-m", "pytest", "tests/", "-q", "-p", "no:cacheprovider"],
         art / "pytest_gate.log",
     )
-    print(f"pytest: rc={rc} — {summary(out, r'^.*\b(?:passed|failed|error).*$')}")
+    print(f"pytest: rc={rc} — {summary(out, pytest_pat)}")
     if rc != 0:
         failures.append(f"pytest: rc={rc}")
 
