@@ -67,11 +67,37 @@ def zorder_key_epoch_day(id_col: Column, date_col: Column) -> Column:
     return morton_key(id_col, F.datediff(date_col, F.lit("1970-01-01")))
 
 
+def checked(col: Column, name: str) -> Column:
+    """`col`, with a per-row guard that raises when the value would be
+    truncated by the 31-bit input mask (negative or ≥ 2^31).  The guard is
+    a branch inside the same whole-stage-codegen scan — no extra job, no
+    extra pass — so silent Morton-coordinate aliasing (distinct high keys
+    clustering into the same curve position) becomes a loud error telling
+    the caller to pre-hash/bucket the column."""
+    c = col.cast("long")
+    return F.when(
+        (c < 0) | (c > F.lit(_INPUT_MASK)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"zorder: column '{name}' value "
+                ),
+                c.cast("string"),
+                F.lit(
+                    " outside [0, 2^31): pre-hash or bucket wide ids "
+                    "before Z-order clustering"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(c)
+
+
 def cluster_by_zorder(
     df: DataFrame,
     a: str,
     b: str,
     num_partitions: int | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """Cluster rows along the Z-curve of (a, b) so a subsequent parquet
     write yields files whose min/max statistics are tight in BOTH columns.
@@ -80,8 +106,17 @@ def cluster_by_zorder(
     (one shuffle — the same shuffle any clustering write pays), and the
     in-partition `sortWithinPartitions` orders rows inside each file.
     The key column is dropped before returning; writers see the original
-    schema."""
-    key = morton_key(F.col(a), F.col(b))
+    schema.
+
+    `strict` (default) raises at scan time on any value the 31-bit input
+    mask would truncate — truncation only degrades clustering quality
+    (correctness is preserved by residual filters), but silently degraded
+    file pruning at 100 TB is exactly the failure you want surfaced.
+    Pass strict=False to accept low-31-bit clustering for wide ids."""
+    if strict:
+        key = morton_key(checked(F.col(a), a), checked(F.col(b), b))
+    else:
+        key = morton_key(F.col(a), F.col(b))
     out = df.withColumn("__zkey", key)
     if num_partitions:
         out = out.repartitionByRange(num_partitions, "__zkey")

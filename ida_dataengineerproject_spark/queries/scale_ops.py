@@ -20,15 +20,20 @@ from ..sources.tables import table
 
 
 def _scratch_dir(op: str, sf_dir: str) -> str:
-    """Deterministic per-(op, sf_dir) scratch path, REUSED (and
+    """Deterministic per-(op, sf_dir, process) scratch path, REUSED (and
     overwritten) across invocations — bench/parity/gate run each query
-    repeatedly, and per-call mkdtemp would fill the disk monotonically."""
+    repeatedly, and per-call mkdtemp would fill the disk monotonically.
+    The PID in the key isolates concurrent runs (e.g. bench and parity on
+    the same sf_dir) from overwriting each other's directory mid-read;
+    within one process reruns still reuse one directory."""
     import hashlib
     import os
     import tempfile
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_{op}_{key}")
+    d = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{op}_{key}_p{os.getpid()}"
+    )
     os.makedirs(d, exist_ok=True)
     return d
 

@@ -21,6 +21,16 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 
 
+# Above this the "estimate" is not a measurement: plans without file
+# statistics (LogicalRDD, non-file streaming micro-batches such as Kafka
+# or rate sources) fall back to spark.sql.defaultSizeInBytes, which
+# defaults to Long.MaxValue — dividing THAT by a file size would ask for
+# ~2^36 output partitions and hang the repartition.  1 PiB is far beyond
+# any single compaction call's real input, so it cleanly separates
+# measurements from the sentinel.
+_ESTIMATE_CAP_BYTES = 1 << 50
+
+
 def estimated_plan_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for the optimized plan (driver-side, no
     job): for parquet scans this is the sum of file sizes adjusted for
@@ -40,9 +50,18 @@ def write_compacted(
     Returns the partition (≈ file) count used.  Parquet encoding+
     compression typically shrinks in-plan bytes ~2-4×; the estimate errs
     toward more, smaller files, which is the safe direction (a too-big
-    file is a worse straggler than two half-size ones)."""
+    file is a worse straggler than two half-size ones).
+
+    When Catalyst has no real statistics for the plan (its estimate is the
+    defaultSizeInBytes sentinel — see _ESTIMATE_CAP_BYTES), fall back to
+    the input's current partition count: the write degrades to a plain
+    repartition-preserving pack instead of demanding 2^36 partitions."""
     target = target_file_mb * 1024 * 1024
-    n = max(1, math.ceil(estimated_plan_bytes(df) / target))
+    est = estimated_plan_bytes(df)
+    if est >= _ESTIMATE_CAP_BYTES:
+        n = max(1, df.rdd.getNumPartitions())
+    else:
+        n = max(1, math.ceil(est / target))
     writer = df.repartition(n).write.mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)

@@ -16,29 +16,48 @@ file level) — pair with the hash-dedup sink (operators/dedup) or an
 idempotent overwrite-by-partition write for end-to-end exactly-once, the
 same contract foreachBatch sinks use (tests/test_foreach_batch.py).
 
-The ledger itself is a parquet table of file identities (path, size) —
-listing-stable, no wall-clock timestamps, so reruns are deterministic.
+The ledger itself is a parquet table of file identities
+(path, size_bytes, mtime_ms).  Listing and existence checks go through
+the Hadoop FileSystem API, so the same code runs against local paths and
+object stores (s3a://, abfss://, …).  Including the modification time in
+the identity means an in-place rewrite is re-ingested even when the new
+file happens to have the SAME byte size (the size-only blind spot); the
+residual blind spot — same name, same size, same filesystem mtime
+granularity — requires a rewrite within one mtime tick and is the same
+contract the Structured Streaming file source accepts.  mtime is
+listing-stable (it changes only when the file actually changes), so
+reruns over an unchanged source stay deterministic.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 LEDGER_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType(), False),
         T.StructField("size_bytes", T.LongType()),
+        T.StructField("mtime_ms", T.LongType()),
     ]
 )
+
+_IDENTITY_COLS = ["path", "size_bytes", "mtime_ms"]
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for `path` via the JVM Hadoop FS API — works for
+    local paths and object-store URIs alike."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
 
 
 def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
     """The processed-files ledger (empty DataFrame if none exists yet)."""
-    if os.path.isdir(ledger_path):
+    fs, hpath = _hadoop_fs(spark, ledger_path)
+    if fs.exists(hpath):
         return spark.read.schema(LEDGER_SCHEMA).parquet(ledger_path)
     return spark.createDataFrame([], LEDGER_SCHEMA)
 
@@ -46,26 +65,31 @@ def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
 def list_source_files(
     spark: SparkSession, src_dir: str, suffix: str = ".parquet"
 ) -> DataFrame:
-    """Current source listing as (path, size_bytes).  Local-fs listing
-    here; on a real lake this is the object-store list call (or its
-    manifest/inventory at very large file counts)."""
-    rows = [
-        (os.path.join(src_dir, f), os.path.getsize(os.path.join(src_dir, f)))
-        for f in sorted(os.listdir(src_dir))
-        if f.endswith(suffix)
-    ]
+    """Current source listing as (path, size_bytes, mtime_ms) via the
+    Hadoop FS API (one list call; on a real lake this is the object-store
+    LIST — or its manifest/inventory at very large file counts)."""
+    fs, hdir = _hadoop_fs(spark, src_dir)
+    rows = []
+    for status in fs.listStatus(hdir):
+        p = status.getPath()
+        if status.isFile() and p.getName().endswith(suffix):
+            rows.append(
+                (p.toString(), status.getLen(), status.getModificationTime())
+            )
+    rows.sort()
     return spark.createDataFrame(rows, LEDGER_SCHEMA)
 
 
 def unprocessed_files(listing: DataFrame, ledger: DataFrame) -> DataFrame:
     """Files present in the listing but absent from the ledger: one
-    left-anti join on the FULL file identity (path, size_bytes) — a file
-    rewritten in place under the same name (size changed) counts as new
-    and is re-ingested rather than silently skipped.  Lake sources should
-    still treat files as immutable (an in-place append re-ingests the
-    whole file; pair with the hash-dedup sink)."""
+    left-anti join on the FULL file identity (path, size_bytes, mtime_ms)
+    — a file rewritten in place under the same name counts as new and is
+    re-ingested rather than silently skipped, even when the rewrite kept
+    the byte size.  Lake sources should still treat files as immutable
+    (an in-place append re-ingests the whole file; pair with the
+    hash-dedup sink)."""
     return listing.join(
-        ledger.select("path", "size_bytes"), ["path", "size_bytes"], "left_anti"
+        ledger.select(*_IDENTITY_COLS), _IDENTITY_COLS, "left_anti"
     )
 
 

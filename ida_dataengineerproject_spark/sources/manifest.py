@@ -59,16 +59,6 @@ def fetch_catalog(dataset_id: str, api_base: str = DEFAULT_API) -> list[Resource
     ]
 
 
-def fetch_catalog_stub(dataset_id: str) -> list[Resource]:
-    """Backward-compat alias kept for round-1 callers: the live
-    implementation is :func:`fetch_catalog`; with no network AND no
-    injected fixture there is nothing to fetch."""
-    raise NotImplementedError(
-        "no network in this environment: use fetch_catalog with a "
-        "file:// api_base, or inject a manifest"
-    )
-
-
 def manifest_df(spark: SparkSession, resources: list[Resource]) -> DataFrame:
     return spark.createDataFrame(
         [(r.titulo, r.url, r.formato) for r in resources],

@@ -46,13 +46,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     without TZ → TIMESTAMP_NTZ) instead of failing eagerly."""
     import os
 
+    from pyspark.errors import AnalysisException
+
     try:
         raw_ts = (
             spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
             .schema["ts"]
             .dataType
         )
-    except Exception:  # noqa: BLE001 — path not found yet: stay lazy
+    except AnalysisException:  # path not found yet: stay lazy
+        # Only the missing-path case falls back; a corrupt file or a
+        # permission error propagates here instead of resurfacing later
+        # as a confusing stream schema mismatch.
         raw_ts = T.TimestampNTZType()
     raw = (
         spark.readStream.schema(_event_schema(raw_ts))

@@ -142,6 +142,50 @@ def test_write_compacted_file_count_and_content(spark, tmp_path):
     assert n >= 1
 
 
+def test_write_compacted_clamps_statless_plans(spark, tmp_path):
+    """Plans without file statistics (LogicalRDD; Kafka/rate streaming
+    micro-batches are the production case) report Catalyst's
+    defaultSizeInBytes sentinel, not a size.  The writer must fall back to
+    the input partition count instead of demanding ~2^36 partitions."""
+    from ida_dataengineerproject_spark.sources.compaction import (
+        _ESTIMATE_CAP_BYTES,
+        estimated_plan_bytes,
+        write_compacted,
+    )
+
+    rdd = spark.sparkContext.parallelize([(i,) for i in range(100)], 4)
+    df = spark.createDataFrame(rdd, "id long")
+    assert estimated_plan_bytes(df) >= _ESTIMATE_CAP_BYTES  # the sentinel
+    n = write_compacted(df, str(tmp_path / "statless"))
+    assert 1 <= n <= 4  # input partition count, not 2^36
+    assert spark.read.parquet(str(tmp_path / "statless")).count() == 100
+
+
+def test_zorder_strict_rejects_truncated_ids(spark):
+    """cluster_by_zorder(strict=True) must raise at scan time when a key
+    would be truncated by the 31-bit mask (silent truncation degrades
+    file pruning quality); strict=False keeps the documented low-31-bit
+    clustering behavior."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.operators.zorder import cluster_by_zorder
+
+    wide = spark.range(10).select(
+        (F.col("id") + 2**31).alias("a"), F.col("id").alias("b")
+    )
+    with pytest.raises(Exception, match="zorder.*pre-hash or bucket"):
+        cluster_by_zorder(wide, "a", "b", 2).collect()
+
+    # strict=False: documented truncating behavior still works
+    assert cluster_by_zorder(wide, "a", "b", 2, strict=False).count() == 10
+
+    # in-range data passes the guard untouched
+    ok = spark.range(10).select(
+        F.col("id").alias("a"), F.col("id").alias("b")
+    )
+    assert cluster_by_zorder(ok, "a", "b", 2).count() == 10
+
+
 @pytest.mark.parametrize(
     "name",
     [

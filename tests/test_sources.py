@@ -376,3 +376,46 @@ def test_ingest_ledger_detects_rewritten_file(spark, tmp_path):
     write_file(0, 500)  # rewritten in place, different size
     s2 = ingest_new_files(spark, str(src), str(tmp_path / "ledger2"), process)
     assert s2["files_new"] == 1  # re-ingested, not silently skipped
+
+
+def test_ingest_ledger_detects_same_size_rewrite(spark, tmp_path):
+    """A file rewritten in place with the SAME byte size (regenerated
+    same-shape data) must also count as new: the identity includes the
+    modification time, not just (path, size)."""
+    import os
+    import time
+
+    from ida_dataengineerproject_spark.sources.ingest_ledger import (
+        ingest_new_files,
+    )
+
+    src = tmp_path / "src3"
+    src.mkdir()
+    sink = str(tmp_path / "sink3")
+    f = src / "data.parquet"
+
+    def process(df):
+        df.write.mode("append").parquet(sink)
+
+    import glob
+    import shutil
+
+    tmp = str(src / "_stage")
+    spark.range(0, 7).toDF("id").coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(tmp + "/part-*.parquet")[0]
+    shutil.copy(part, str(f))
+    shutil.rmtree(tmp)
+    size1 = os.path.getsize(f)
+
+    s1 = ingest_new_files(spark, str(src), str(tmp_path / "ledger3"), process)
+    assert s1["files_new"] == 1
+
+    # same-byte rewrite with a bumped mtime (the in-place regeneration)
+    payload = f.read_bytes()
+    time.sleep(0.01)
+    f.write_bytes(payload)
+    os.utime(f, ns=(time.time_ns(), time.time_ns()))
+    assert os.path.getsize(f) == size1  # same size — the old blind spot
+
+    s2 = ingest_new_files(spark, str(src), str(tmp_path / "ledger3"), process)
+    assert s2["files_new"] == 1  # re-ingested via mtime in the identity
