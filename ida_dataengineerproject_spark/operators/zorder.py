@@ -98,6 +98,7 @@ def cluster_by_zorder(
     b: str,
     num_partitions: int | None = None,
     strict: bool = True,
+    keep_bucket: bool = False,
 ) -> DataFrame:
     """Cluster rows along the Z-curve of (a, b) so a subsequent parquet
     write yields files whose min/max statistics are tight in BOTH columns.
@@ -112,7 +113,14 @@ def cluster_by_zorder(
     mask would truncate — truncation only degrades clustering quality
     (correctness is preserved by residual filters), but silently degraded
     file pruning at 100 TB is exactly the failure you want surfaced.
-    Pass strict=False to accept low-31-bit clustering for wide ids."""
+    Pass strict=False to accept low-31-bit clustering for wide ids.
+
+    `keep_bucket` adds a ``__zbucket`` int column — the range-bucket id
+    along the curve (``spark_partition_id`` after the range shuffle) —
+    for a subsequent ``partitionBy("__zbucket")`` write: that directory
+    layout is what lets Spark's own partition pruning (static or dynamic)
+    skip buckets without any driver-side file list
+    (sources/file_pruning.py)."""
     if strict:
         key = morton_key(checked(F.col(a), a), checked(F.col(b), b))
     else:
@@ -122,4 +130,7 @@ def cluster_by_zorder(
         out = out.repartitionByRange(num_partitions, "__zkey")
     else:
         out = out.repartitionByRange("__zkey")
-    return out.sortWithinPartitions("__zkey").drop("__zkey")
+    out = out.sortWithinPartitions("__zkey").drop("__zkey")
+    if keep_bucket:
+        out = out.withColumn("__zbucket", F.spark_partition_id())
+    return out

@@ -176,14 +176,19 @@ def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end data-skipping pipeline: Z-order-cluster orders on
-    (custkey, epoch-day), write 8 files, build a per-file min/max manifest
-    (one aggregation, rows == files), prune files by interval overlap for
-    a 2-D predicate, read + residual-filter, aggregate.  The aggregate
-    matches a plain filtered scan of the source exactly (pruning is a
-    superset guarantee); the file-skip ratio itself is asserted in
-    tests/test_scale_ops.py."""
-    from ..operators.zorder import cluster_by_zorder
-    from ..sources.file_pruning import build_file_manifest, pruned_read
+    (custkey, epoch-day), write 8 bucket DIRECTORIES (partitioned by the
+    curve bucket id), build a per-bucket min/max manifest (one
+    aggregation, rows == buckets), prune buckets relationally for a 2-D
+    predicate, and read via a broadcast semi-join that Dynamic Partition
+    Pruning turns into a PartitionFilter — no driver-side file list
+    anywhere.  The aggregate matches a plain filtered scan of the source
+    exactly (pruning is a superset guarantee); the bucket-skip ratio and
+    the DPP plan shape are asserted in tests/test_scale_ops.py."""
+    from ..sources.file_pruning import (
+        build_bucket_manifest,
+        pruned_read,
+        write_zorder_partitioned,
+    )
 
     # 1996 in days-since-epoch (computed constants; no Date.now anywhere)
     LO_D, HI_D = 9496, 9861
@@ -197,11 +202,9 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d_epoch"),
     )
     out = _scratch_dir("zorder", sf_dir) + "/orders_z"
-    cluster_by_zorder(orders, "o_custkey", "d_epoch", 8).write.mode(
-        "overwrite"
-    ).parquet(out)
+    write_zorder_partitioned(orders, "o_custkey", "d_epoch", 8, out)
 
-    manifest = build_file_manifest(spark, out, ["o_custkey", "d_epoch"])
+    manifest = build_bucket_manifest(spark, out, ["o_custkey", "d_epoch"])
     pruned, _stats = pruned_read(
         spark,
         out,

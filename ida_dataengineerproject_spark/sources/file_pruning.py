@@ -1,20 +1,31 @@
-"""Manifest-based file pruning — Iceberg/Delta-style data skipping from
-file-level statistics, composed with Z-order clustering.
+"""Manifest-based data skipping — Iceberg/Delta-style pruning from
+bucket-level statistics, composed with Z-order clustering, with NO
+driver-side file list.
 
 Parquet row-group statistics prune *within* a scan, but the scan still
 lists and footer-reads every file.  Lake formats avoid that with a
-manifest: per-file min/max per column, consulted BEFORE the scan so
-non-overlapping files are never opened.  At 100 TB the manifest is built
-once at write time (a bounded side artifact: one row per file) and turns a
-million-file listing into a handful of reads for selective predicates —
-provided the write clustered the data so per-file envelopes are tight,
-which is exactly what operators/zorder.cluster_by_zorder produces.
+manifest: per-unit min/max per column, consulted BEFORE the scan so
+non-overlapping units are never opened.  The unit here is the Z-order
+range BUCKET, materialized as a partition directory
+(``__zbucket=<n>/``, written by ``write_zorder_partitioned``), so the
+pruning decision feeds Spark's own partition pruning instead of an
+explicit path list:
 
-Here the manifest is computed with one distributed aggregation over
-``input_file_name()`` and collected (bounded: rows == file count); pruning
-is a driver-side interval-overlap test; the pruned read lists only the
-surviving files.  A residual filter stays on top — pruning is a superset
-guarantee, not an exact one.
+- the manifest is a TABLE (one row per bucket: min/max per clustered
+  column + file count) built with one aggregation and persistable as
+  parquet — at 10⁶+ files it is read and filtered like any other table,
+  never collected;
+- pruning is a relational interval-overlap FILTER on that table
+  (``prune_buckets`` — pure DataFrame ops, no driver loop);
+- the pruned read is a broadcast semi-join of the data against the
+  surviving bucket ids: Catalyst's Dynamic Partition Pruning inserts the
+  bucket filter into the scan's PartitionFilters, so non-surviving
+  directories are never listed or opened.  The driver holds partition
+  *directories* (bounded by bucket count, chosen at write time), never
+  per-file rows.
+
+A residual filter stays on top — pruning is a superset guarantee, not an
+exact one.
 """
 
 from __future__ import annotations
@@ -22,18 +33,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+BUCKET_COL = "__zbucket"
 
-def build_file_manifest(
+
+def write_zorder_partitioned(
+    df: DataFrame,
+    a: str,
+    b: str,
+    num_buckets: int,
+    path: str,
+    strict: bool = True,
+) -> None:
+    """Z-order-cluster `df` on (a, b) and write it partitioned by the
+    range-bucket id: one directory per curve bucket, rows inside each
+    sorted along the curve — the layout ``pruned_read`` skips over."""
+    from ..operators.zorder import cluster_by_zorder
+
+    clustered = cluster_by_zorder(
+        df, a, b, num_buckets, strict=strict, keep_bucket=True
+    )
+    clustered.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+
+
+def build_bucket_manifest(
     spark: SparkSession, path: str, cols: list[str]
 ) -> DataFrame:
-    """Per-file min/max statistics for `cols`: one aggregation pass,
-    output rows == file count (the persistable manifest)."""
+    """Per-bucket min/max statistics for `cols` plus file count: one
+    aggregation pass, output rows == bucket count.  Persist the result
+    next to the data (`.write.parquet(path + "_manifest")`) to make
+    pruning a pure table read at scale."""
     df = spark.read.parquet(path).withColumn("__file", F.input_file_name())
-    aggs = []
+    aggs = [F.countDistinct("__file").alias("n_files")]
     for c in cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
-    return df.groupBy("__file").agg(*aggs)
+    return df.groupBy(BUCKET_COL).agg(*aggs)
+
+
+def prune_buckets(manifest: DataFrame, predicates: dict[str, tuple]) -> DataFrame:
+    """Buckets whose [min, max] envelope overlaps EVERY predicate
+    interval — a relational filter on the manifest table (no collect, no
+    driver loop; works unchanged on a 10⁶-row manifest).
+
+    An all-NULL column envelope (min and max both NULL) cannot satisfy an
+    inclusive-bounds residual filter, so those buckets are pruned."""
+    keep = manifest
+    for c, (lo, hi) in predicates.items():
+        mn, mx = F.col(f"min_{c}"), F.col(f"max_{c}")
+        keep = keep.filter(
+            mn.isNotNull() & mx.isNotNull() & (mx >= F.lit(lo)) & (mn <= F.lit(hi))
+        )
+    return keep
 
 
 def pruned_read(
@@ -42,32 +92,34 @@ def pruned_read(
     manifest: DataFrame,
     predicates: dict[str, tuple],
 ) -> tuple[DataFrame, dict[str, int]]:
-    """Read only the files whose [min, max] envelope overlaps every
-    predicate interval; returns (DataFrame with residual filters applied,
-    {files_total, files_read}).
+    """Read only the buckets whose envelope overlaps every predicate
+    interval; returns (DataFrame with residual filters applied,
+    {buckets_total, buckets_read, files_total, files_read}).
 
-    `predicates` maps column → (lo, hi) inclusive bounds.  The manifest
-    collect is bounded (one row per file); at scale it would be a
-    pre-persisted table read the same way."""
-    def overlaps(d: dict, c: str, lo, hi) -> bool:
-        mn, mx = d[f"min_{c}"], d[f"max_{c}"]
-        if mn is None or mx is None:
-            # all-NULL column in this file: no row can satisfy the
-            # inclusive-bounds residual filter — prune it
-            return False
-        return not (mx < lo or mn > hi)
+    The data never sees a file list: surviving bucket ids are broadcast
+    into a LEFT SEMI join on the partition column, and Dynamic Partition
+    Pruning turns that into a PartitionFilter on the scan — pruned
+    directories are never listed or opened.  The stats readout is one
+    2-row aggregate over the (bucket-count-sized) manifest, not a row
+    collect."""
+    keep = prune_buckets(manifest, predicates)
 
-    rows = manifest.collect()
-    keep = []
-    for r in rows:
-        d = r.asDict()
-        if all(overlaps(d, c, lo, hi) for c, (lo, hi) in predicates.items()):
-            keep.append(d["__file"])
-    stats = {"files_total": len(rows), "files_read": len(keep)}
-    if not keep:
-        df = spark.read.parquet(path).limit(0)
-    else:
-        df = spark.read.parquet(*keep)
+    df = spark.read.parquet(path).join(
+        F.broadcast(keep.select(BUCKET_COL)), BUCKET_COL, "left_semi"
+    )
     for c, (lo, hi) in predicates.items():
         df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
-    return df, stats
+
+    totals = manifest.agg(
+        F.count("*").alias("b"), F.sum("n_files").alias("f")
+    ).collect()[0]
+    kept = keep.agg(
+        F.count("*").alias("b"), F.sum("n_files").alias("f")
+    ).collect()[0]
+    stats = {
+        "buckets_total": int(totals.b),
+        "buckets_read": int(kept.b),
+        "files_total": int(totals.f or 0),
+        "files_read": int(kept.f or 0),
+    }
+    return df.drop(BUCKET_COL), stats

@@ -201,16 +201,17 @@ def test_scale_ops_oracle_parity(spark, duck, name):
     assert_parity(QUERIES[name](spark, SF_SMOKE), duck, ORACLES[name])
 
 
-def test_manifest_pruning_skips_files(spark, tmp_path):
-    """Z-order write + manifest prune: a selective 2-D predicate must read
-    a strict subset of files, and the pruned read + residual filter must
-    equal the plain filtered scan exactly."""
+def test_manifest_pruning_skips_buckets(spark, tmp_path):
+    """Z-order partitioned write + manifest prune: a selective 2-D
+    predicate must read a strict subset of bucket directories, and the
+    pruned read + residual filter must equal the plain filtered scan
+    exactly."""
     from pyspark.sql import functions as F
 
-    from ida_dataengineerproject_spark.operators.zorder import cluster_by_zorder
     from ida_dataengineerproject_spark.sources.file_pruning import (
-        build_file_manifest,
+        build_bucket_manifest,
         pruned_read,
+        write_zorder_partitioned,
     )
     from ida_dataengineerproject_spark.sources.tables import table
 
@@ -221,15 +222,16 @@ def test_manifest_pruning_skips_files(spark, tmp_path):
         F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"),
     )
     out = str(tmp_path / "orders_z")
-    cluster_by_zorder(orders, "o_custkey", "d", 8).write.parquet(out)
+    write_zorder_partitioned(orders, "o_custkey", "d", 8, out)
 
-    manifest = build_file_manifest(spark, out, ["o_custkey", "d"])
+    manifest = build_bucket_manifest(spark, out, ["o_custkey", "d"])
     assert manifest.count() == 8
 
     preds = {"o_custkey": (0, 120), "d": (9496, 9861)}
     pruned, stats = pruned_read(spark, out, manifest, preds)
-    assert stats["files_total"] == 8
-    assert stats["files_read"] < 8, stats  # skipping actually happened
+    assert stats["buckets_total"] == 8
+    assert stats["buckets_read"] < 8, stats  # skipping actually happened
+    assert stats["files_read"] < stats["files_total"]
 
     expected = orders.filter(
         (F.col("o_custkey").between(0, 120)) & (F.col("d").between(9496, 9861))
@@ -242,4 +244,79 @@ def test_manifest_pruning_skips_files(spark, tmp_path):
 
     # non-overlapping predicate prunes everything
     none, stats0 = pruned_read(spark, out, manifest, {"o_custkey": (10**9, 2 * 10**9)})
-    assert stats0["files_read"] == 0 and none.count() == 0
+    assert stats0["buckets_read"] == 0 and none.count() == 0
+
+
+def test_pruned_read_uses_dynamic_partition_pruning(spark, tmp_path):
+    """The pruned scan must carry the bucket filter as a PartitionFilter
+    (dynamic pruning expression from the broadcast semi-join) — proof the
+    skip happens at directory level inside Spark's file index, not via a
+    driver-built path list."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.sources.file_pruning import (
+        build_bucket_manifest,
+        pruned_read,
+        write_zorder_partitioned,
+    )
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    orders = table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"),
+    )
+    out = str(tmp_path / "orders_dpp")
+    write_zorder_partitioned(orders, "o_custkey", "d", 8, out)
+    manifest = build_bucket_manifest(spark, out, ["o_custkey", "d"])
+
+    pruned, _ = pruned_read(spark, out, manifest, {"o_custkey": (0, 120)})
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:4000]
+
+
+def test_prune_buckets_is_relational_at_scale(spark):
+    """prune_buckets must stay a pure DataFrame op (no collect, no driver
+    loop) and behave correctly on a manifest far larger than any file
+    count a collect-based design was tested at (2·10⁴ bucket rows)."""
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.sources.file_pruning import (
+        BUCKET_COL,
+        prune_buckets,
+    )
+
+    src = inspect.getsource(prune_buckets)
+    assert ".collect(" not in src and ".toPandas(" not in src
+
+    n = 20_000
+    # bucket i covers key interval [10i, 10i+9] and an all-NULL tail
+    manifest = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("int").alias(BUCKET_COL),
+            F.lit(1).alias("n_files"),
+            (F.col("id") * 10).alias("min_k"),
+            (F.col("id") * 10 + 9).alias("max_k"),
+        )
+        .withColumn(
+            "min_k",
+            F.when(F.col(BUCKET_COL) >= n - 100, F.lit(None)).otherwise(
+                F.col("min_k")
+            ),
+        )
+        .withColumn(
+            "max_k",
+            F.when(F.col(BUCKET_COL) >= n - 100, F.lit(None)).otherwise(
+                F.col("max_k")
+            ),
+        )
+    )
+    # predicate [995, 3004] overlaps buckets 99..300 inclusive = 202
+    kept = prune_buckets(manifest, {"k": (995, 3004)})
+    assert kept.count() == 202
+    # all-NULL envelopes never survive
+    wide = prune_buckets(manifest, {"k": (0, 10 * n)})
+    assert wide.count() == n - 100
