@@ -71,37 +71,51 @@ def taxa_variacao(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # stage 1-2: market mean per month → LAG → pct-change (op33, op39, op26-28)
+    prev_m = F.lag("valor_medio").over(Window.orderBy("mes"))
     media = (
         sums.groupBy("mes")
         .agg((F.sum("s").cast("double") / F.sum("c")).alias("valor_medio"))
-        .withColumn("prev", F.lag("valor_medio").over(Window.orderBy("mes")))
-        .withColumn("taxa_variacao_media", _pct_change(F.col("valor_medio"), F.col("prev")))
+        .select("mes", "valor_medio", prev_m.alias("prev"))
         .filter(F.col("prev").isNotNull())  # op14
-        .select("mes", "taxa_variacao_media")
+        .select(
+            "mes",
+            _pct_change(F.col("valor_medio"), F.col("prev")).alias(
+                "taxa_variacao_media"
+            ),
+        )
     )
 
     # stage 3-4: per-group mean → partitioned LAG → pct-change (op34, op40)
+    prev_g = F.lag("valor_grupo").over(Window.partitionBy("grupo").orderBy("mes"))
     grupo = (
         sums.select(
             "grupo", "mes", (F.col("s").cast("double") / F.col("c")).alias("valor_grupo")
         )
-        .withColumn(
-            "prev",
-            F.lag("valor_grupo").over(Window.partitionBy("grupo").orderBy("mes")),
-        )
-        .withColumn("variacao", _pct_change(F.col("valor_grupo"), F.col("prev")))
+        .select("grupo", "mes", "valor_grupo", prev_g.alias("prev"))
         .filter(F.col("prev").isNotNull())
+        .select(
+            "grupo",
+            "mes",
+            _pct_change(F.col("valor_grupo"), F.col("prev")).alias("variacao"),
+        )
     )
 
-    # stage 5: join USING(mes) (op32), delta vs market, pivot (op17/op35),
+    # stage 5: join USING(mes) (op32), delta vs market, pivot via explicit
+    # max(CASE) aggregates (op17/op35 — same rewrite Catalyst applies to
+    # .pivot(values), minus the extra aggregate pair the pivot API adds),
     # global sort (op41)
+    delta = F.round(F.col("variacao") - F.col("taxa_variacao_media"), 2)
     return (
         grupo.join(media, "mes")  # inner: months missing either side drop
-        .withColumn("delta", F.round(F.col("variacao") - F.col("taxa_variacao_media"), 2))
         .groupBy("mes", "taxa_variacao_media")
-        .pivot("grupo", GROUPS)
-        .max("delta")
-        .withColumnsRenamed({g: f"grp_{g.lower()}" for g in GROUPS})
+        .agg(
+            *[
+                F.max(F.when(F.col("grupo") == g, delta)).alias(
+                    f"grp_{g.lower()}"
+                )
+                for g in GROUPS
+            ]
+        )
         .orderBy("mes")
     )
 

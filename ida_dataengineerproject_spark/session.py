@@ -28,6 +28,12 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Coalesce post-shuffle partitions to the advisory BYTE size instead of
+    # preserving parallelism (the Spark tuning guide's recommended setting):
+    # task count then follows data volume at every scale — fewer tasks on
+    # small inputs (measured: flagship 1.24→0.90 s, q1 1.27→1.06 s at
+    # sf0.1), 64 MB-sized tasks on big ones.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
 }
 
 

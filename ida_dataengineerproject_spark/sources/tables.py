@@ -35,7 +35,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     DuckDB oracles truncate identically via
     ``make_timestamp(epoch_ns(ts)//1000)`` (idempotent on micros input).
+
+    Memoized per (session, sf_dir, name): ``spark.read.parquet`` does
+    driver-side footer/schema inference on every call (~0.15 s warm),
+    which was the dominant fixed cost of every DataFrame-API query at
+    small scale (the SQL API avoided it via the memoized views below).
+    DataFrames are immutable and lazily planned, so handing every caller
+    the same instance is safe; the cache lives on the session object and
+    dies with it.  Testdata directories are immutable during a run — for
+    mutable paths, use ``spark.read.parquet`` directly.
     """
+    cache = getattr(spark, "_graft_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._graft_table_cache = cache
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
@@ -43,6 +59,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    cache[key] = df
     return df
 
 

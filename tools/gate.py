@@ -1,12 +1,17 @@
 """Round-close gate: refuse to snapshot with a red query or red test.
 
-Runs the full-registry parity sweep (tools/parity.py) and the full pytest
-suite (NO stop-on-first-failure), tees their transcripts to artifacts/, and
-exits non-zero if either reports a failure — so a known-red row can never be
-silently committed in a round snapshot again (round-3 lesson).
+Runs the full-registry parity sweep (tools/parity.py) at TWO scale
+factors and the full pytest suite (NO stop-on-first-failure), tees their
+transcripts to artifacts/, and exits non-zero if any reports a failure —
+so a known-red row can never be silently committed in a round snapshot
+again (round-3 lesson).  Two SFs because regressions can be
+scale-dependent: the round-3 TIMESTAMP_NTZ incident was an encoding
+change; the next one may only manifest at the larger SF (partition
+counts, AQE thresholds, broadcast cutoffs all shift with size).
 
-Usage:  python tools/gate.py [sf_dir]        # default /root/testdata/sf0.01
-Writes: artifacts/PARITY_gate.txt, artifacts/pytest_gate.log
+Usage:  python tools/gate.py [sf_dir ...]
+        # default: /root/testdata/sf0.01 AND /root/testdata/sf0.1
+Writes: artifacts/PARITY_gate_<sf>.txt, artifacts/pytest_gate.log
 """
 
 from __future__ import annotations
@@ -30,7 +35,11 @@ def run_tee(cmd: list[str], log: Path) -> tuple[int, str]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf_dirs = (
+        sys.argv[1:]
+        if len(sys.argv) > 1
+        else ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    )
     art = REPO / "artifacts"
     failures: list[str] = []
 
@@ -41,13 +50,16 @@ def main() -> None:
     parity_pat = r"^.*\bok, .*\bfail.*$"
     pytest_pat = r"^.*\b(?:passed|failed|error).*$"
 
-    rc, out = run_tee(
-        [sys.executable, "tools/parity.py", sf_dir], art / "PARITY_gate.txt"
-    )
-    n_fail = len(re.findall(r"^\[FAIL\]", out, re.M))
-    print(f"parity: rc={rc} — {summary(out, parity_pat)}")
-    if rc != 0 or n_fail:
-        failures.append(f"parity: {n_fail} [FAIL] rows (rc={rc})")
+    for sf_dir in sf_dirs:
+        tag = Path(sf_dir).name
+        rc, out = run_tee(
+            [sys.executable, "tools/parity.py", sf_dir],
+            art / f"PARITY_gate_{tag}.txt",
+        )
+        n_fail = len(re.findall(r"^\[FAIL\]", out, re.M))
+        print(f"parity[{tag}]: rc={rc} — {summary(out, parity_pat)}")
+        if rc != 0 or n_fail:
+            failures.append(f"parity[{tag}]: {n_fail} [FAIL] rows (rc={rc})")
 
     rc, out = run_tee(
         [sys.executable, "-m", "pytest", "tests/", "-q", "-p", "no:cacheprovider"],
