@@ -110,9 +110,13 @@ def running_user_counters_tws(events: DataFrame) -> DataFrame:
     (set here; changelog-checkpointed, incremental — the 100 TB-state
     posture where the default HDFS-backed store keeps full state in
     executor heap)."""
-    # NOTE: needs google.protobuf at runtime (the TWS state protocol);
-    # absent in this container, so the pytest is importorskip-gated —
-    # environment gap, not a code gap (same class as Kafka/Delta).
+    # The TWS state protocol needs google.protobuf in the Python workers;
+    # this container ships none, so activate the vendored minimal runtime
+    # (vendor/google/protobuf, shipped to workers via addPyFile) — a
+    # no-op wherever a real protobuf is installed.
+    from .proto_shim import ensure_protobuf
+
+    ensure_protobuf(events.sparkSession)
     events.sparkSession.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."

@@ -94,12 +94,10 @@ def test_transform_with_state_counters(spark):
     RocksDB state store) must produce the same per-user totals as the
     batch aggregate — and as the applyInPandasWithState twin.
 
-    Requires google.protobuf (the TWS state-protocol dependency), which
-    this container does not ship — skipped when absent, the same
-    environment-gate as Kafka/Delta."""
-    import pytest
-
-    pytest.importorskip("google.protobuf")
+    The TWS state protocol needs google.protobuf; this container ships
+    none, so the operator activates the vendored minimal runtime
+    (vendor/google/protobuf) and ships it to the Python workers via
+    addPyFile — the test runs the REAL protocol end-to-end over it."""
     from ida_dataengineerproject_spark.sources.tables import table
     from ida_dataengineerproject_spark.streaming.events import (
         read_events_stream,
