@@ -68,7 +68,15 @@ def taxa_variacao(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = base.groupBy("grupo", "mes").agg(
         F.sum(F.col("valor").cast("decimal(38,2)")).alias("s"),
         F.count("valor").alias("c"),
-    )
+    ).persist()
+    # ^ persist the shared grain: without the cache boundary Catalyst
+    # collapses the media branch's re-aggregation into a direct
+    # groupBy(mes) over the join, the two branches' partial aggregates
+    # stop canonicalizing equal, and the fact⋈fact join runs TWICE (one
+    # scan per grain).  The cached relation is #groups × #months rows —
+    # bounded and scale-independent — so this is a diamond-reuse cache,
+    # not a data cache; both grains read it and lineitem is scanned once
+    # (pinned by test_flagship_single_fact_scan).
 
     # stage 1-2: market mean per month → LAG → pct-change (op33, op39, op26-28)
     prev_m = F.lag("valor_medio").over(Window.orderBy("mes"))

@@ -187,17 +187,21 @@ def test_sequence_packing_window_is_partitioned(spark):
     assert "windowspecdefinition(shard" in plan
 
 
-def test_flagship_reuses_fact_join_exchange(spark):
-    """r4 single-scan rewrite: both grains consume one identical
-    Exchange(grupo, mes) subtree, which AQE dedups at runtime — the final
-    adaptive plan must contain a ReusedExchange (i.e., the lineitem-orders
-    join executed once)."""
+def test_flagship_single_fact_scan(spark):
+    """r5 single-scan guarantee: the shared (grupo, mes) grain is a
+    persisted diamond — Spark 4's aggregate-merge rewrote the media
+    branch into a direct groupBy(mes) over the join, which broke r4's
+    exchange-level reuse and silently doubled the fact scan.  With the
+    cache boundary both grains must read the SAME InMemoryRelation
+    (CacheManager fills it once), so the lineitem⋈orders join executes
+    exactly once per fill."""
     from ida_dataengineerproject_spark.plans.taxa_variacao import taxa_variacao
 
     df = taxa_variacao(spark, SF_SMOKE)
     df.collect()  # finalize the adaptive plan
     final = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in final
+    # both the media and grupo branches consume the cached grain
+    assert final.count("InMemoryTableScan") >= 2, final
 
 
 def test_q18_single_lineitem_scan(spark):
