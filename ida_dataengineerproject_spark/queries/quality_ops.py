@@ -1,0 +1,347 @@
+"""Data-quality + corpus-composition operators (round 5).
+
+Four operators a 100 TB training-data pipeline runs between ingest and
+tokenization, each oracle-paired:
+
+- xq1_constraint_audit    — declarative Deequ-style constraint suite
+  evaluated in ONE aggregate pass per table (completeness, uniqueness,
+  set membership, range), long-format verdict rows.
+- xt15_domain_mixture_epochs — re-weight a multi-source corpus to a
+  target domain mixture by fractional epochs (floor(e) full copies +
+  one more with probability frac(e), decided by a deterministic md5
+  coin), materialized distributively via explode.  This is the
+  up/down-sampling recipe behind published LLM data mixtures.
+- xt16_quality_weighted_sample — importance-sample documents with
+  keep-probability a rational function of length (no libm calls — the
+  coin and the probability are bit-identical on any engine).
+- x13_cdc_apply_latest_state — apply a keyed changelog (events) to
+  produce current state: latest row per key wins, a tombstone type
+  deletes the key.  The MERGE-shape op behind incremental snapshots.
+
+Reference scope: the reference's ETL validates row shape before load
+(/root/reference/etl/etl_ida.py: dropna + invalid-cell filters, op11/
+op12) and upserts dimensions (op38); these operators generalize that
+validation/merge posture to corpus scale.
+
+Determinism contract (hash-matched against DuckDB): random coins are
+`substr(md5(key), 1, 8) < printf('%08x', floor(p * 2^32))` — md5 and
+the hex rendering are engine-independent, so sample membership is
+reproducible anywhere (same property xt1_hash_split_assignment relies
+on).  No exp/log in probabilities: libm differs across engines in the
+last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import table
+
+
+def _coin(key_col, p_col):
+    """Deterministic Bernoulli(p) draw from md5(key): uniform u in [0,1)
+    as an 8-hex-digit string, compared against the 8-hex rendering of
+    floor(p * 2^32).  Lexicographic compare == numeric compare because
+    both sides are fixed-width lowercase hex.  Returns a boolean column.
+    """
+    u = F.substring(F.md5(key_col.cast("string")), 1, 8)
+    thresh = F.format_string(
+        "%08x",
+        F.least(
+            F.floor(p_col * F.lit(4294967296.0)), F.lit(4294967295)
+        ).cast("long"),
+    )
+    return u < thresh
+
+
+_COIN_SQL = (
+    "substr(md5(CAST({key} AS VARCHAR)), 1, 8) < "
+    "printf('%08x', CAST(least(floor(({p}) * 4294967296.0), 4294967295) AS BIGINT))"
+)
+
+
+@register(
+    "xq1_constraint_audit",
+    """
+    WITH o AS (
+        SELECT COUNT(*) AS n,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_keys,
+               COUNT(*) - COUNT(o_custkey) AS null_cust,
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+               CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price
+        FROM orders
+    ),
+    l AS (
+        SELECT CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc,
+               COUNT(*) - COUNT(l_shipdate) AS null_ship
+        FROM lineitem
+    )
+    SELECT * FROM (
+        SELECT 'orders.o_orderkey_unique' AS constraint_name, dup_keys AS violations FROM o
+        UNION ALL SELECT 'orders.o_custkey_complete', null_cust FROM o
+        UNION ALL SELECT 'orders.o_orderstatus_in_set', bad_status FROM o
+        UNION ALL SELECT 'orders.o_totalprice_nonnegative', neg_price FROM o
+        UNION ALL SELECT 'lineitem.l_quantity_positive', bad_qty FROM l
+        UNION ALL SELECT 'lineitem.l_discount_in_unit_range', bad_disc FROM l
+        UNION ALL SELECT 'lineitem.l_shipdate_complete', null_ship FROM l
+    ) v
+    ORDER BY constraint_name
+    """,
+)
+def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite, Deequ-style: ALL row-level checks on
+    a table fold into ONE aggregate pass (conditional counts), so the
+    audit costs one scan per table regardless of how many constraints it
+    carries — the property that makes a 100-constraint suite viable on a
+    100 TB table.  The single exact COUNT(DISTINCT) adds Spark's Expand
+    (2x rows through the first aggregate) — the one check that is not
+    free; swap for approx_count_distinct when a tolerance is acceptable.
+    FK edges live in xt4_fk_integrity_audit (anti-joins, inherently not
+    single-pass).  Output is long-format (constraint_name, violations)
+    so downstream gating is itself a trivial filter."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    orow = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_keys"),
+        (F.count("*") - F.count("o_custkey")).alias("null_cust"),
+        cnt(~F.col("o_orderstatus").isin("F", "O", "P")).alias("bad_status"),
+        cnt(F.col("o_totalprice") < 0).alias("neg_price"),
+    )
+    lrow = li.agg(
+        cnt(F.col("l_quantity") <= 0).alias("bad_qty"),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "bad_disc"
+        ),
+        (F.count("*") - F.count("l_shipdate")).alias("null_ship"),
+    )
+    o_checks = orow.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("constraint_name"),
+                        F.col(c).cast("long").alias("violations"),
+                    )
+                    for name, c in [
+                        ("orders.o_orderkey_unique", "dup_keys"),
+                        ("orders.o_custkey_complete", "null_cust"),
+                        ("orders.o_orderstatus_in_set", "bad_status"),
+                        ("orders.o_totalprice_nonnegative", "neg_price"),
+                    ]
+                ]
+            )
+        )
+    )
+    l_checks = lrow.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("constraint_name"),
+                        F.col(c).cast("long").alias("violations"),
+                    )
+                    for name, c in [
+                        ("lineitem.l_quantity_positive", "bad_qty"),
+                        ("lineitem.l_discount_in_unit_range", "bad_disc"),
+                        ("lineitem.l_shipdate_complete", "null_ship"),
+                    ]
+                ]
+            )
+        )
+    )
+    return o_checks.unionByName(l_checks).orderBy("constraint_name")
+
+
+@register(
+    "xt15_domain_mixture_epochs",
+    f"""
+    WITH counts AS (
+        SELECT source,
+               COUNT(*) AS n_in,
+               CASE WHEN CAST(substr(source, 4) AS BIGINT) < 5
+                    THEN 2.0 ELSE 1.0 END AS w
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_in) AS DOUBLE) AS t, SUM(w) AS sw FROM counts
+    ),
+    plan_ AS (
+        SELECT source, n_in, (w / sw) * t / n_in AS epochs
+        FROM counts, tot
+    ),
+    copies AS (
+        SELECT d.source,
+               CAST(floor(p.epochs) AS BIGINT)
+               + CASE WHEN {_COIN_SQL.format(key='d.doc_id', p='p.epochs - floor(p.epochs)')}
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN plan_ p USING (source)
+    )
+    SELECT c.source,
+           MAX(p.n_in) AS n_in,
+           MAX(p.epochs) AS epochs,
+           CAST(SUM(c.n_copies) AS BIGINT) AS n_out
+    FROM copies c JOIN plan_ p USING (source)
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+)
+def domain_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-weight a multi-source corpus to a target domain mixture via
+    fractional epochs — the standard LLM-pretraining recipe (e.g. "web
+    x0.7, code x2.3"): source s with target weight w_s gets
+    epochs_s = (w_s / sum(w)) * T / n_s passes over its documents, where
+    T is the output token/doc budget (here: keep total corpus size).
+    epochs > 1 up-samples (full copies), the fractional remainder is a
+    per-document deterministic md5 coin, so the materialized mixture is
+    reproducible run-to-run and engine-to-engine.
+
+    Scale design: per-source counts are a tiny aggregate broadcast back
+    onto the corpus (source cardinality ~10-100 at any data size);
+    copy materialization is explode(sequence(...)) — per-row work, no
+    shuffle until the final summary; a doc with 0 copies explodes an
+    empty array and vanishes.  Target weights here: sources with index
+    < 5 get 2x the weight of the rest (fixed spec, oracle-mirrored).
+    Note sequence(1, n) with n=0 would count DOWN in Spark — the empty
+    array must be explicit."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_in"))
+    counts = counts.withColumn(
+        "w",
+        F.when(
+            F.substring("source", 4, 10).cast("bigint") < 5, F.lit(2.0)
+        ).otherwise(F.lit(1.0)),
+    )
+    tot = counts.agg(
+        F.sum("n_in").cast("double").alias("t"), F.sum("w").alias("sw")
+    )
+    plan = counts.join(F.broadcast(tot)).select(
+        "source",
+        "n_in",
+        ((F.col("w") / F.col("sw")) * F.col("t") / F.col("n_in")).alias(
+            "epochs"
+        ),
+    )
+    frac = F.col("epochs") - F.floor("epochs")
+    n_copies = (
+        F.floor("epochs").cast("long")
+        + F.when(_coin(F.col("doc_id"), frac), 1).otherwise(0)
+    ).alias("n_copies")
+    materialized = (
+        docs.join(F.broadcast(plan), "source")
+        .select("source", "doc_id", "n_in", "epochs", n_copies)
+        .select(
+            "source",
+            "n_in",
+            "epochs",
+            F.explode(
+                F.when(
+                    F.col("n_copies") >= 1,
+                    F.sequence(F.lit(1).cast("long"), F.col("n_copies")),
+                ).otherwise(F.array())
+            ).alias("copy_i"),
+        )
+    )
+    return (
+        materialized.groupBy("source")
+        .agg(
+            F.max("n_in").alias("n_in"),
+            F.max("epochs").alias("epochs"),
+            F.count("*").alias("n_out"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "xt16_quality_weighted_sample",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) / COUNT(n_chars)
+               AS avg_chars_kept
+    FROM (
+        SELECT lang, n_chars
+        FROM documents
+        WHERE {_COIN_SQL.format(key='doc_id', p='CAST(n_chars AS DOUBLE) / (n_chars + 200.0)')}
+    ) kept
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by document quality: keep probability
+    p = n_chars / (n_chars + 200) — longer documents survive more often,
+    a 50%-keep knee at 200 chars.  The probability is a RATIONAL
+    function on purpose: exp/log-based weights (softmax temperature)
+    differ across engines in the last ulp and would break bit-exact
+    reproducibility of sample membership; rational arithmetic plus the
+    md5 coin is exactly portable.  Per-row decision, zero shuffles
+    before the summary aggregate — at 100 TB this is a pure map stage
+    over the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    p = F.col("n_chars").cast("double") / (F.col("n_chars") + F.lit(200.0))
+    from ..functions.aggs import avg_exact
+
+    return (
+        docs.filter(_coin(F.col("doc_id"), p))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            avg_exact("n_chars", scale=0).alias("avg_chars_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "x13_cdc_apply_latest_state",
+    """
+    SELECT user_id, last_type, last_value, n_events
+    FROM (
+        SELECT user_id, event_type AS last_type, value AS last_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events
+    ) s
+    WHERE rn = 1 AND last_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def cdc_apply_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a keyed changelog to produce current state — the batch
+    MERGE shape behind every incremental snapshot: latest row per key
+    wins (ordered by ts, event_id as the deterministic tiebreak), and a
+    tombstone type ('error' plays the delete marker in this dataset)
+    removes the key from the final state.
+
+    Scale design: ONE shuffle on the key; both window functions share
+    the same partition spec so they evaluate in a single WindowExec
+    pass.  At 100 TB the changelog is typically log-structured by time
+    — the key shuffle is unavoidable (state is keyed), but nothing else
+    moves; compare operators/upsert.py (op38) for the dimension-table
+    variant and operators/scd2.py for the full-history variant."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_events"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("last_type") != "error"))
+        .drop("rn")
+        .orderBy("user_id")
+    )

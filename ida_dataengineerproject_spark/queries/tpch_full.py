@@ -607,11 +607,18 @@ def q21b(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(*) over the order ≥ 2, NOT EXISTS ⇔ sum(late_any) = 1.
 
     Plan: ONE lineitem scan (probe form: 3), one shuffle to the pair
-    grain, one to the order grain for the window, a broadcast supplier
-    join on the tiny survivor set, and a few-row final aggregate.  No
-    Expand (countDistinct would double the shuffled volume), no
-    row-grain rejoin.  The probe-form query stays registered as the
-    semi/anti plan-shape coverage."""
+    grain, one to the order grain, a broadcast supplier join on the tiny
+    survivor set, and a few-row final aggregate.  No Expand
+    (countDistinct would double the shuffled volume), no row-grain
+    rejoin.  The order-grain step is a plain groupBy, NOT a window over
+    the pair rows: a window must SORT every pair row by orderkey and
+    keeps the full pair grain flowing into the supplier join, while the
+    aggregate gets map-side partial combine, skips the sort, and reduces
+    to qualifying orders (n_late_supp == 1 pins THE late supplier, so
+    max(case) recovers its suppkey and late count without a rejoin) —
+    at the 100x replicated probe this is the difference between a
+    superlinear and a ~linear wall-vs-data slope.  The probe-form query
+    stays registered as the semi/anti plan-shape coverage."""
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -622,18 +629,19 @@ def q21b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum(late.cast("long")).alias("late_cnt"))
     )
-    w = Window.partitionBy("l_orderkey")
     qual = (
-        pair.withColumn("n_supp", F.count("*").over(w))
-        .withColumn(
-            "n_late_supp",
-            F.sum((F.col("late_cnt") > 0).cast("long")).over(w),
+        pair.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum((F.col("late_cnt") > 0).cast("long")).alias("n_late_supp"),
+            F.max(
+                F.when(F.col("late_cnt") > 0, F.col("l_suppkey"))
+            ).alias("l_suppkey"),
+            F.sum(F.when(F.col("late_cnt") > 0, F.col("late_cnt"))).alias(
+                "late_cnt"
+            ),
         )
-        .filter(
-            (F.col("late_cnt") > 0)
-            & (F.col("n_supp") >= 2)
-            & (F.col("n_late_supp") == 1)
-        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     return (
         qual.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
