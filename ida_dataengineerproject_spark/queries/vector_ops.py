@@ -226,3 +226,105 @@ def q_x03e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle registration for ``embedding_neardup_lsh_query`` — VERIFY
     arm (exact-pair recall contract); bench/production run LSH-only."""
     return embedding_neardup_lsh_query(spark, sf_dir, verify=True)
+
+
+# ---------------------------------------------------------- semantic dedup
+
+
+def _neardup_losers(pairs: DataFrame) -> DataFrame:
+    """Greedy-by-id dedup decision from a near-dup pair set (id_a < id_b):
+    a document loses iff ANY smaller-id document is similar to it, i.e.
+    the distinct id_b column.  Greedy-by-id (not connected components) on
+    purpose: the rule is locally decidable from pairs alone — no
+    iterative closure — and is the common production choice for
+    embedding-level dedup; x02d covers the transitive-component variant
+    for text."""
+    return pairs.select(F.col("id_b").alias("loser_id")).distinct()
+
+
+@register(
+    "x03f_semantic_dedup_keep",
+    """
+    SELECT e.vec_id
+    FROM embeddings e
+    WHERE e.vec_id < 200
+      AND NOT EXISTS (
+        SELECT 1 FROM embeddings a
+        WHERE a.vec_id < e.vec_id AND a.vec_id < 200
+          AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])), 9) >= 0.4)
+    ORDER BY e.vec_id
+    """,
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-level) deduplication — the keep-list: drop
+    every document that has a near-duplicate (cosine >= 0.4) with a
+    smaller id, keep the rest.  This is the decision layer on top of the
+    pair detectors (x03c exact / x03e LSH): pairs -> losers -> anti-join.
+
+    This registered arm is the bounded EXACT twin (vec_id < 200,
+    all-pairs) so the oracle can mirror it with NOT EXISTS;
+    ``semantic_dedup_keep_lsh`` below is the full-corpus scale path.
+    Cosines are rounded to 9 digits on both engines before the threshold
+    compare, so keep-membership is bit-identical."""
+    from ..functions.vectors import as_double_array, cosine as cos
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double_array("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), as_double_array("embedding").alias("vb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos(F.col("va"), F.col("vb")), 9))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b")
+    )
+    losers = _neardup_losers(pairs)
+    return (
+        emb.join(losers, emb.vec_id == losers.loser_id, "left_anti")
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "x03g_semantic_dedup_lsh",
+    """
+    SELECT TRUE AS superset_ok, TRUE AS bound_ok
+    """,
+)
+def semantic_dedup_keep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale arm of semantic dedup: the same greedy-by-id keep rule with
+    LSH-bucketed candidate pairs instead of all-pairs — at 100 TB the
+    pair volume tracks true near-duplicate density, never n².
+
+    Contract (what the registered row asserts, computed on the
+    x03f-bounded subset): LSH can only MISS pairs (candidates are scored
+    exactly, so no false pairs) => its loser set is a subset of the
+    exact loser set => ``kept_lsh ⊇ kept_exact`` (superset_ok), and the
+    overshoot is bounded: |kept_lsh| <= |kept_exact| + 0.2 * n_dropped
+    (bound_ok — at the measured >= 0.8 pair recall at most ~20% of true
+    losers can escape).  Both booleans must be TRUE to hash-match the
+    oracle row."""
+    from ..operators.similarity import embedding_neardup_pairs_lsh
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    approx_pairs = embedding_neardup_pairs_lsh(emb, threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    kept_lsh = emb.join(
+        _neardup_losers(approx_pairs),
+        emb.vec_id == F.col("loser_id"),
+        "left_anti",
+    ).select("vec_id")
+
+    exact = semantic_dedup_keep(spark, sf_dir)
+    n_exact = exact.count()
+    n_total = emb.count()
+    n_lsh = kept_lsh.count()
+    # exact-kept ids missing from the LSH keep-list (must be none)
+    n_missing = exact.join(kept_lsh, "vec_id", "left_anti").count()
+    superset_ok = n_missing == 0
+    bound_ok = n_lsh <= n_exact + 0.2 * (n_total - n_exact)
+    return spark.createDataFrame(
+        [(superset_ok, bound_ok)], "superset_ok boolean, bound_ok boolean"
+    )

@@ -257,3 +257,29 @@ def test_embedding_neardup_lsh_scale_path(spark, duck):
         duck,
         ORACLES["x03e_embedding_neardup_lsh"],
     )
+
+
+def test_semantic_dedup_keep_rule_golden(spark):
+    """Greedy-by-id keep rule on a hand-built pair set: losers are
+    exactly the distinct larger ids."""
+    from ida_dataengineerproject_spark.queries.vector_ops import (
+        _neardup_losers,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (1, 7), (2, 7), (3, 9)], "id_a long, id_b long"
+    )
+    losers = sorted(r["loser_id"] for r in _neardup_losers(pairs).collect())
+    assert losers == [5, 7, 9]
+
+
+def test_semantic_dedup_lsh_contract_holds(spark):
+    """The registered x03g contract (kept_lsh superset of kept_exact,
+    bounded overshoot) must hold at smoke scale too."""
+    from ida_dataengineerproject_spark.queries.vector_ops import (
+        semantic_dedup_keep_lsh,
+    )
+    from tests.conftest import SF_SMOKE
+
+    row = semantic_dedup_keep_lsh(spark, SF_SMOKE).collect()[0]
+    assert row["superset_ok"] and row["bound_ok"]
