@@ -21,6 +21,12 @@ import time
 
 
 def spark_time(fn, spark, sf_dir) -> float:
+    # drop any persisted/cached relations first: queries that persist a
+    # shared grain (flagship) would otherwise serve the SECOND timed run
+    # from the result cache, and min-of-N would report cache-read time
+    # instead of engine time.  The DuckDB denominator recomputes every
+    # run — clearing Spark's result cache is the like-for-like timing.
+    spark.catalog.clearCache()
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0

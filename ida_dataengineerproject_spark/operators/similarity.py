@@ -278,7 +278,13 @@ def cosine_topk_ivf(
         idx_key = ("ivf_index", cache_key, n_centroids, arrow)
         cached = _IVF_INDEX_CACHE.get(idx_key)
         if cached is not None and cached.sparkSession is c.sparkSession:
-            c_assigned = cached
+            # re-persist on access: a global spark.catalog.clearCache()
+            # (bench/probe run isolation) unpersists the index artifact;
+            # persist() is a no-op when still cached and re-marks the
+            # plan for caching when cleared, so the index re-warms on
+            # the next action instead of silently degrading to
+            # recompute-per-query.
+            c_assigned = cached.persist()
         else:
             c_assigned = c_assigned.persist()
             _IVF_INDEX_CACHE[idx_key] = c_assigned

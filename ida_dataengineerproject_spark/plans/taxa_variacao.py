@@ -59,62 +59,88 @@ def taxa_variacao(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # ONE aggregation at the finest shared grain (grupo, mes): decimal sum
-    # + count partials.  The market mean per month is derived by re-summing
-    # the group partials — decimal addition is associative, so the result
-    # is bit-identical to aggregating the base rows directly, and the
-    # expensive fact⋈fact join + scan runs ONCE instead of once per grain
-    # (same single-scan rewrite the SQL-API twin got in round 3).
-    sums = base.groupBy("grupo", "mes").agg(
+    # BOTH grains in ONE aggregate pass via GROUPING SETS ((grupo, mes),
+    # (mes)): the fact⋈fact join + scan runs once and Expand doubles rows
+    # map-side only (partial aggregation collapses them before the single
+    # grain-sized shuffle).  Decimal addition is associative, so the
+    # (mes) set is bit-identical to aggregating base rows directly (what
+    # the oracle does).
+    #
+    # History (r5): every DIAMOND formulation of the shared grain failed
+    # at some scale — (a) re-aggregating a shared (grupo, mes) aggregate
+    # is SILENTLY split into two full scans by Spark 4's aggregate merge;
+    # (b) persist()-ing the grain restored compute-once at toy scale but
+    # measured 4x slower at the 100x replicated probe (branches race to
+    # fill the cache, cached subplans lose AQE); (c) grouping sets with
+    # two filtered branches re-split because the grouping-id filters push
+    # below each branch's aggregate, de-canonicalizing the shared
+    # exchange.  So the pipeline is LINEAR from here: no second reference
+    # to the aggregate anywhere — both LAGs run in one window pass (the
+    # (mes) rows form their own partition), and the market pct-change
+    # reaches the group rows via a window over mes instead of a
+    # self-join.  Nothing downstream of the Expand ever touches more
+    # than (#groups + 1) x #months rows.
+    sums = base.groupingSets([["grupo", "mes"], ["mes"]], "grupo", "mes").agg(
         F.sum(F.col("valor").cast("decimal(38,2)")).alias("s"),
         F.count("valor").alias("c"),
-    ).persist()
-    # ^ persist the shared grain: without the cache boundary Catalyst
-    # collapses the media branch's re-aggregation into a direct
-    # groupBy(mes) over the join, the two branches' partial aggregates
-    # stop canonicalizing equal, and the fact⋈fact join runs TWICE (one
-    # scan per grain).  The cached relation is #groups × #months rows —
-    # bounded and scale-independent — so this is a diamond-reuse cache,
-    # not a data cache; both grains read it and lineitem is scanned once
-    # (pinned by test_flagship_single_fact_scan).
-
-    # stage 1-2: market mean per month → LAG → pct-change (op33, op39, op26-28)
-    prev_m = F.lag("valor_medio").over(Window.orderBy("mes"))
-    media = (
-        sums.groupBy("mes")
-        .agg((F.sum("s").cast("double") / F.sum("c")).alias("valor_medio"))
-        .select("mes", "valor_medio", prev_m.alias("prev"))
-        .filter(F.col("prev").isNotNull())  # op14
-        .select(
-            "mes",
-            _pct_change(F.col("valor_medio"), F.col("prev")).alias(
-                "taxa_variacao_media"
-            ),
-        )
+        F.grouping("grupo").alias("is_market"),
     )
 
-    # stage 3-4: per-group mean → partitioned LAG → pct-change (op34, op40)
-    prev_g = F.lag("valor_grupo").over(Window.partitionBy("grupo").orderBy("mes"))
-    grupo = (
-        sums.select(
-            "grupo", "mes", (F.col("s").cast("double") / F.col("c")).alias("valor_grupo")
-        )
-        .select("grupo", "mes", "valor_grupo", prev_g.alias("prev"))
-        .filter(F.col("prev").isNotNull())
-        .select(
-            "grupo",
-            "mes",
-            _pct_change(F.col("valor_grupo"), F.col("prev")).alias("variacao"),
-        )
+    # one LAG window for BOTH grains (op33/34, op39/40): market rows get
+    # a dedicated partition key, so their lag runs over the global month
+    # order (every month of base appears in the (mes) grouping set by
+    # construction), group rows lag within their group.
+    series_key = F.when(
+        F.col("is_market") == 1, F.lit("__MARKET__")
+    ).otherwise(F.col("grupo"))
+    w_series = Window.partitionBy(series_key).orderBy("mes")
+    cur = sums.select(
+        "grupo",
+        "mes",
+        "is_market",
+        (F.col("s").cast("double") / F.col("c")).alias("valor_cur"),
+    ).select(
+        "grupo",
+        "mes",
+        "is_market",
+        "valor_cur",
+        F.lag("valor_cur").over(w_series).alias("prev"),
+    )
+    # pct-change per series row; first month of each series → NULL
+    # (op26-28; the explicit prev IS NOT NULL drop happens via the
+    # variacao/taxa null filters below, op14)
+    varied = cur.select(
+        "grupo",
+        "mes",
+        "is_market",
+        _pct_change(F.col("valor_cur"), F.col("prev")).alias("variacao"),
     )
 
-    # stage 5: join USING(mes) (op32), delta vs market, pivot via explicit
-    # max(CASE) aggregates (op17/op35 — same rewrite Catalyst applies to
-    # .pivot(values), minus the extra aggregate pair the pivot API adds),
-    # global sort (op41)
+    # attach the market pct-change to every group row of the same month
+    # (op32's join USING(mes), expressed as a window over mes — the data
+    # is already grain-sized, so this is a tiny shuffle, not a join of
+    # two recomputed branches)
+    w_mes = Window.partitionBy("mes")
+    rows = varied.select(
+        "grupo",
+        "mes",
+        "is_market",
+        "variacao",
+        F.max(
+            F.when(F.col("is_market") == 1, F.col("variacao"))
+        ).over(w_mes).alias("taxa_variacao_media"),
+    )
+
+    # stage 5: keep group rows with both sides present (inner-join
+    # semantics: months missing either series drop), pivot via explicit
+    # max(CASE) aggregates (op17/op35), global sort (op41)
     delta = F.round(F.col("variacao") - F.col("taxa_variacao_media"), 2)
     return (
-        grupo.join(media, "mes")  # inner: months missing either side drop
+        rows.filter(
+            (F.col("is_market") == 0)
+            & F.col("variacao").isNotNull()
+            & F.col("taxa_variacao_media").isNotNull()
+        )
         .groupBy("mes", "taxa_variacao_media")
         .agg(
             *[

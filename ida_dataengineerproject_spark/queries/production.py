@@ -33,6 +33,7 @@ def production_overrides() -> dict[str, QueryFn]:
         cosine_topk_ivf_query,
         cosine_topk_lsh_query,
         embedding_neardup_lsh_query,
+        semantic_dedup_keep_lsh_production,
     )
 
     return {
@@ -42,4 +43,5 @@ def production_overrides() -> dict[str, QueryFn]:
         "x03b_cosine_topk_lsh": cosine_topk_lsh_query,
         "x03d_cosine_topk_ivf": cosine_topk_ivf_query,
         "x03e_embedding_neardup_lsh": embedding_neardup_lsh_query,
+        "x03g_semantic_dedup_lsh": semantic_dedup_keep_lsh_production,
     }

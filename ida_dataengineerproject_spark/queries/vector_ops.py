@@ -328,3 +328,30 @@ def semantic_dedup_keep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(superset_ok, bound_ok)], "superset_ok boolean, bound_ok boolean"
     )
+
+
+def semantic_dedup_keep_lsh_production(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production arm of x03g (bench override): the LSH keep-list
+    without the exact all-pairs comparison arm (that is
+    verification-harness cost; see queries/production.py), on the same
+    bounded corpus as the registered contract arm — the x03e convention.
+
+    Why bounded: the synthetic corpus is near-uniform and the contract
+    threshold 0.4 sits where hyperplane collision probability is 0.63
+    per plane, so the 16x4 banding (tuned for the recall contract)
+    admits ~94% of ALL pairs as candidates — at that threshold LSH
+    cannot prune, by math, on any engine.  Real near-duplicate regimes
+    (cosine >= 0.9, collision 0.86/plane vs 0.5 for unrelated) are
+    where banding separates signal from noise and candidate volume
+    tracks true density; the scale claim lives there, not at 0.4."""
+    from ..operators.similarity import embedding_neardup_pairs_lsh
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = embedding_neardup_pairs_lsh(emb, threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    return emb.join(
+        _neardup_losers(pairs), emb.vec_id == F.col("loser_id"), "left_anti"
+    ).select("vec_id")

@@ -188,20 +188,22 @@ def test_sequence_packing_window_is_partitioned(spark):
 
 
 def test_flagship_single_fact_scan(spark):
-    """r5 single-scan guarantee: the shared (grupo, mes) grain is a
-    persisted diamond — Spark 4's aggregate-merge rewrote the media
-    branch into a direct groupBy(mes) over the join, which broke r4's
-    exchange-level reuse and silently doubled the fact scan.  With the
-    cache boundary both grains must read the SAME InMemoryRelation
-    (CacheManager fills it once), so the lineitem⋈orders join executes
-    exactly once per fill."""
+    """r5 single-scan guarantee: both grains come from ONE grouping-sets
+    aggregate and the pipeline is linear after it (windows, no
+    self-join), so the fact scan and the lineitem⋈orders join must
+    appear exactly once in the final adaptive plan.  Every diamond
+    formulation measured worse or re-split: Spark 4's aggregate merge
+    doubles the scan of a re-aggregated shared grain, persist() raced
+    the cache fill at 100x, and filtered grouping-set branches push the
+    grouping-id filter below the shared exchange."""
     from ida_dataengineerproject_spark.plans.taxa_variacao import taxa_variacao
 
     df = taxa_variacao(spark, SF_SMOKE)
     df.collect()  # finalize the adaptive plan
-    final = df._jdf.queryExecution().executedPlan().toString()
-    # both the media and grupo branches consume the cached grain
-    assert final.count("InMemoryTableScan") >= 2, final
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    final = txt.split("== Initial Plan ==")[0]  # ignore the pre-AQE echo
+    assert final.count("lineitem.parquet") == 1, final
+    assert final.count("Expand") >= 1, final  # grouping sets, one pass
 
 
 def test_q18_single_lineitem_scan(spark):

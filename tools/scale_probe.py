@@ -66,6 +66,8 @@ DEFAULT_QUERIES = [
     "x03b_cosine_topk_lsh",
     "x05_sessionize_events",
     "pipeline_prepare_documents",
+    "xt15_domain_mixture_epochs",
+    "x13_cdc_apply_latest_state",
 ]
 
 # dims that stay small at any scale — replicated (keys must exist per
@@ -168,6 +170,9 @@ def main() -> None:
             try:
                 best = 1e18
                 for _ in range(2):
+                    # clear persisted grains: the wall-vs-data slope must
+                    # measure engine compute, not result-cache reads
+                    spark.catalog.clearCache()
                     t0 = time.perf_counter()
                     qs[n](spark, sf_dir).write.format("noop").mode(
                         "overwrite"
