@@ -310,3 +310,70 @@ def test_morton_duckdb_oracle_matches_reference(pairs):
     ).fetchall()
     for a, b, z in rows:
         assert z == _morton_ref_py(a, b), (a, b)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ps=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_md5_coin_rate_tracks_probability(spark, ps):
+    """The deterministic md5 coin (quality_ops._coin) must behave like
+    Bernoulli(p): empirical keep-rate over 3000 distinct keys within a
+    few standard deviations of p, exact 0 at p=0, and monotone in p for
+    the same key set (a key kept at p1 is kept at every p2 >= p1 —
+    threshold semantics)."""
+    import pyspark.sql.functions as F
+
+    from ida_dataengineerproject_spark.queries.quality_ops import _coin
+
+    n = 3000
+    df = spark.range(n).withColumnRenamed("id", "k")
+    agg = df.select(
+        *[
+            F.sum(_coin(F.col("k"), F.lit(p)).cast("int")).alias(f"c{i}")
+            for i, p in enumerate(ps)
+        ]
+    ).collect()[0]
+    for i, p in enumerate(ps):
+        rate = agg[f"c{i}"] / n
+        sd = (p * (1 - p) / n) ** 0.5
+        assert abs(rate - p) <= max(6 * sd, 2 / n), (p, rate)
+    # monotonicity: evaluate the same keys under sorted ps
+    if len(ps) >= 2:
+        lo, hi = min(ps), max(ps)
+        viol = df.filter(
+            _coin(F.col("k"), F.lit(lo)) & ~_coin(F.col("k"), F.lit(hi))
+        ).count()
+        assert viol == 0
+
+
+def test_md5_coin_matches_duckdb_exactly(spark, duck):
+    """Coin membership must be bit-identical across engines for an
+    arbitrary p — the property every sampling oracle relies on."""
+    import pyspark.sql.functions as F
+
+    from ida_dataengineerproject_spark.queries.quality_ops import (
+        _COIN_SQL,
+        _coin,
+    )
+
+    p = 0.37219
+    spark_kept = sorted(
+        r["k"]
+        for r in spark.range(500)
+        .withColumnRenamed("id", "k")
+        .filter(_coin(F.col("k"), F.lit(p)))
+        .collect()
+    )
+    duck_kept = sorted(
+        r[0]
+        for r in duck.execute(
+            "SELECT r FROM range(500) t(r) WHERE "
+            + _COIN_SQL.format(key="r", p=str(p))
+        ).fetchall()
+    )
+    assert spark_kept == duck_kept and len(spark_kept) > 0
