@@ -153,3 +153,77 @@ def running_user_counters(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ----------------------------------------------------- CDC latest-state
+
+CDC_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+CDC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _cdc_update(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Streaming twin of queries/quality_ops.cdc_apply_latest_state:
+    latest row per key wins, ordered by (ts, event_id); the running
+    state carries the winner plus the event count.  Tombstones ('error')
+    are kept IN state — a later upsert may resurrect the key, exactly
+    like the batch window semantics — and filtered at read time."""
+    (user_id,) = key
+    if state.hasTimedOut:  # pragma: no cover - NoTimeout in tests
+        state.remove()
+        return
+    ts_us, eid, typ, val, n = (
+        state.get if state.exists else (-1, -1, None, 0.0, 0)
+    )
+    for pdf in batches:
+        n += len(pdf)
+        top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+        bts = int(pd.Timestamp(top["ts"]).value // 1000)
+        beid = int(top["event_id"])
+        if (bts, beid) > (ts_us, eid):
+            ts_us, eid = bts, beid
+            typ, val = str(top["event_type"]), float(top["value"])
+    state.update((ts_us, eid, typ, val, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "last_type": [typ],
+            "last_value": [val],
+            "n_events": [n],
+        }
+    )
+
+
+def cdc_latest_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming CDC apply (x13's streaming twin): per-key latest state
+    maintained incrementally — each micro-batch updates only the touched
+    keys, so a 100 TB changelog never reprocesses history (the batch
+    form re-windows the full log).  Emits the refreshed state row per
+    touched key per batch (update mode); readers drop tombstoned keys
+    (last_type = 'error'), mirroring the batch filter."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _cdc_update,
+        outputStructType=CDC_OUTPUT_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -119,3 +119,34 @@ def test_transform_with_state_counters(spark):
     got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in out.collect()}
     want = {r.user_id: (r.n, round(r.v, 6)) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_cdc_matches_batch_apply(spark):
+    """The streaming CDC latest-state operator must converge to exactly
+    the batch x13 result on the same log (single availableNow pass):
+    same survivors, same last values, same counts, tombstoned users
+    absent after the read-side filter."""
+    from ida_dataengineerproject_spark.queries.quality_ops import (
+        cdc_apply_latest_state,
+    )
+    from ida_dataengineerproject_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from ida_dataengineerproject_spark.streaming.stateful import (
+        cdc_latest_state_stream,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    out = run_to_memory(
+        spark, cdc_latest_state_stream(stream), "t_cdc", mode="update"
+    )
+    got = {
+        r.user_id: (r.last_type, r.last_value, r.n_events)
+        for r in out.filter(F.col("last_type") != "error").collect()
+    }
+    want = {
+        r.user_id: (r.last_type, r.last_value, r.n_events)
+        for r in cdc_apply_latest_state(spark, SF_SMOKE).collect()
+    }
+    assert got == want
