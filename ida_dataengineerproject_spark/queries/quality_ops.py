@@ -345,3 +345,88 @@ def cdc_apply_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+@register(
+    "xq2_drift_chisq",
+    """
+    WITH per AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN ts <  TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM events GROUP BY event_type
+    ),
+    wtot AS (
+        SELECT event_type, n_a, n_b,
+               CAST(SUM(n_a) OVER () AS DOUBLE) AS ta,
+               CAST(SUM(n_b) OVER () AS DOUBLE) AS tb
+        FROM per
+    )
+    SELECT event_type, n_a, n_b,
+           ROUND(
+             (CAST(n_a AS DOUBLE) - e_a) * (CAST(n_a AS DOUBLE) - e_a) / e_a
+           + (CAST(n_b AS DOUBLE) - e_b) * (CAST(n_b AS DOUBLE) - e_b) / e_b
+           , 9) AS chisq_contrib
+    FROM (
+        SELECT event_type, n_a, n_b,
+               CAST(n_a + n_b AS DOUBLE) * ta / (ta + tb) AS e_a,
+               CAST(n_a + n_b AS DOUBLE) * tb / (ta + tb) AS e_b
+        FROM wtot
+    ) x
+    ORDER BY event_type
+    """,
+)
+def drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift check between two periods of a changelog — the
+    gate a pipeline runs before blending a new data drop into an old
+    corpus: per-category two-sample chi-square contributions for the
+    event-type mix, first half of January vs second half (fixed
+    boundary, oracle-mirrored).  Large contributions localize WHICH
+    category drifted, the sum is the classic test statistic.
+
+    Arithmetic is chi-square on purpose (not PSI/KL): contributions are
+    rational — counts, one division order, explicit squares as x*x —
+    so the values are bit-identical on any engine; PSI needs log(),
+    whose last-ulp behavior is libm-specific (same rule as the md5
+    coin's rational probabilities).  Plan: ONE scan with conditional
+    counts (both periods in one pass, no self-join of two filtered
+    reads), totals via a window over the category grain (linear, no
+    re-scan), pure expressions after."""
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per = ev.groupBy("event_type").agg(
+        F.sum((F.col("ts") < cut).cast("long")).alias("n_a"),
+        F.sum((F.col("ts") >= cut).cast("long")).alias("n_b"),
+    )
+    # totals as a WINDOW over the category grain, not per.agg + rejoin:
+    # the agg+join form references `per` twice and recomputes the scan
+    # (the same diamond trap the flagship hit) — the window keeps the
+    # pipeline linear, one scan, and only ever sees #categories rows
+    w_all = Window.partitionBy()
+    j = per.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(w_all).cast("double").alias("ta"),
+        F.sum("n_b").over(w_all).cast("double").alias("tb"),
+    )
+    e_a = (F.col("n_a") + F.col("n_b")).cast("double") * F.col("ta") / (
+        F.col("ta") + F.col("tb")
+    )
+    e_b = (F.col("n_a") + F.col("n_b")).cast("double") * F.col("tb") / (
+        F.col("ta") + F.col("tb")
+    )
+    d_a = F.col("n_a").cast("double") - F.col("e_a")
+    d_b = F.col("n_b").cast("double") - F.col("e_b")
+    return (
+        j.select("event_type", "n_a", "n_b", e_a.alias("e_a"), e_b.alias("e_b"))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round(
+                d_a * d_a / F.col("e_a") + d_b * d_b / F.col("e_b"), 9
+            ).alias("chisq_contrib"),
+        )
+        .orderBy("event_type")
+    )

@@ -254,3 +254,46 @@ def test_bloom_runtime_filter_injects_might_contain(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+# ---------------------------------------------------------------- xq2
+
+
+def test_drift_chisq_detects_injected_shift(spark, tmp_path):
+    """Shift one category's second-half frequency and assert its
+    contribution dominates; on unshifted data all contributions are
+    near-zero relative to the shifted case."""
+    import datetime as dt
+
+    from ida_dataengineerproject_spark.queries.quality_ops import drift_chisq
+
+    jan = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # balanced 200 view / 200 click in each half...
+    for half_start in (jan, dt.datetime(2024, 1, 20)):
+        for i in range(200):
+            rows.append((eid, half_start + dt.timedelta(minutes=i), i % 50, "view", 1.0, "{}")); eid += 1
+        for i in range(200):
+            rows.append((eid, half_start + dt.timedelta(minutes=i), i % 50, "click", 1.0, "{}")); eid += 1
+    # ...plus a burst of 300 extra 'error' only in the second half
+    for i in range(300):
+        rows.append((eid, dt.datetime(2024, 1, 25) + dt.timedelta(minutes=i), i % 50, "error", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {r["event_type"]: r["chisq_contrib"] for r in drift_chisq(spark, sf).collect()}
+    assert got["error"] > 100  # the injected drift dominates
+    assert got["error"] > 3 * max(got["view"], got["click"])
+
+
+def test_drift_chisq_single_scan(spark):
+    from ida_dataengineerproject_spark.queries.quality_ops import drift_chisq
+
+    plan = (
+        drift_chisq(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("events.parquet") == 1  # both periods in one pass
