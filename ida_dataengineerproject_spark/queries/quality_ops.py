@@ -430,3 +430,70 @@ def drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "xq3_snapshot_diff",
+    f"""
+    WITH v1 AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    v2 AS (
+        SELECT doc_id,
+               CASE WHEN {_COIN_SQL.format(key='doc_id * 7 + 3', p='0.10')}
+                    THEN md5(text || ' v2') ELSE md5(text) END AS h
+        FROM documents
+        WHERE NOT ({_COIN_SQL.format(key='doc_id * 13 + 1', p='0.05')})
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+        SELECT CASE WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v1.h <> v2.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    ) d
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the audit between two versions of a
+    dataset (what a lakehouse MERGE/versioned table shows as its change
+    summary): FULL OUTER JOIN on the key, row identity by content hash,
+    classified added / removed / changed / unchanged.
+
+    v2 is derived deterministically from v1 in-query (5% of docs dropped,
+    10% text-modified, via independent md5 coins) so both engines build
+    the identical version pair — the operator under test is the diff,
+    not the derivation.  At 100 TB: one shuffle per side on the key
+    (or zero with co-bucketed versions), content hash computed in the
+    scan projection, and the classification is a pure expression — the
+    diff costs one sort-merge join regardless of how many rows changed."""
+    docs = table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("h"))
+    drop_coin = _coin(F.col("doc_id") * 13 + 1, F.lit(0.05))
+    mod_coin = _coin(F.col("doc_id") * 7 + 3, F.lit(0.10))
+    v2 = (
+        docs.filter(~drop_coin)
+        .select(
+            "doc_id",
+            F.when(mod_coin, F.md5(F.concat(F.col("text"), F.lit(" v2"))))
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        )
+        .withColumnsRenamed({"doc_id": "doc_id2", "h": "h2"})
+    )
+    joined = v1.join(v2, v1.doc_id == v2.doc_id2, "full_outer")
+    status = (
+        F.when(F.col("doc_id2").isNull(), "removed")
+        .when(F.col("doc_id").isNull(), "added")
+        .when(F.col("h") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("status")
+    )

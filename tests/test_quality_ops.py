@@ -297,3 +297,49 @@ def test_drift_chisq_single_scan(spark):
         drift_chisq(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("events.parquet") == 1  # both periods in one pass
+
+
+# ---------------------------------------------------------------- xq3
+
+
+def test_snapshot_diff_classifies_all_four_ways(spark):
+    """Hand-built version pair covering every category, including
+    'added' (absent from the registered derivation, which only drops and
+    modifies): the classification logic must handle all four."""
+    from ida_dataengineerproject_spark.queries.quality_ops import _coin  # noqa: F401
+
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, h string"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "doc_id2 long, h2 string"
+    )
+    joined = v1.join(v2, v1.doc_id == v2.doc_id2, "full_outer")
+    status = (
+        F.when(F.col("doc_id2").isNull(), "removed")
+        .when(F.col("doc_id").isNull(), "added")
+        .when(F.col("h") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+    )
+    got = {
+        r["status"]: r["n"]
+        for r in joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_snapshot_diff_totals_consistent(spark):
+    """On the registered derivation: removed ≈ 5%, changed ≈ 10% of
+    survivors, unchanged the rest; categories partition v1 ∪ v2."""
+    from ida_dataengineerproject_spark.queries.quality_ops import snapshot_diff
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    got = {r["status"]: r["n_docs"] for r in snapshot_diff(spark, SF_SMOKE).collect()}
+    n = table(spark, SF_SMOKE, "documents").count()
+    assert got.get("added", 0) == 0
+    assert sum(got.values()) == n
+    assert 0 < got["removed"] < n * 0.15
+    assert 0 < got["changed"] < n * 0.25
