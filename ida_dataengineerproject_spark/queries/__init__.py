@@ -23,3 +23,4 @@ from . import training_ops  # noqa: F401
 from . import corpus_ops  # noqa: F401
 from . import scale_ops  # noqa: F401
 from . import quality_ops  # noqa: F401
+from . import guard_ops  # noqa: F401
