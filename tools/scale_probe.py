@@ -68,6 +68,10 @@ DEFAULT_QUERIES = [
     "pipeline_prepare_documents",
     "xt15_domain_mixture_epochs",
     "x13_cdc_apply_latest_state",
+    "x14_bloom_membership_filter",
+    "xs5_incremental_rollup_merge",
+    "xt17_segment_dedup",
+    "xt18_tfidf_rarity_topk",
 ]
 
 # dims that stay small at any scale — replicated (keys must exist per
