@@ -377,3 +377,57 @@ def test_md5_coin_matches_duckdb_exactly(spark, duck):
         ).fetchall()
     )
     assert spark_kept == duck_kept and len(spark_kept) > 0
+
+
+def _cw_ref_py(k: int, seed: int) -> int:
+    from ida_dataengineerproject_spark.queries.guard_ops import (
+        _BLOOM_M,
+        _CW,
+        _P,
+    )
+
+    a, b = _CW[seed - 1]
+    return ((k % _P) * a + b) % _P % _BLOOM_M
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=1, max_size=30
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_bloom_hash_family_spark_and_duckdb_match_reference(spark, keys):
+    """The Carter-Wegman bloom positions are bit-identical across Spark,
+    DuckDB (the x14 oracle's engine side), and a Python reference, for
+    arbitrary non-negative keys — (k % p) * a fits signed 64-bit so the
+    arithmetic never overflows on either engine."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.queries.guard_ops import (
+        _BLOOM_K,
+        _bloom_pos,
+        _bloom_pos_sql,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long").select(
+        "k", *[_bloom_pos(F.col("k"), j) for j in range(1, _BLOOM_K + 1)]
+    )
+    got = {r["k"]: [r[f"pos{j}"] for j in range(1, _BLOOM_K + 1)] for r in df.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    duck = {
+        r[0]: list(r[1:])
+        for r in con.execute(
+            "SELECT k, "
+            + ", ".join(_bloom_pos_sql("k", j) for j in range(1, _BLOOM_K + 1))
+            + " FROM t"
+        ).fetchall()
+    }
+    for k in keys:
+        ref = [_cw_ref_py(k, j) for j in range(1, _BLOOM_K + 1)]
+        assert got[k] == ref, k
+        assert duck[k] == ref, k
