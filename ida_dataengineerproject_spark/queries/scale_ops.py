@@ -217,3 +217,79 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         sum_exact("o_totalprice", scale=6).alias("sum_price"),
     )
+
+
+@register(
+    "xs6_merge_cow_state",
+    """
+    WITH chg AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 37 = 0 THEN 'update'
+                    WHEN o_orderkey % 41 = 0 THEN 'delete'
+                    ELSE 'insert' END AS kind,
+               o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 37 = 0 OR o_orderkey % 41 = 0 OR o_orderkey % 53 = 0),
+    state AS (
+        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+        FROM orders o
+        WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM chg WHERE kind IN ('update', 'delete'))
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000 FROM chg WHERE kind = 'update'
+        UNION ALL
+        SELECT o_orderkey + 1000000000, 'N', o_totalprice FROM chg WHERE kind = 'insert')
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM state GROUP BY o_orderstatus
+    """,
+)
+def merge_cow_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE round-trip: materialize orders as a
+    16-bucket-partitioned target, apply one keyed changeset containing
+    updates (key % 37 = 0: price + 1000), deletes (key % 41 = 0, minus
+    the update overlap), and inserts (key % 53 = 0 minus both overlaps,
+    re-keyed + 1e9, status 'N'), then read the committed table back and
+    aggregate its state per status.
+
+    The oracle computes the identical post-MERGE state relationally from
+    the source — so the parity check covers the whole write-merge-commit
+    pipeline, not just the merge expression.  Only impacted bucket
+    directories are rewritten (per-directory delete+rename commit);
+    untouched buckets keep byte-identical files — asserted in
+    tests/test_merge_cow.py.  100 TB: rewrite cost is O(impacted
+    buckets) like Delta's COW MERGE; see operators/merge_cow.py."""
+    from ..functions.aggs import sum_exact
+    from ..operators.merge_cow import merge_cow, write_bucketed
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch_dir("mergecow", sf_dir) + "/orders_b"
+    write_bucketed(orders, "o_orderkey", 16, path)
+
+    k = F.col("o_orderkey")
+    upd = orders.filter(k % 37 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    dele = orders.filter((k % 41 == 0) & (k % 37 != 0))
+    ins = orders.filter((k % 53 == 0) & (k % 37 != 0) & (k % 41 != 0)).select(
+        (k + 1000000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    changes = (
+        upd.withColumn("__dead", F.lit(False))
+        .unionByName(dele.withColumn("__dead", F.lit(True)))
+        .unionByName(ins.withColumn("__dead", F.lit(False)))
+    )
+    merge_cow(spark, path, changes, "o_orderkey", 16, tombstone_col="__dead")
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            sum_exact("o_totalprice", scale=6).alias("total_price"),
+        )
+    )

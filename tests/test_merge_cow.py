@@ -1,0 +1,100 @@
+"""Copy-on-write MERGE (operators/merge_cow.py): file-level COW
+guarantees the oracle parity of xs6 can't see — untouched buckets keep
+byte-identical files, emptied buckets lose their directory, reapplying a
+changeset is idempotent."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+
+def _files(path: str) -> dict[str, tuple[int, float]]:
+    out = {}
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            p = os.path.join(root, n)
+            st = os.stat(p)
+            out[os.path.relpath(p, path)] = (st.st_size, st.st_mtime)
+    return out
+
+
+def _mktarget(spark, path: str, n: int = 1000, n_buckets: int = 8):
+    from ida_dataengineerproject_spark.operators.merge_cow import (
+        write_bucketed,
+    )
+
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("double").alias("v"),
+    )
+    write_bucketed(df, "k", n_buckets, path)
+    return df
+
+
+def test_untouched_buckets_keep_identical_files(spark, tmp_path):
+    from ida_dataengineerproject_spark.operators.merge_cow import merge_cow
+
+    path = str(tmp_path / "t")
+    _mktarget(spark, path)
+    before = _files(path)
+
+    # change keys all in bucket 3 (k % 8 == 3)
+    ch = spark.createDataFrame(
+        [(3, -1.0, False), (11, -2.0, False), (1003, 5.0, False)],
+        "k long, v double, dead boolean",
+    )
+    stats = merge_cow(spark, path, ch, "k", 8, tombstone_col="dead")
+    assert stats["impacted_buckets"] == [3]
+
+    after = _files(path)
+    touched = {p for p in set(before) | set(after) if "__mbucket=3" in p}
+    untouched_before = {p: v for p, v in before.items() if p not in touched}
+    untouched_after = {p: v for p, v in after.items() if p not in touched}
+    assert untouched_before == untouched_after  # names, sizes, mtimes
+    assert any("__mbucket=3" in p for p in after)
+
+    got = {
+        r["k"]: r["v"]
+        for r in spark.read.parquet(path).filter(F.col("k") % 8 == 3).collect()
+    }
+    assert got[3] == -1.0 and got[11] == -2.0 and got[1003] == 5.0
+    assert got[19] == 190.0  # unchanged row in the impacted bucket survives
+    assert len(got) == 125 + 1  # 125 original keys + 1 insert
+
+
+def test_emptied_bucket_directory_is_removed(spark, tmp_path):
+    from ida_dataengineerproject_spark.operators.merge_cow import merge_cow
+
+    path = str(tmp_path / "t")
+    _mktarget(spark, path, n=16, n_buckets=8)  # keys 0..15, 2 per bucket
+    ch = spark.createDataFrame(
+        [(5, 0.0, True), (13, 0.0, True)], "k long, v double, dead boolean"
+    )
+    merge_cow(spark, path, ch, "k", 8, tombstone_col="dead")
+    assert not os.path.exists(os.path.join(path, "__mbucket=5"))
+    keys = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert keys == set(range(16)) - {5, 13}
+
+
+def test_merge_is_idempotent(spark, tmp_path):
+    from ida_dataengineerproject_spark.operators.merge_cow import merge_cow
+
+    path = str(tmp_path / "t")
+    _mktarget(spark, path)
+    ch = spark.createDataFrame(
+        [(7, -7.0, False), (2000, 1.0, False), (15, 0.0, True)],
+        "k long, v double, dead boolean",
+    )
+    merge_cow(spark, path, ch, "k", 8, tombstone_col="dead")
+    state1 = sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    merge_cow(spark, path, ch, "k", 8, tombstone_col="dead")
+    state2 = sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert state1 == state2
+    d = dict(state1)
+    assert d[7] == -7.0 and d[2000] == 1.0 and 15 not in d
