@@ -182,6 +182,41 @@ _MED_SQL = """
 """
 
 
+def _median_of(df: DataFrame, val: str, alias: str) -> DataFrame:
+    """Exact discrete median (average of the two middle ranks) as a
+    1-row DataFrame — rational, engine-portable."""
+    r = df.select(
+        F.col(val),
+        F.row_number().over(Window.orderBy(val, "minute")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    mid = r.filter(
+        (F.col("rn") == F.expr("(n + 1) DIV 2"))
+        | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+    )
+    return mid.agg((F.sum(val).cast("double") / F.count("*")).alias(alias))
+
+
+def minute_counts(ev: DataFrame) -> DataFrame:
+    return ev.groupBy(F.date_trunc("minute", F.col("ts")).alias("minute")).agg(
+        F.count("*").alias("n_events")
+    )
+
+
+def rate_baseline(ev: DataFrame) -> DataFrame:
+    """1-row (med_rate, mad) robust baseline of per-minute event rates —
+    the batch half of the anomaly gate; streaming/events.py
+    rate_anomaly_stream applies it to a live stream."""
+    cnt = minute_counts(ev)
+    med = _median_of(cnt, "n_events", "med_rate")
+    d = cnt.crossJoin(F.broadcast(med)).withColumn(
+        "abs_dev", F.abs(F.col("n_events").cast("double") - F.col("med_rate"))
+    )
+    return d.crossJoin(F.broadcast(_median_of(d, "abs_dev", "mad"))).select(
+        "med_rate", "mad"
+    ).limit(1)
+
+
 @register(
     "x15_event_rate_anomaly",
     f"""
@@ -225,29 +260,13 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1 row per minute = ~526k rows/year), the same agg-before-window rule
     the flagship uses (SURVEY.md §7.4.2)."""
     ev = table(spark, sf_dir, "events")
-    cnt = ev.groupBy(F.date_trunc("minute", F.col("ts")).alias("minute")).agg(
-        F.count("*").alias("n_events")
-    )
+    cnt = minute_counts(ev)
 
-    def median_of(df: DataFrame, val: str, alias: str) -> DataFrame:
-        r = df.select(
-            F.col(val),
-            F.row_number().over(Window.orderBy(val, "minute")).alias("rn"),
-            F.count("*").over(Window.partitionBy()).alias("n"),
-        )
-        mid = r.filter(
-            (F.col("rn") == F.expr("(n + 1) DIV 2"))
-            | (F.col("rn") == F.expr("(n + 2) DIV 2"))
-        )
-        return mid.agg(
-            (F.sum(val).cast("double") / F.count("*")).alias(alias)
-        )
-
-    med = median_of(cnt, "n_events", "med_rate")
+    med = _median_of(cnt, "n_events", "med_rate")
     d = cnt.crossJoin(F.broadcast(med)).withColumn(
         "abs_dev", F.abs(F.col("n_events").cast("double") - F.col("med_rate"))
     )
-    mad = median_of(d, "abs_dev", "mad")
+    mad = _median_of(d, "abs_dev", "mad")
     return (
         d.crossJoin(F.broadcast(mad))
         .select(

@@ -249,3 +249,38 @@ def compacting_batch_sink(out_dir: str, target_file_mb: int = 128):
         )
 
     return write_batch
+
+
+def rate_anomaly_stream(
+    events: DataFrame,
+    baseline: DataFrame,
+    factor: float = 3.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of x15_event_rate_anomaly: per-minute tumbling
+    counts gated against a PRE-COMPUTED robust baseline (the 1-row
+    (med_rate, mad) from queries/guard_ops.rate_baseline) via a
+    stream-static broadcast join.
+
+    The split is the production shape: the median/MAD need global
+    history, so the batch side owns them (refreshed per day/hour), and
+    the stream applies the bounded-state part — watermarked 1-minute
+    windows, one count per open window.  Scale: state is O(open
+    windows), the baseline is a broadcast of one row."""
+    counts = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    return counts.join(broadcast(baseline)).select(
+        F.col("w.start").alias("minute"),
+        "n_events",
+        "med_rate",
+        "mad",
+        (
+            F.abs(F.col("n_events").cast("double") - F.col("med_rate"))
+            > factor * F.col("mad")
+        ).alias("is_anomaly"),
+    )

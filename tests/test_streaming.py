@@ -164,3 +164,34 @@ def test_stream_static_dim_enrichment(spark):
     assert by_seg.get("unknown", 0) == batch.count() - n_even
     assert set(by_seg) <= {"power", "casual", "unknown"}
     assert sum(by_seg.values()) == batch.count()
+
+
+def test_rate_anomaly_stream_matches_batch_gate(spark, stream):
+    """The streaming anomaly gate (stream-static broadcast of the batch
+    baseline) flags exactly the minutes the batch x15 logic flags."""
+    from ida_dataengineerproject_spark.queries.guard_ops import (
+        minute_counts,
+        rate_baseline,
+    )
+    from ida_dataengineerproject_spark.sources.tables import table
+    from ida_dataengineerproject_spark.streaming.events import (
+        rate_anomaly_stream,
+        run_to_memory,
+    )
+
+    ev = table(spark, SF_SMOKE, "events")
+    baseline = rate_baseline(ev)
+    out = run_to_memory(
+        spark, rate_anomaly_stream(stream, baseline), "t_rate_anomaly"
+    )
+    got = {str(r.minute): (r.n_events, r.is_anomaly) for r in out.collect()}
+
+    b = baseline.collect()[0]
+    want = {
+        str(r.minute): (
+            r.n_events,
+            abs(float(r.n_events) - b.med_rate) > 3.0 * b.mad,
+        )
+        for r in minute_counts(ev).collect()
+    }
+    assert got == want and len(got) > 0
