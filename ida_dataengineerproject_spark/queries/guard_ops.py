@@ -57,28 +57,21 @@ _SEG_LEN = 4  # tokens per dedup segment (CCNet dedups lines; the synthetic
 _CUTOFF = "1999-01-01"  # stored-rollup / delta boundary for xs5
 
 
-# Carter-Wegman universal hash family over the Mersenne prime 2^31-1:
-# pos_j(k) = (((k mod p) * a_j + b_j) mod p) mod m.  (k mod p) < 2^31 and
-# a_j < 2^31, so the product fits signed 64-bit exactly — pure integer
-# arithmetic both engines evaluate identically inside codegen.  Measured
-# against an md5-based family on sf0.1 lineitem: the 3-position probe
-# projection dropped 1.77s -> ~0.2s (md5 is a per-row digest + hex parse;
-# this is two multiplies).  String keys would first fold to an integer
-# via a portable digest — integer keys skip that entirely.
-_P = 2147483647
-_CW = [(1103515245, 12345), (1299709, 7919), (122949829, 314159)]
+# Hash family: the shared Carter-Wegman integer family from
+# functions/hashing.py (measured there: ~9x cheaper than an md5-based
+# family on the sf0.1 probe projection — 1.77s -> ~0.2s; string keys
+# would first fold to an integer via a portable digest).
+from ..functions.hashing import CW_PARAMS as _CW  # noqa: E402
+from ..functions.hashing import CW_PRIME as _P  # noqa: E402
+from ..functions.hashing import cw_bucket, cw_bucket_sql  # noqa: E402
 
 
 def _bloom_pos(key: Column, seed: int) -> Column:
-    a, b = _CW[seed - 1]
-    return (((key.cast("long") % _P) * a + b) % _P % _BLOOM_M).alias(f"pos{seed}")
+    return cw_bucket(key, seed, _BLOOM_M).alias(f"pos{seed}")
 
 
 def _bloom_pos_sql(key: str, seed: int) -> str:
-    a, b = _CW[seed - 1]
-    return (
-        f"(((CAST({key} AS BIGINT) % {_P}) * {a} + {b}) % {_P}) % {_BLOOM_M}"
-    )
+    return cw_bucket_sql(key, seed, _BLOOM_M)
 
 
 @register(

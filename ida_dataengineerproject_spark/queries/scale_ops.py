@@ -293,3 +293,48 @@ def merge_cow_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_exact("o_totalprice", scale=6).alias("total_price"),
         )
     )
+
+
+@register(
+    "xs7_bloom_point_lookup",
+    """
+    SELECT o_orderkey,
+           substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS mes,
+           o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 7919 = 0
+    """,
+)
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index point lookup: orders laid out by month (a dimension
+    point lookups do NOT filter on), a per-month Bloom bit-position
+    index built over o_orderkey, then a key-set lookup that reads only
+    the months whose bloom admits a key — the Iceberg/Delta bloom-index
+    pattern on plain parquet.
+
+    The oracle is the plain relational lookup, so parity proves the
+    pruned read is exactly lossless (superset pruning + exact residual
+    semi-join).  The pruning RATIO (months read << months total) is
+    asserted in tests/test_scale_ops.py — at sf0.01 the key set touches
+    a handful of months out of ~80.  100 TB: index size is
+    O(partitions x m) independent of row count; see
+    sources/file_pruning.py::bloom_pruned_lookup."""
+    from ..sources.file_pruning import (
+        bloom_pruned_lookup,
+        build_bloom_index,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias("mes"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    path = _scratch_dir("bloomidx", sf_dir) + "/orders_m"
+    orders.write.mode("overwrite").partitionBy("mes").parquet(path)
+
+    index = build_bloom_index(spark, path, "mes", "o_orderkey")
+    keys = orders.filter(F.col("o_orderkey") % 7919 == 0).select("o_orderkey")
+    hit, _stats = bloom_pruned_lookup(
+        spark, path, index, "mes", "o_orderkey", keys
+    )
+    return hit.select("o_orderkey", "mes", "o_orderstatus", "o_totalprice")

@@ -123,3 +123,74 @@ def pruned_read(
         "files_read": int(kept.f or 0),
     }
     return df.drop(BUCKET_COL), stats
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    key: str,
+    n_hashes: int = 3,
+    m: int = 4096,
+) -> DataFrame:
+    """Per-partition Bloom bit-position table for point lookups on a
+    NON-partition key — the Iceberg/Delta bloom-index pattern: the
+    directory layout encodes one dimension (e.g. month), the bloom index
+    answers "which directories can contain key k" for a key the layout
+    doesn't order by.
+
+    One aggregation pass over (partition, key); output is at most
+    partitions x m rows of (part_col, pos) — persist next to the data
+    like the min/max manifest.  Hash family: the shared Carter-Wegman
+    integer family (functions/hashing.py), bit-identical across engines
+    so an oracle can rebuild the index relationally."""
+    from ..functions.hashing import cw_bucket
+
+    df = spark.read.parquet(path).select(part_col, key)
+    out = None
+    for j in range(1, n_hashes + 1):
+        part = df.select(part_col, cw_bucket(F.col(key), j, m).alias("pos"))
+        out = part if out is None else out.unionByName(part)
+    return out.distinct()
+
+
+def bloom_pruned_lookup(
+    spark: SparkSession,
+    path: str,
+    index: DataFrame,
+    part_col: str,
+    key: str,
+    keys_df: DataFrame,
+    n_hashes: int = 3,
+    m: int = 4096,
+):
+    """Point-lookup of `keys_df[key]` against the partitioned table at
+    `path`, reading ONLY partitions whose bloom admits at least one key
+    (all `n_hashes` positions present).  Returns (DataFrame, stats).
+
+    Pruning is a superset guarantee (bloom false positives admit extra
+    partitions, never lose one); the exact semi-join on the key is the
+    residual filter.  The candidate-partition set is broadcast — Spark
+    turns it into a partition filter via Dynamic Partition Pruning, so
+    non-candidate directories are never listed or opened.  100 TB: the
+    index is O(partitions x m) rows, the lookup side is the (small)
+    key set, and the data-side cost is O(candidate partitions)."""
+    from ..functions.hashing import cw_bucket
+
+    cand = None
+    for j in range(1, n_hashes + 1):
+        pj = keys_df.select(
+            F.col(key), cw_bucket(F.col(key), j, m).alias("pos")
+        )
+        mj = pj.join(index, "pos").select(part_col, key)
+        cand = mj if cand is None else cand.intersect(mj)
+    cand_parts = cand.select(part_col).distinct()
+
+    n_total = spark.read.parquet(path).select(part_col).distinct().count()
+    n_read = cand_parts.count()
+
+    data = spark.read.parquet(path).join(
+        F.broadcast(cand_parts), part_col, "left_semi"
+    )
+    hit = data.join(F.broadcast(keys_df.select(key).distinct()), key, "left_semi")
+    return hit, {"parts_total": n_total, "parts_read": n_read}

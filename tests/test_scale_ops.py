@@ -320,3 +320,34 @@ def test_prune_buckets_is_relational_at_scale(spark):
     # all-NULL envelopes never survive
     wide = prune_buckets(manifest, {"k": (0, 10 * n)})
     assert wide.count() == n - 100
+
+
+def test_bloom_index_lookup_prunes_partitions_losslessly(spark, tmp_path):
+    """The per-partition bloom index reads a strict subset of partitions
+    for a sparse key set, and the pruned result equals the exact lookup.
+    FP slack is allowed (superset pruning) but bounded well below the
+    partition count."""
+    import pyspark.sql.functions as F
+
+    from ida_dataengineerproject_spark.sources.file_pruning import (
+        bloom_pruned_lookup,
+        build_bloom_index,
+    )
+
+    # 40 partitions x 250 keys, keys strictly local to one partition
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 40).cast("string").alias("part")
+    )
+    path = str(tmp_path / "t")
+    df.write.partitionBy("part").parquet(path)
+
+    keys = spark.createDataFrame([(5,), (6,), (12_345,)], "k long")
+    index = build_bloom_index(spark, path, "part", "k")
+    hit, stats = bloom_pruned_lookup(spark, path, index, "part", "k", keys)
+
+    got = sorted((r["k"], r["part"]) for r in hit.collect())
+    # partition inference reads "part" back as int
+    assert got == [(5, 5), (6, 6)]  # 12345 absent; exact rows found
+    assert stats["parts_total"] == 40
+    # true partitions = 2; allow a little FP slack, require real pruning
+    assert 2 <= stats["parts_read"] <= 6
