@@ -106,3 +106,173 @@ def merge_cow(
         # else: every row of bucket b was deleted — directory stays gone
     fs.delete(Path(staging), True)
     return {"n_buckets": n_buckets, "impacted_buckets": impacted}
+
+
+# ---------------------------------------------------------------------------
+# Versioned commits + time travel
+#
+# The per-directory swap above mutates in place (one live version).  The
+# versioned variant below never deletes data: each commit writes NEW
+# directories only for impacted buckets and records a JSON commit log
+# mapping bucket -> the commit that owns its current data — exactly a
+# table format's snapshot manifest, minimally.  Reading version v
+# resolves at most n_buckets directories from the log (bounded commit
+# metadata), so time travel costs one small JSON read; storage grows by
+# O(impacted buckets) per commit and old versions stay byte-stable.
+# ---------------------------------------------------------------------------
+
+import json
+
+
+def _log_dir(path: str) -> str:
+    return path.rstrip("/") + "/_log"
+
+
+def _read_log(spark: SparkSession, path: str, version: int | None = None) -> dict:
+    from ..sources.ingest_ledger import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, path)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    if version is None:
+        version = -1
+        for st in fs.listStatus(Path(_log_dir(path))):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                version = max(version, int(name[1:-5]))
+        if version < 0:
+            raise FileNotFoundError(f"no commits under {path}")
+    p = Path(f"{_log_dir(path)}/v{version}.json")
+    if not fs.exists(p):
+        raise FileNotFoundError(f"version {version} does not exist")
+    stream = fs.open(p)
+    try:
+        raw = bytes(stream.readAllBytes()).decode()
+    finally:
+        stream.close()
+    return json.loads(raw)
+
+
+def _write_log(spark: SparkSession, path: str, log: dict) -> None:
+    from ..sources.ingest_ledger import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, path)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    out = fs.create(Path(f"{_log_dir(path)}/v{log['version']}.json"), False)
+    try:
+        out.write(bytearray(json.dumps(log).encode()))
+    finally:
+        out.close()
+
+
+def create_versioned(
+    spark: SparkSession, path: str, df: DataFrame, key: str, n_buckets: int
+) -> int:
+    """Commit v0 of a versioned bucketed table: all buckets written under
+    data/v0/, log records the mapping."""
+    data = path.rstrip("/") + "/data/v0"
+    df.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy(BUCKET_COL).parquet(data)
+    buckets = sorted(
+        int(r[0])
+        for r in spark.read.parquet(data).select(BUCKET_COL).distinct().collect()
+    )
+    _write_log(
+        spark,
+        path,
+        {
+            "version": 0,
+            "key": key,
+            "n_buckets": n_buckets,
+            "buckets": {str(b): 0 for b in buckets},
+        },
+    )
+    return 0
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time travel: the table as of `version` (latest when None).
+    Resolves at most n_buckets directories from the commit log."""
+    log = _read_log(spark, path, version)
+    dirs = [
+        f"{path.rstrip('/')}/data/v{commit}/{BUCKET_COL}={b}"
+        for b, commit in sorted(log["buckets"].items(), key=lambda kv: int(kv[0]))
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"version {log['version']} has no data")
+    return spark.read.parquet(*dirs)
+
+
+def merge_versioned(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    tombstone_col: str | None = None,
+) -> int:
+    """MERGE `changes` into the latest version, committing version n+1.
+    Only impacted buckets get new directories; every other bucket entry
+    carries over, so old versions remain readable and byte-stable."""
+    log = _read_log(spark, path)
+    key, n_buckets = log["key"], log["n_buckets"]
+    new_version = log["version"] + 1
+
+    ch = changes.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets))
+    impacted = sorted(
+        int(r[0]) for r in ch.select(BUCKET_COL).distinct().collect()
+    )
+    live = [b for b in impacted if str(b) in log["buckets"]]
+    target = (
+        read_version(spark, path, log["version"]).filter(
+            bucket_of(F.col(key), n_buckets).isin(live)
+        )
+        if live
+        else None
+    )
+
+    upserts = (
+        ch.filter(~F.col(tombstone_col)).drop(tombstone_col)
+        if tombstone_col
+        else ch
+    )
+    if target is not None:
+        survivors = target.withColumn(
+            BUCKET_COL, bucket_of(F.col(key), n_buckets)
+        ).join(ch.select(key).distinct(), on=key, how="left_anti")
+        merged = survivors.unionByName(upserts.select(*survivors.columns))
+    else:
+        merged = upserts
+    data = f"{path.rstrip('/')}/data/v{new_version}"
+    merged.withColumn(BUCKET_COL, F.col(BUCKET_COL).cast("int")).write.mode(
+        "overwrite"
+    ).partitionBy(BUCKET_COL).parquet(data)
+
+    # list written bucket dirs via the filesystem: an all-deletes commit
+    # writes an EMPTY directory, which parquet cannot re-read for schema
+    from ..sources.ingest_ledger import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, data)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    written = {
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(Path(data))
+        if st.isDirectory() and st.getPath().getName().startswith(BUCKET_COL + "=")
+    }
+    buckets = dict(log["buckets"])
+    for b in impacted:
+        if b in written:
+            buckets[str(b)] = new_version
+        else:
+            buckets.pop(str(b), None)  # bucket fully deleted this commit
+    _write_log(
+        spark,
+        path,
+        {
+            "version": new_version,
+            "key": key,
+            "n_buckets": n_buckets,
+            "buckets": buckets,
+        },
+    )
+    return new_version

@@ -338,3 +338,86 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, index, "mes", "o_orderkey", keys
     )
     return hit.select("o_orderkey", "mes", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "xs8_time_travel_states",
+    """
+    WITH chg AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 37 = 0 THEN 'update'
+                    WHEN o_orderkey % 41 = 0 THEN 'delete'
+                    ELSE 'insert' END AS kind,
+               o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 37 = 0 OR o_orderkey % 41 = 0 OR o_orderkey % 53 = 0),
+    v1 AS (
+        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+        FROM orders o
+        WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM chg WHERE kind IN ('update', 'delete'))
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000 FROM chg WHERE kind = 'update'
+        UNION ALL
+        SELECT o_orderkey + 1000000000, 'N', o_totalprice FROM chg WHERE kind = 'insert'),
+    states AS (
+        SELECT 0 AS version, o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT 1 AS version, o_orderstatus, o_totalprice FROM v1)
+    SELECT CAST(version AS INTEGER) AS version, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM states GROUP BY version, o_orderstatus
+    """,
+)
+def time_travel_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned COW commits + time travel: commit orders as v0 of a
+    log-tracked bucketed table, MERGE the xs6 changeset as v1, then read
+    BOTH versions back through the commit log and aggregate each state.
+
+    The oracle recomputes v0 (the raw table) and v1 (the relational
+    MERGE) — parity proves old snapshots stay intact after a commit AND
+    the new snapshot is exactly the merged state, through the actual
+    file layout.  100 TB: a commit writes O(impacted buckets), time
+    travel reads one small JSON + at most n_buckets directories; see
+    operators/merge_cow.py (versioned section)."""
+    import shutil
+
+    from ..functions.aggs import sum_exact
+    from ..operators.merge_cow import (
+        create_versioned,
+        merge_versioned,
+        read_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch_dir("timetravel", sf_dir) + "/orders_v"
+    shutil.rmtree(path, ignore_errors=True)  # commit log must start at v0
+    create_versioned(spark, path, orders, "o_orderkey", 16)
+
+    k = F.col("o_orderkey")
+    upd = orders.filter(k % 37 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    dele = orders.filter((k % 41 == 0) & (k % 37 != 0))
+    ins = orders.filter((k % 53 == 0) & (k % 37 != 0) & (k % 41 != 0)).select(
+        (k + 1000000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    changes = (
+        upd.withColumn("__dead", F.lit(False))
+        .unionByName(dele.withColumn("__dead", F.lit(True)))
+        .unionByName(ins.withColumn("__dead", F.lit(False)))
+    )
+    merge_versioned(spark, path, changes, tombstone_col="__dead")
+
+    states = None
+    for v in (0, 1):
+        s = read_version(spark, path, v).withColumn("version", F.lit(v))
+        states = s if states is None else states.unionByName(s)
+    return states.groupBy("version", "o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        sum_exact("o_totalprice", scale=6).alias("total_price"),
+    )

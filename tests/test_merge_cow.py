@@ -98,3 +98,89 @@ def test_merge_is_idempotent(spark, tmp_path):
     assert state1 == state2
     d = dict(state1)
     assert d[7] == -7.0 and d[2000] == 1.0 and 15 not in d
+
+
+# ------------------------------------------------- versioned / time travel
+
+
+def test_time_travel_old_version_is_byte_stable(spark, tmp_path):
+    from ida_dataengineerproject_spark.operators.merge_cow import (
+        create_versioned,
+        merge_versioned,
+        read_version,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    create_versioned(spark, path, df, "k", 8)
+    v0_files = _files(path)
+
+    ch = spark.createDataFrame(
+        [(1, -1.0, False), (200, 9.0, False), (9, 0.0, True)],
+        "k long, v double, dead boolean",
+    )
+    v = merge_versioned(spark, path, ch, tombstone_col="dead")
+    assert v == 1
+
+    # every v0 data file still there, byte-identical (additions only)
+    after = _files(path)
+    for p, meta in v0_files.items():
+        assert after.get(p) == meta, p
+
+    v0 = {r["k"]: r["v"] for r in read_version(spark, path, 0).collect()}
+    v1 = {r["k"]: r["v"] for r in read_version(spark, path, 1).collect()}
+    latest = {r["k"]: r["v"] for r in read_version(spark, path).collect()}
+    assert v0[1] == 2.0 and 9 in v0 and 200 not in v0 and len(v0) == 100
+    assert v1[1] == -1.0 and 9 not in v1 and v1[200] == 9.0 and len(v1) == 100
+    assert latest == v1
+
+
+def test_time_travel_across_multiple_commits_and_bucket_drop(spark, tmp_path):
+    from ida_dataengineerproject_spark.operators.merge_cow import (
+        create_versioned,
+        merge_versioned,
+        read_version,
+    )
+
+    path = str(tmp_path / "vt2")
+    df = spark.range(16).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v")
+    )  # 8 buckets x 2 keys
+    create_versioned(spark, path, df, "k", 8)
+
+    # commit 1: drop bucket 5 entirely (keys 5 and 13)
+    ch1 = spark.createDataFrame(
+        [(5, 0.0, True), (13, 0.0, True)], "k long, v double, dead boolean"
+    )
+    merge_versioned(spark, path, ch1, tombstone_col="dead")
+    # commit 2: resurrect key 5
+    ch2 = spark.createDataFrame([(5, 7.0, False)], "k long, v double, dead boolean")
+    merge_versioned(spark, path, ch2, tombstone_col="dead")
+
+    keys_by_version = [
+        {r["k"] for r in read_version(spark, path, v).collect()}
+        for v in (0, 1, 2)
+    ]
+    assert keys_by_version[0] == set(range(16))
+    assert keys_by_version[1] == set(range(16)) - {5, 13}
+    assert keys_by_version[2] == set(range(16)) - {13}
+    got = {r["k"]: r["v"] for r in read_version(spark, path, 2).collect()}
+    assert got[5] == 7.0
+
+
+def test_read_unknown_version_raises(spark, tmp_path):
+    import pytest
+
+    from ida_dataengineerproject_spark.operators.merge_cow import (
+        create_versioned,
+        read_version,
+    )
+
+    path = str(tmp_path / "vt3")
+    create_versioned(
+        spark, path, spark.range(4).select(F.col("id").alias("k")), "k", 2
+    )
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, path, 7)
