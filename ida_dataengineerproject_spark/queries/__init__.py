@@ -25,3 +25,4 @@ from . import scale_ops  # noqa: F401
 from . import quality_ops  # noqa: F401
 from . import guard_ops  # noqa: F401
 from . import graph_ops  # noqa: F401
+from . import io_ops  # noqa: F401
