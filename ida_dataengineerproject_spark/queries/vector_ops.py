@@ -355,3 +355,36 @@ def semantic_dedup_keep_lsh_production(
     return emb.join(
         _neardup_losers(pairs), emb.vec_id == F.col("loser_id"), "left_anti"
     ).select("vec_id")
+
+
+def cosine_topk_pq_query(
+    spark: SparkSession, sf_dir: str, verify: bool = False
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization (x03 scale path
+    #3 — compressed-domain scan): ADC shortlist over 16x16 codes (16 B
+    per vector instead of 512 B), exact re-rank of the 500-vector
+    shortlist.
+
+    PRODUCTION path (``verify=False``): PQ alone.  VERIFY path
+    (registered oracle query): recall@10 vs brute force must be >= 0.5
+    per query (measured min 1.0 at sf0.001/0.01/0.1 with these
+    parameters; m=8 or shortlist=50 measurably break the bound at
+    sf0.1 — see cosine_topk_pq's docstring)."""
+    from ..operators.similarity import cosine_topk_pq
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    approx = cosine_topk_pq(
+        emb, queries, k=_K, cache_key=("pq", sf_dir)
+    )
+    if not verify:
+        return approx
+    exact = cosine_topk_bruteforce(emb, queries, k=_K)
+    return _recall_contract(exact, approx, bound=0.5)
+
+
+@register("x03h_cosine_topk_pq", _RECALL_ORACLE)
+def q_x03h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle registration for ``cosine_topk_pq_query`` — VERIFY arm
+    (brute-force recall contract); bench/production run PQ-only."""
+    return cosine_topk_pq_query(spark, sf_dir, verify=True)
