@@ -226,3 +226,81 @@ def frame_sample_stub(
     return df.select(id_col, "payload").mapInPandas(
         op, "doc_id long, frame_idx int, frame binary"
     )
+
+
+def _bmp_encode_pixels(arr) -> bytes:
+    """General 24-bit BMP encoder from an (h, w, 3) uint8 pixel array —
+    bottom-up padded rows, same container _bmp_decode parses."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    pixel_bytes = (row_bytes + pad) * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    rows = []
+    for r in range(h - 1, -1, -1):  # bottom-up
+        rows.append(arr[r].astype(np.uint8).tobytes() + b"\x00" * pad)
+    return header + b"".join(rows)
+
+
+def _bmp_pixels(data: bytes):
+    """Decode a 24-bit BMP to an (h, w, 3) uint8 array (top-down)."""
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", data, 10)
+    _, width, height, _, bpp = struct.unpack_from("<IiiHH", data, 14)
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    out = np.empty((height, width, 3), dtype=np.uint8)
+    for r in range(height):
+        start = pixel_off + r * stride
+        row = np.frombuffer(data[start : start + row_bytes], dtype=np.uint8)
+        out[height - 1 - r] = row.reshape(width, 3)  # stored bottom-up
+    return out
+
+
+def resize_bmp_half(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image transform over the binary column: decode the full pixel
+    grid, nearest-neighbor downsample by 2 in both axes ([::2, ::2] —
+    output dims ceil(w/2) x ceil(h/2)), re-encode a valid BMP, then
+    re-decode the new container for the reported metadata — so width/
+    height/size/mean all come from bytes that went through the whole
+    decode -> transform -> encode pipeline, not from arithmetic on the
+    input.  Arrow-batched mapInPandas; at scale this is the canonical
+    multimodal map stage (pure per-row kernel, no shuffle), and the
+    pluggable-codec boundary is the same as decode_bmp's."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src_meta = pdf["payload"].map(_bmp_decode)
+            resized = pdf["payload"].map(
+                lambda b: _bmp_encode_pixels(_bmp_pixels(b)[::2, ::2])
+            )
+            out_meta = resized.map(_bmp_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "src_width": src_meta.map(lambda t: t[0]).astype("int32"),
+                    "src_height": src_meta.map(lambda t: t[1]).astype("int32"),
+                    "out_width": out_meta.map(lambda t: t[0]).astype("int32"),
+                    "out_height": out_meta.map(lambda t: t[1]).astype("int32"),
+                    "out_bytes": resized.map(len).astype("int64"),
+                    "mean_pixel": out_meta.map(lambda t: t[3]),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        op,
+        "doc_id long, src_width int, src_height int, out_width int, "
+        "out_height int, out_bytes long, mean_pixel double",
+    )

@@ -73,3 +73,36 @@ def q_xmm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(strlen/64) — exact row-level check of the exploding shape."""
     d = attach_fake_payload(table(spark, sf_dir, "documents"))
     return frame_sample_stub(d).drop("frame")
+
+
+@register(
+    "xmm_resize_half",
+    """
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS src_width,
+           CAST(h AS INTEGER) AS src_height,
+           CAST((w + 1) // 2 AS INTEGER) AS out_width,
+           CAST((h + 1) // 2 AS INTEGER) AS out_height,
+           CAST(54 + (((w + 1) // 2) * 3
+                      + (4 - (((w + 1) // 2) * 3) % 4) % 4)
+                    * ((h + 1) // 2) AS BIGINT) AS out_bytes,
+           CAST(strlen(text) % 256 AS DOUBLE) AS mean_pixel
+    FROM (SELECT doc_id, text,
+                 strlen(text) % 16 + 1 AS w,
+                 strlen(text) % 8 + 1 AS h
+          FROM documents)
+    """,
+)
+def q_xmm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: decode the BMP pixel grid, nearest-neighbor
+    downsample by 2, re-encode, re-decode — reported dims/size/mean come
+    from the re-encoded bytes.  The oracle predicts all of it from the
+    synthesis formulas: out dims are ceil halves, out_bytes is the exact
+    BMP container arithmetic (54-byte headers + padded rows), and the
+    mean survives because a uniform image stays uniform under
+    subsampling.  A codec bug anywhere in decode->resize->encode breaks
+    the byte count or the mean."""
+    from ..multimodal.binary_ops import attach_bmp_payload, resize_bmp_half
+
+    d = attach_bmp_payload(table(spark, sf_dir, "documents"))
+    return resize_bmp_half(d)

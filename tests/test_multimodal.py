@@ -97,3 +97,42 @@ def test_frame_sample_explosion_count(spark, docs_with_payload):
     )
     bad = got.join(want, "doc_id").filter(F.col("count") != F.col("want")).count()
     assert bad == 0
+
+
+def test_bmp_resize_roundtrip_nonuniform(spark):
+    """Resize on a NON-uniform BMP: encode a checkerboard via the general
+    pixel encoder, resize-by-half through the Spark op, and verify dims,
+    container size, and the mean of the actually-sampled pixels against
+    a numpy reference — the uniform-gray oracle can't see sampling bugs,
+    this does."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from ida_dataengineerproject_spark.multimodal.binary_ops import (
+        _bmp_decode,
+        _bmp_encode_pixels,
+        _bmp_pixels,
+        resize_bmp_half,
+    )
+
+    rng = np.random.default_rng(7)
+    imgs = {}
+    rows = []
+    for doc_id, (w, h) in enumerate([(5, 3), (16, 8), (1, 1), (7, 4)]):
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        imgs[doc_id] = arr
+        rows.append((doc_id, bytearray(_bmp_encode_pixels(arr))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    got = {r["doc_id"]: r for r in resize_bmp_half(df).collect()}
+    for doc_id, arr in imgs.items():
+        ref = arr[::2, ::2]
+        r = got[doc_id]
+        assert (r["src_width"], r["src_height"]) == (arr.shape[1], arr.shape[0])
+        assert (r["out_width"], r["out_height"]) == (ref.shape[1], ref.shape[0])
+        assert r["mean_pixel"] == ref.mean()
+        # container round-trips: decode our own encoder's output
+        w2, h2, _, mean2 = _bmp_decode(bytes(_bmp_encode_pixels(ref)))
+        assert (w2, h2, mean2) == (ref.shape[1], ref.shape[0], ref.mean())
+        # pixel-exact round-trip through the codec pair
+        assert np.array_equal(_bmp_pixels(bytes(_bmp_encode_pixels(ref))), ref)
