@@ -106,3 +106,30 @@ def q_xmm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_bmp_payload(table(spark, sf_dir, "documents"))
     return resize_bmp_half(d)
+
+
+@register(
+    "xmm_decode_wav",
+    """
+    SELECT doc_id,
+           CAST(n % 400 + 1 AS BIGINT) AS n_samples,
+           CAST(CASE WHEN n % 2 = 1 THEN 16000 ELSE 8000 END AS INTEGER)
+               AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           (n % 400 + 1) * 1000.0
+               / CASE WHEN n % 2 = 1 THEN 16000 ELSE 8000 END AS duration_ms
+    FROM (SELECT doc_id, strlen(text) AS n FROM documents)
+    """,
+)
+def q_xmm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: each doc carries a valid 16-bit mono PCM WAV
+    (pure-struct RIFF encoder, params derived from text byte length);
+    ``decode_wav`` parses the container and reports sample count, rate,
+    channels, and exact duration.  The oracle predicts the metadata from
+    the same strlen formulas — container correctness checked exactly, no
+    audio library required (the audio half of the multimodal surface
+    next to xmm_decode_bmp)."""
+    from ..multimodal.binary_ops import attach_wav_payload, decode_wav
+
+    d = attach_wav_payload(table(spark, sf_dir, "documents"))
+    return decode_wav(d)

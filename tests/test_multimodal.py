@@ -136,3 +136,21 @@ def test_bmp_resize_roundtrip_nonuniform(spark):
         assert (w2, h2, mean2) == (ref.shape[1], ref.shape[0], ref.mean())
         # pixel-exact round-trip through the codec pair
         assert np.array_equal(_bmp_pixels(bytes(_bmp_encode_pixels(ref))), ref)
+
+
+def test_wav_codec_roundtrip_params():
+    """Encoder/decoder pair round-trips arbitrary (n_samples, rate)
+    parameters exactly, and rejects non-WAV bytes."""
+    import pytest
+
+    from ida_dataengineerproject_spark.multimodal.binary_ops import (
+        _wav_decode,
+        _wav_encode,
+    )
+
+    for n, rate, amp in [(1, 8000, 0), (400, 16000, 999), (37, 44100, -5)]:
+        ns, r, ch, dur = _wav_decode(_wav_encode(n, rate, amp))
+        assert (ns, r, ch) == (n, rate, 1)
+        assert dur == n * 1000.0 / rate
+    with pytest.raises(ValueError):
+        _wav_decode(b"BM not audio")
