@@ -272,3 +272,60 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_tfidf_topk_uses_window_group_limit_and_broadcast_df(spark):
+    """xt18: per-source top-5 must compile to WindowGroupLimit (partial
+    top-k before the shuffle), and the document-frequency side must
+    broadcast — the corpus token stream never sort-merge-joins."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xt18_tfidf_rarity_topk"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_merge_delta_filter_is_pushed(spark):
+    """xs5: the delta arm's date cutoff must reach the parquet scan as a
+    pushed filter — the stored-rollup design only pays off if the delta
+    scan skips history at the source."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xs5_incremental_rollup_merge"](spark, SF_SMOKE))
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_segment_dedup_has_exactly_two_exchanges(spark):
+    """xt17: one shuffle keyed on segment (frequency window) + one keyed
+    on doc (reassembly) — a frequency-table join would add a third."""
+    import __spark_entry__ as e
+
+    tree = _plan(e.queries()["xt17_segment_dedup"](spark, SF_SMOKE)).split(
+        "\n\n"
+    )[0]
+    n_exchanges = tree.count("Exchange (")
+    assert n_exchanges == 2, tree
+
+
+def test_pagerank_topk_avoids_global_sort(spark):
+    """x16: the final top-20 must be TakeOrderedAndProject, and rank
+    updates must broadcast the (tiny) node-count side."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["x16_pagerank_bipartite"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_adc_scan_has_no_python_in_scoring(spark):
+    """x03h production arm: after the (one-off) encode stage, ADC scoring
+    and both rank filters are JVM-side — WindowGroupLimit present, and
+    exactly ONE Python stage (the encode mapInPandas) in the plan."""
+    from ida_dataengineerproject_spark.queries.vector_ops import (
+        cosine_topk_pq_query,
+    )
+
+    plan = _plan(cosine_topk_pq_query(spark, SF_SMOKE, verify=False))
+    assert "WindowGroupLimit" in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInPandas (") == 1, tree
