@@ -32,11 +32,13 @@ def production_overrides() -> dict[str, QueryFn]:
     from .vector_ops import (
         cosine_topk_ivf_query,
         cosine_topk_lsh_query,
+        cosine_topk_pq_query,
         embedding_neardup_lsh_query,
         semantic_dedup_keep_lsh_production,
     )
 
     return {
+        "x03h_cosine_topk_pq": cosine_topk_pq_query,
         "xt14_ngram_vocab_estimate": ngram_vocab_estimate,
         "x09_approx_count_distinct": approx_distinct_users,
         "approx_percentiles": approx_percentiles,
