@@ -103,10 +103,15 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _scratch_dir("jsonl_rt", sf_dir) + "/events_jsonl"
     write_jsonl(_wire(spark, sf_dir), out)
     _inject_garbage(out, ['{"event_id": broken', "not json at all"])
+    # the overwrite above triggers CacheManager.recacheByPath for any
+    # cache a PREVIOUS run of this query left on `out` (split_quarantine
+    # caches) — recached BEFORE the garbage landed.  Invalidate so the
+    # scan below re-lists the directory; without this, the second run in
+    # one session reports 0 quarantined rows.
+    spark.catalog.refreshByPath(out)
 
     clean, bad = split_quarantine(read_jsonl(spark, out, _EVENT_WIRE_SCHEMA))
-    result = _summarize(clean, bad)
-    return result
+    return _summarize(clean, bad)
 
 
 @register("xio2_csv_roundtrip", _ORACLE)
@@ -126,6 +131,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "one,two\n"
             "not_a_long,xx,yy,zz,0.0\n"
         )
+    spark.catalog.refreshByPath(out)  # see xio1: drop any stale recache
 
     clean, bad = split_quarantine(read_csv(spark, out, _EVENT_WIRE_SCHEMA))
     return _summarize(clean, bad)

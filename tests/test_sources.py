@@ -419,3 +419,22 @@ def test_ingest_ledger_detects_same_size_rewrite(spark, tmp_path):
 
     s2 = ingest_new_files(spark, str(src), str(tmp_path / "ledger3"), process)
     assert s2["files_new"] == 1  # re-ingested via mtime in the identity
+
+
+def test_io_roundtrip_queries_are_session_idempotent(spark):
+    """Running xio1/xio2 twice in ONE session must give identical results:
+    the first run leaves a path cache (split_quarantine), and the second
+    run's overwrite triggers recache-by-path BEFORE the garbage file is
+    injected — without the explicit refreshByPath the second run loses
+    its quarantine rows (caught by the round-5 gate)."""
+    import __spark_entry__ as e
+
+    from tests.conftest import SF_SMOKE
+
+    for name in ("xio1_jsonl_roundtrip", "xio2_csv_roundtrip"):
+        q = e.queries()[name]
+        first = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+        second = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+        assert first == second, name
+        quarantined = [r for r in second if r[0] == "__quarantined__"]
+        assert quarantined and quarantined[0][1] == 2, name
