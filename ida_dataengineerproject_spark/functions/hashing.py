@@ -43,12 +43,32 @@ CW_PARAMS = [(1103515245, 12345), (1299709, 7919), (122949829, 314159)]
 
 def cw_bucket(key: Column, seed: int, m: int) -> Column:
     """Bucket/bit-position of an integer key under hash function `seed`
-    (1-based index into CW_PARAMS), in [0, m)."""
+    (1-based index into CW_PARAMS), in [0, m) for ANY integer key —
+    SQL's % is sign-preserving, so the residue is normalized with +p
+    before the multiply (still < 2^32, product still fits int64); this
+    matches Python's non-negative % semantics exactly, and is a no-op
+    for non-negative keys."""
     a, b = CW_PARAMS[seed - 1]
-    return ((key.cast("long") % CW_PRIME) * a + b) % CW_PRIME % m
+    k = (key.cast("long") % CW_PRIME + CW_PRIME) % CW_PRIME
+    return (k * a + b) % CW_PRIME % m
 
 
 def cw_bucket_sql(key: str, seed: int, m: int) -> str:
     """DuckDB twin of cw_bucket — identical arithmetic, identical bits."""
     a, b = CW_PARAMS[seed - 1]
-    return f"(((CAST({key} AS BIGINT) % {CW_PRIME}) * {a} + {b}) % {CW_PRIME}) % {m}"
+    k = f"((CAST({key} AS BIGINT) % {CW_PRIME} + {CW_PRIME}) % {CW_PRIME})"
+    return f"(({k} * {a} + {b}) % {CW_PRIME}) % {m}"
+
+
+def bloom_positions(df, key_col: str, n_hashes: int, m: int, part_cols=()):
+    """Distinct Bloom bit-position table for `df[key_col]` under the CW
+    family: one row per ({part_cols...}, pos).  The shared kernel behind
+    the x14 membership prefilter (no part_cols — one global filter) and
+    the per-partition bloom index in sources/file_pruning.py."""
+    out = None
+    for j in range(1, n_hashes + 1):
+        part = df.select(
+            *part_cols, cw_bucket(F.col(key_col), j, m).alias("pos")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.distinct()

@@ -258,6 +258,9 @@ def _bmp_pixels(data: bytes):
     _, width, height, _, bpp = struct.unpack_from("<IiiHH", data, 14)
     if bpp != 24:
         raise ValueError(f"unsupported bpp {bpp}")
+    # negative biHeight = top-down row order (valid per the BMP spec);
+    # positive = the usual bottom-up storage
+    top_down = height < 0
     height = abs(height)
     row_bytes = width * 3
     stride = row_bytes + (4 - row_bytes % 4) % 4
@@ -265,7 +268,7 @@ def _bmp_pixels(data: bytes):
     for r in range(height):
         start = pixel_off + r * stride
         row = np.frombuffer(data[start : start + row_bytes], dtype=np.uint8)
-        out[height - 1 - r] = row.reshape(width, 3)  # stored bottom-up
+        out[r if top_down else height - 1 - r] = row.reshape(width, 3)
     return out
 
 
@@ -282,7 +285,12 @@ def resize_bmp_half(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            src_meta = pdf["payload"].map(_bmp_decode)
+            # src dims come from a 12-byte header unpack — running the
+            # full O(pixels) _bmp_decode here would walk every source
+            # pixel a second time just to report two header fields
+            src_meta = pdf["payload"].map(
+                lambda b: struct.unpack_from("<ii", b, 18)
+            )
             resized = pdf["payload"].map(
                 lambda b: _bmp_encode_pixels(_bmp_pixels(b)[::2, ::2])
             )
@@ -291,7 +299,9 @@ def resize_bmp_half(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "doc_id": pdf[id_col],
                     "src_width": src_meta.map(lambda t: t[0]).astype("int32"),
-                    "src_height": src_meta.map(lambda t: t[1]).astype("int32"),
+                    "src_height": src_meta.map(lambda t: abs(t[1])).astype(
+                        "int32"
+                    ),
                     "out_width": out_meta.map(lambda t: t[0]).astype("int32"),
                     "out_height": out_meta.map(lambda t: t[1]).astype("int32"),
                     "out_bytes": resized.map(len).astype("int64"),
@@ -324,15 +334,34 @@ def _wav_encode(n_samples: int, sample_rate: int, amplitude: int) -> bytes:
 
 def _wav_decode(data: bytes) -> tuple[int, int, int, float]:
     """Parse a PCM WAV: (n_samples, sample_rate, n_channels,
-    duration_ms as exact milliseconds)."""
+    duration_ms as exact milliseconds).  Walks the RIFF chunk list
+    rather than assuming the canonical 44-byte layout — real encoders
+    emit 18-byte fmt chunks (cbSize field) and LIST/INFO chunks before
+    'data', which a fixed-offset read would silently misparse."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", data, 20)
-    if fmt != 1 or bits != 16:
-        raise ValueError(f"unsupported wav fmt={fmt} bits={bits}")
-    (data_len,) = struct.unpack_from("<I", data, 40)
-    n_samples = data_len // (2 * n_ch)
-    return n_samples, rate, n_ch, n_samples * 1000.0 / rate
+    fmt = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid, clen = struct.unpack_from("<4sI", data, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt_code, n_ch, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", data, body
+            )
+            if fmt_code != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported wav fmt={fmt_code} bits={bits}"
+                )
+            fmt = (n_ch, rate)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("wav data chunk before fmt chunk")
+            n_ch, rate = fmt
+            n_samples = clen // (2 * n_ch)
+            return n_samples, rate, n_ch, n_samples * 1000.0 / rate
+        pos = body + clen + (clen & 1)  # chunks are word-aligned
+    raise ValueError("wav has no data chunk")
 
 
 def attach_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -99,11 +99,17 @@ def merge_cow(
     for b in impacted:
         final_dir = Path(f"{path}/{BUCKET_COL}={b}")
         staged_dir = Path(f"{staging}/{BUCKET_COL}={b}")
-        if fs.exists(final_dir):
-            fs.delete(final_dir, True)
-        if fs.exists(staged_dir):
-            fs.rename(staged_dir, final_dir)
-        # else: every row of bucket b was deleted — directory stays gone
+        # Hadoop FileSystem signals most failures by RETURNING FALSE, not
+        # raising — an unchecked rename here would fall through to the
+        # staging cleanup below and destroy the only copy of the bucket.
+        if fs.exists(final_dir) and not fs.delete(final_dir, True):
+            raise IOError(f"COW commit: could not remove {final_dir}")
+        if fs.exists(staged_dir) and not fs.rename(staged_dir, final_dir):
+            raise IOError(
+                f"COW commit: rename {staged_dir} -> {final_dir} failed; "
+                f"staged data left under {staging} for recovery"
+            )
+        # no staged dir: every row of bucket b was deleted — dir stays gone
     fs.delete(Path(staging), True)
     return {"n_buckets": n_buckets, "impacted_buckets": impacted}
 
@@ -133,6 +139,8 @@ def _read_log(spark: SparkSession, path: str, version: int | None = None) -> dic
 
     fs, _ = _hadoop_fs(spark, path)
     Path = spark._jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(Path(_log_dir(path))):
+        raise FileNotFoundError(f"no commits under {path} (no _log dir)")
     if version is None:
         version = -1
         for st in fs.listStatus(Path(_log_dir(path))):
@@ -190,16 +198,26 @@ def create_versioned(
     return 0
 
 
+def _bucket_dirs(path: str, log: dict, buckets: list[int] | None = None) -> list[str]:
+    """Directories owning the given buckets (all buckets when None) as of
+    `log` — resolved purely from the commit log, never by listing data."""
+    items = sorted(log["buckets"].items(), key=lambda kv: int(kv[0]))
+    if buckets is not None:
+        want = {str(b) for b in buckets}
+        items = [kv for kv in items if kv[0] in want]
+    return [
+        f"{path.rstrip('/')}/data/v{commit}/{BUCKET_COL}={b}"
+        for b, commit in items
+    ]
+
+
 def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Time travel: the table as of `version` (latest when None).
     Resolves at most n_buckets directories from the commit log."""
     log = _read_log(spark, path, version)
-    dirs = [
-        f"{path.rstrip('/')}/data/v{commit}/{BUCKET_COL}={b}"
-        for b, commit in sorted(log["buckets"].items(), key=lambda kv: int(kv[0]))
-    ]
+    dirs = _bucket_dirs(path, log)
     if not dirs:
         raise FileNotFoundError(f"version {log['version']} has no data")
     return spark.read.parquet(*dirs)
@@ -223,13 +241,11 @@ def merge_versioned(
         int(r[0]) for r in ch.select(BUCKET_COL).distinct().collect()
     )
     live = [b for b in impacted if str(b) in log["buckets"]]
-    target = (
-        read_version(spark, path, log["version"]).filter(
-            bucket_of(F.col(key), n_buckets).isin(live)
-        )
-        if live
-        else None
-    )
+    # read ONLY the impacted buckets' directories, resolved from the log —
+    # reading the whole version and row-filtering would scan O(table) per
+    # merge (leaf-dir reads carry no partition column to prune on)
+    live_dirs = _bucket_dirs(path, log, live)
+    target = spark.read.parquet(*live_dirs) if live_dirs else None
 
     upserts = (
         ch.filter(~F.col(tombstone_col)).drop(tombstone_col)

@@ -129,16 +129,14 @@ def bloom_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
 
+    from ..functions.hashing import bloom_positions
+
     refk = (
         orders.filter(F.col("o_totalprice") > _REF_PRICE)
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
     )
-    bloom = None
-    for j in range(1, _BLOOM_K + 1):
-        part = refk.select(_bloom_pos(F.col("k"), j).alias("pos"))
-        bloom = part if bloom is None else bloom.unionByName(part)
-    bloom = bloom.distinct()
+    bloom = bloom_positions(refk, "k", _BLOOM_K, _BLOOM_M)
 
     probe = li.select(
         F.substring(F.col("l_shipdate").cast("string"), 1, 7).alias("mes"),

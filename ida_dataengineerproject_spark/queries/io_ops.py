@@ -13,8 +13,8 @@ ambiguity the reference hit with ODS dynamic typing,
 both writers emit shortest-round-trip representations.
 
 Scale notes: text scans are splittable uncompressed (one task per
-split); the quarantine split costs one cached pass (see
-text_formats.split_quarantine); production lands text at the ingest
+split); the quarantine audit is folded into the
+single aggregate pass (no cache, no double read); production lands text at the ingest
 boundary and converts to parquet immediately (write_parquet_normalized).
 """
 
@@ -63,23 +63,35 @@ def _wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _summarize(clean: DataFrame, bad: DataFrame) -> DataFrame:
-    per_type = clean.groupBy("event_type").agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(38,6)"))
-        .cast("double")
-        .alias("total_value"),
-        F.max("ts_us").alias("max_ts_us"),
+def _summarize(parsed: DataFrame) -> DataFrame:
+    """ONE conditional-aggregate pass over the parsed frame: clean rows
+    group under their event_type, quarantined rows under a synthetic
+    '__quarantined__' type (PERMISSIVE may partially parse a corrupt
+    row's fields, so every value aggregate is guarded on the corrupt
+    marker).  Single scan, no cache — the earlier split_quarantine
+    version double-read the input and pinned a never-unpersisted cache
+    of the whole table for the session lifetime."""
+    from ..sources.text_formats import CORRUPT_COL
+
+    quarantined = F.col(CORRUPT_COL).isNotNull()
+    label = F.when(quarantined, "__quarantined__").otherwise(
+        F.col("event_type")
     )
-    quarantine = bad.agg(
-        F.lit("__quarantined__").alias("event_type"),
+    return parsed.groupBy(label.alias("event_type")).agg(
         F.count("*").alias("n_rows"),
-        F.lit(0).cast("long").alias("n_users"),
-        F.lit(0.0).alias("total_value"),
-        F.lit(0).cast("long").alias("max_ts_us"),
+        F.countDistinct(
+            F.when(~quarantined, F.col("user_id"))
+        ).alias("n_users"),
+        F.coalesce(
+            F.sum(
+                F.when(~quarantined, F.col("value")).cast("decimal(38,6)")
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("total_value"),
+        F.coalesce(
+            F.max(F.when(~quarantined, F.col("ts_us"))), F.lit(0).cast("long")
+        ).alias("max_ts_us"),
     )
-    return per_type.unionByName(quarantine)
 
 
 def _inject_garbage(path: str, lines: list[str]) -> None:
@@ -94,24 +106,18 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected into the landed directory; they must surface as exactly the
     '__quarantined__' audit row, never a job failure — the reference's
     skip-and-log cell posture (etl/etl_ida.py:374-375) at file scale."""
-    from ..sources.text_formats import (
-        read_jsonl,
-        split_quarantine,
-        write_jsonl,
-    )
+    from ..sources.text_formats import read_jsonl, write_jsonl
 
     out = _scratch_dir("jsonl_rt", sf_dir) + "/events_jsonl"
     write_jsonl(_wire(spark, sf_dir), out)
     _inject_garbage(out, ['{"event_id": broken', "not json at all"])
-    # the overwrite above triggers CacheManager.recacheByPath for any
-    # cache a PREVIOUS run of this query left on `out` (split_quarantine
-    # caches) — recached BEFORE the garbage landed.  Invalidate so the
-    # scan below re-lists the directory; without this, the second run in
-    # one session reports 0 quarantined rows.
+    # drop any stale cached/relisted state a previous same-session run
+    # left on this path: the overwrite above triggers
+    # CacheManager.recacheByPath BEFORE the garbage landed (round-5 gate
+    # caught the second run reporting 0 quarantined rows)
     spark.catalog.refreshByPath(out)
 
-    clean, bad = split_quarantine(read_jsonl(spark, out, _EVENT_WIRE_SCHEMA))
-    return _summarize(clean, bad)
+    return _summarize(read_jsonl(spark, out, _EVENT_WIRE_SCHEMA))
 
 
 @register("xio2_csv_roundtrip", _ORACLE)
@@ -119,7 +125,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract as xio1 over the CSV sink/scan (header, explicit
     schema, PERMISSIVE quarantine) — proving the CSV writer/reader pair
     round-trips longs and doubles losslessly too."""
-    from ..sources.text_formats import read_csv, split_quarantine, write_csv
+    from ..sources.text_formats import read_csv, write_csv
 
     out = _scratch_dir("csv_rt", sf_dir) + "/events_csv"
     write_csv(_wire(spark, sf_dir), out)
@@ -133,5 +139,4 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     spark.catalog.refreshByPath(out)  # see xio1: drop any stale recache
 
-    clean, bad = split_quarantine(read_csv(spark, out, _EVENT_WIRE_SCHEMA))
-    return _summarize(clean, bad)
+    return _summarize(read_csv(spark, out, _EVENT_WIRE_SCHEMA))

@@ -219,25 +219,58 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "xs6_merge_cow_state",
-    """
-    WITH chg AS (
+
+
+# Shared xs6/xs8 changeset: updates (key%37: price+1000), deletes (key%41
+# minus the update overlap), inserts (key%53 minus both overlaps, re-keyed
+# +1e9, status 'N').  ONE definition on each side — the Spark builder and
+# the SQL CTE fragments below — so the two merge queries and their oracles
+# can never drift apart.
+_CHG_CTE = """    chg AS (
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 37 = 0 THEN 'update'
                     WHEN o_orderkey % 41 = 0 THEN 'delete'
                     ELSE 'insert' END AS kind,
                o_orderstatus, o_totalprice
         FROM orders
-        WHERE o_orderkey % 37 = 0 OR o_orderkey % 41 = 0 OR o_orderkey % 53 = 0),
-    state AS (
-        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+        WHERE o_orderkey % 37 = 0 OR o_orderkey % 41 = 0 OR o_orderkey % 53 = 0),"""
+
+_MERGED_SELECT = """        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
         FROM orders o
         WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM chg WHERE kind IN ('update', 'delete'))
         UNION ALL
         SELECT o_orderkey, o_orderstatus, o_totalprice + 1000 FROM chg WHERE kind = 'update'
         UNION ALL
-        SELECT o_orderkey + 1000000000, 'N', o_totalprice FROM chg WHERE kind = 'insert')
+        SELECT o_orderkey + 1000000000, 'N', o_totalprice FROM chg WHERE kind = 'insert'"""
+
+
+def _xs_changeset(orders: DataFrame) -> DataFrame:
+    """The keyed changeset (update/delete/insert + __dead tombstone flag)
+    both COW merge queries apply — Spark twin of _CHG_CTE."""
+    k = F.col("o_orderkey")
+    upd = orders.filter(k % 37 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    dele = orders.filter((k % 41 == 0) & (k % 37 != 0))
+    ins = orders.filter((k % 53 == 0) & (k % 37 != 0) & (k % 41 != 0)).select(
+        (k + 1000000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return (
+        upd.withColumn("__dead", F.lit(False))
+        .unionByName(dele.withColumn("__dead", F.lit(True)))
+        .unionByName(ins.withColumn("__dead", F.lit(False)))
+    )
+
+
+@register(
+    "xs6_merge_cow_state",
+    f"""
+    WITH
+{_CHG_CTE}
+    state AS (
+{_MERGED_SELECT})
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
@@ -268,21 +301,7 @@ def merge_cow_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch_dir("mergecow", sf_dir) + "/orders_b"
     write_bucketed(orders, "o_orderkey", 16, path)
 
-    k = F.col("o_orderkey")
-    upd = orders.filter(k % 37 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") + 1000
-    )
-    dele = orders.filter((k % 41 == 0) & (k % 37 != 0))
-    ins = orders.filter((k % 53 == 0) & (k % 37 != 0) & (k % 41 != 0)).select(
-        (k + 1000000000).alias("o_orderkey"),
-        F.lit("N").alias("o_orderstatus"),
-        "o_totalprice",
-    )
-    changes = (
-        upd.withColumn("__dead", F.lit(False))
-        .unionByName(dele.withColumn("__dead", F.lit(True)))
-        .unionByName(ins.withColumn("__dead", F.lit(False)))
-    )
+    changes = _xs_changeset(orders)
     merge_cow(spark, path, changes, "o_orderkey", 16, tombstone_col="__dead")
 
     return (
@@ -342,23 +361,11 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "xs8_time_travel_states",
-    """
-    WITH chg AS (
-        SELECT o_orderkey,
-               CASE WHEN o_orderkey % 37 = 0 THEN 'update'
-                    WHEN o_orderkey % 41 = 0 THEN 'delete'
-                    ELSE 'insert' END AS kind,
-               o_orderstatus, o_totalprice
-        FROM orders
-        WHERE o_orderkey % 37 = 0 OR o_orderkey % 41 = 0 OR o_orderkey % 53 = 0),
+    f"""
+    WITH
+{_CHG_CTE}
     v1 AS (
-        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
-        FROM orders o
-        WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM chg WHERE kind IN ('update', 'delete'))
-        UNION ALL
-        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000 FROM chg WHERE kind = 'update'
-        UNION ALL
-        SELECT o_orderkey + 1000000000, 'N', o_totalprice FROM chg WHERE kind = 'insert'),
+{_MERGED_SELECT}),
     states AS (
         SELECT 0 AS version, o_orderstatus, o_totalprice FROM orders
         UNION ALL
@@ -396,21 +403,7 @@ def time_travel_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)  # commit log must start at v0
     create_versioned(spark, path, orders, "o_orderkey", 16)
 
-    k = F.col("o_orderkey")
-    upd = orders.filter(k % 37 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") + 1000
-    )
-    dele = orders.filter((k % 41 == 0) & (k % 37 != 0))
-    ins = orders.filter((k % 53 == 0) & (k % 37 != 0) & (k % 41 != 0)).select(
-        (k + 1000000000).alias("o_orderkey"),
-        F.lit("N").alias("o_orderstatus"),
-        "o_totalprice",
-    )
-    changes = (
-        upd.withColumn("__dead", F.lit(False))
-        .unionByName(dele.withColumn("__dead", F.lit(True)))
-        .unionByName(ins.withColumn("__dead", F.lit(False)))
-    )
+    changes = _xs_changeset(orders)
     merge_versioned(spark, path, changes, tombstone_col="__dead")
 
     states = None

@@ -144,14 +144,10 @@ def build_bloom_index(
     like the min/max manifest.  Hash family: the shared Carter-Wegman
     integer family (functions/hashing.py), bit-identical across engines
     so an oracle can rebuild the index relationally."""
-    from ..functions.hashing import cw_bucket
+    from ..functions.hashing import bloom_positions
 
     df = spark.read.parquet(path).select(part_col, key)
-    out = None
-    for j in range(1, n_hashes + 1):
-        part = df.select(part_col, cw_bucket(F.col(key), j, m).alias("pos"))
-        out = part if out is None else out.unionByName(part)
-    return out.distinct()
+    return bloom_positions(df, key, n_hashes, m, part_cols=(part_col,))
 
 
 def bloom_pruned_lookup(

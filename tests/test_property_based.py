@@ -392,15 +392,18 @@ def _cw_ref_py(k: int, seed: int) -> int:
 
 @given(
     keys=st.lists(
-        st.integers(min_value=0, max_value=2**62), min_size=1, max_size=30
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=30,
     )
 )
 @settings(max_examples=15, deadline=None)
 def test_bloom_hash_family_spark_and_duckdb_match_reference(spark, keys):
     """The Carter-Wegman bloom positions are bit-identical across Spark,
     DuckDB (the x14 oracle's engine side), and a Python reference, for
-    arbitrary non-negative keys — (k % p) * a fits signed 64-bit so the
-    arithmetic never overflows on either engine."""
+    ARBITRARY integer keys — SQL's sign-preserving % is normalized with
+    +p so negative keys land in [0, m) exactly like Python's %, and the
+    residue arithmetic still fits signed 64-bit."""
     import duckdb
 
     from pyspark.sql import functions as F
