@@ -561,8 +561,17 @@ def pq_encode(
     """(neighbor_id, cv) -> (neighbor_id, cv, codes array<int>): nearest
     sub-centroid per subspace via one numpy distance matrix per Arrow
     batch (same kernel shape as the LSH/IVF signature stages — the
-    interpreted-HOF path would do m*k*d_sub multiplies per ROW)."""
+    interpreted-HOF path would do m*k*d_sub multiplies per ROW).
+
+    Python stages parallelize per input partition (round-2 trap 9: one
+    parquet file = one partition = a single-threaded kernel), so the
+    input is round-robin repartitioned up to the session's default
+    parallelism before the Arrow stage."""
     import pandas as pd
+
+    sc = corpus_vecs.sparkSession.sparkContext
+    if corpus_vecs.rdd.getNumPartitions() < sc.defaultParallelism:
+        corpus_vecs = corpus_vecs.repartition(sc.defaultParallelism)
 
     m, k, d_sub = books.shape
     flat = books.reshape(m * k, d_sub)
@@ -637,58 +646,82 @@ def cosine_topk_pq(
 
     encoded = pq_encode(c, books)
 
-    # per-query LUTs: luts[s][c] = dot(q_sub_s, centroid_{s,c}) as literal
-    # expressions over the fitted codebooks (1 pass over the tiny q side)
-    def q_sub(s: int) -> Column:
-        return F.slice(F.col("qv"), s * d_sub + 1, d_sub)
-
-    luts = F.array(
-        *[
-            F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            q_sub(s),
-                            F.array(*[F.lit(float(x)) for x in books[s, ci]]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
+    # per-query LUTs: luts[s][c] = dot(q_sub_s, centroid_{s,c}) over the
+    # fitted codebooks, built as ONE SQL string -> one expr() -> one py4j
+    # call.  The equivalent Column-API construction (m*k aggregates of
+    # zip_with over literal arrays = thousands of py4j round trips) cost
+    # ~10 s of pure DRIVER time per invocation — the executors were never
+    # the bottleneck (measured: 12.2 s/call vs 2.7 s on a prebuilt plan).
+    # HOF form on purpose: per-query cost is m*k*d_sub interpreted evals
+    # over the (tiny) query side only, and the unrolled-arithmetic
+    # alternative exceeds janino's 64 KB codegen limit (falls back
+    # interpreted anyway, with a noisy stack trace per run).
+    books_lit = "array({})".format(
+        ", ".join(
+            "array({})".format(
+                ", ".join(
+                    "array({})".format(
+                        ", ".join(repr(float(x)) for x in books[s, ci])
                     )
                     for ci in range(kc)
-                ]
+                )
             )
             for s in range(m)
-        ]
+        )
     )
-    q_luts = q.select("query_id", "qv", luts.alias("luts"))
+    luts_sql = f"""
+        transform({books_lit}, (sub, s) ->
+            transform(sub, cent ->
+                aggregate(
+                    zip_with(slice(qv, s * {d_sub} + 1, {d_sub}), cent,
+                             (a, b) -> a * b),
+                    0D, (acc, v) -> acc + v)))
+    """
+    q_luts = q.select("query_id", "qv", F.expr(luts_sql).alias("luts"))
 
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("luts"),
-            lambda code, lut: F.element_at(lut, code + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # UNROLLED lookup sum: higher-order functions evaluate interpreted,
+    # per element (round-2 trap 8) — the zip_with/aggregate form of this
+    # measured ~12 s for 100k rows at sf0.1; m plain nested element_at
+    # terms stay inside whole-stage codegen
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("luts"), s + 1),
+            (F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    # rank on a SLIM projection: the window shuffle must carry only
+    # (query_id, neighbor_id, adc) — dragging qv/cv/luts (~3 KB/row)
+    # through the sort measured 3-6x slower via pure GC churn; vectors
+    # rejoin below on the shortlist only
     scored = (
-        encoded.join(F.broadcast(q_luts))
+        encoded.drop("cv")
+        .join(F.broadcast(q_luts.select("query_id", "luts")))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adc", adc)
+        .select("query_id", "neighbor_id", adc.alias("adc"))
     )
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id")
     )
-    short = scored.withColumn("srank", F.row_number().over(w_short)).filter(
-        F.col("srank") <= shortlist
+    short = (
+        scored.withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    rerank = (
+        c.join(F.broadcast(short), c.neighbor_id == short.neighbor_id)
+        .drop(short.neighbor_id)
+        .join(
+            F.broadcast(q.withColumnRenamed("query_id", "qid")),
+            F.col("query_id") == F.col("qid"),
+        )
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 9))
     )
     w_final = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        short.withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 9))
-        .withColumn("rank", F.row_number().over(w_final))
+        rerank.withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
