@@ -292,3 +292,79 @@ def merge_versioned(
         },
     )
     return new_version
+
+
+def vacuum_versioned(spark: SparkSession, path: str, retain_from: int) -> dict:
+    """Drop every bucket directory no retained snapshot references and
+    the commit-log entries of expired versions — Delta's VACUUM +
+    log-retention rolled into one, sized to this table's log layout.
+
+    Retained snapshots are versions ``retain_from..latest``.  The keep
+    set is (owning commit, bucket) pairs unioned over THEIR logs — a
+    retained snapshot may reference directories written by an expired
+    commit (untouched buckets carry over), so liveness is per directory,
+    never per commit.  Everything else under data/ is deleted, as are
+    the ``_log/v*.json`` files below ``retain_from`` (time travel to an
+    expired version then raises, same as the never-existed case).
+
+    Cost is bounded metadata: (versions retained) log reads plus one
+    directory listing per commit dir — no data files are opened.  100 TB:
+    this is the storage-reclaim half of the COW design; without it the
+    table grows by O(impacted buckets) per commit forever.
+
+    Returns {"deleted_dirs", "retained_dirs", "deleted_logs",
+    "retain_from", "latest"}."""
+    from ..sources.ingest_ledger import _hadoop_fs
+
+    latest = _read_log(spark, path)["version"]
+    if not 0 <= retain_from <= latest:
+        raise ValueError(
+            f"retain_from={retain_from} outside committed range 0..{latest}"
+        )
+
+    keep: set[tuple[int, int]] = set()
+    for v in range(retain_from, latest + 1):
+        log = _read_log(spark, path, v)
+        keep.update(
+            (int(commit), int(b)) for b, commit in log["buckets"].items()
+        )
+
+    fs, _ = _hadoop_fs(spark, path)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    data_root = Path(path.rstrip("/") + "/data")
+    deleted = retained = 0
+    for commit_st in fs.listStatus(data_root):
+        name = commit_st.getPath().getName()
+        if not (commit_st.isDirectory() and name.startswith("v")):
+            continue
+        commit = int(name[1:])
+        live_left = False
+        for st in fs.listStatus(commit_st.getPath()):
+            leaf = st.getPath().getName()
+            if not (st.isDirectory() and leaf.startswith(BUCKET_COL + "=")):
+                continue  # _SUCCESS etc. — removed with the commit dir
+            b = int(leaf.split("=", 1)[1])
+            if (commit, b) in keep:
+                live_left = True
+                retained += 1
+            else:
+                if not fs.delete(st.getPath(), True):
+                    raise IOError(f"vacuum: could not delete {st.getPath()}")
+                deleted += 1
+        if not live_left and not fs.delete(commit_st.getPath(), True):
+            raise IOError(f"vacuum: could not delete {commit_st.getPath()}")
+
+    deleted_logs = 0
+    for v in range(retain_from):
+        p = Path(f"{_log_dir(path)}/v{v}.json")
+        if fs.exists(p):
+            if not fs.delete(p, False):
+                raise IOError(f"vacuum: could not delete {p}")
+            deleted_logs += 1
+    return {
+        "deleted_dirs": deleted,
+        "retained_dirs": retained,
+        "deleted_logs": deleted_logs,
+        "retain_from": retain_from,
+        "latest": latest,
+    }

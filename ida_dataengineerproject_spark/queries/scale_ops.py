@@ -419,3 +419,72 @@ def time_travel_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         sum_exact("o_totalprice", scale=6).alias("total_price"),
     )
+
+
+@register(
+    "xs10_vacuum_latest_state",
+    f"""
+    WITH
+{_CHG_CTE}
+    state1 AS (
+{_MERGED_SELECT}),
+    state AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 500
+                    ELSE o_totalprice END AS o_totalprice
+        FROM state1)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM state GROUP BY o_orderstatus
+    """,
+)
+def vacuum_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-reclaim round-trip: commit orders as v0, MERGE the xs6
+    changeset (v1), MERGE a second broad update (+500 on key % 97 = 0,
+    v2), VACUUM everything but v2, then aggregate the surviving
+    snapshot.  The oracle recomputes both merges relationally — parity
+    proves vacuum deleted ONLY dead directories (a carried-over bucket
+    written by an expired commit must survive; the per-(commit, bucket)
+    liveness rule in operators/merge_cow.py::vacuum_versioned).
+
+    100 TB: vacuum is bounded metadata (log reads + one listing per
+    commit dir, no data files opened) — the reclaim half that keeps the
+    O(impacted buckets)-per-commit storage growth of the COW design
+    finite.  Expired-version reads raise afterwards
+    (tests/test_merge_cow.py pins file-level behavior)."""
+    import shutil
+
+    from ..functions.aggs import sum_exact
+    from ..operators.merge_cow import (
+        create_versioned,
+        merge_versioned,
+        read_version,
+        vacuum_versioned,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch_dir("vacuum", sf_dir) + "/orders_v"
+    shutil.rmtree(path, ignore_errors=True)  # commit log must start at v0
+    create_versioned(spark, path, orders, "o_orderkey", 16)
+    merge_versioned(spark, path, _xs_changeset(orders), tombstone_col="__dead")
+
+    latest = read_version(spark, path)
+    touch = latest.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 500
+    )
+    merge_versioned(
+        spark, path, touch.withColumn("__dead", F.lit(False)), tombstone_col="__dead"
+    )
+    vacuum_versioned(spark, path, retain_from=2)
+
+    return (
+        read_version(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            sum_exact("o_totalprice", scale=6).alias("total_price"),
+        )
+    )

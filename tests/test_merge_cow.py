@@ -184,3 +184,87 @@ def test_read_unknown_version_raises(spark, tmp_path):
     )
     with pytest.raises(FileNotFoundError):
         read_version(spark, path, 7)
+
+
+def test_vacuum_respects_carried_over_dirs_and_expires_logs(spark, tmp_path):
+    from ida_dataengineerproject_spark.operators.merge_cow import (
+        create_versioned,
+        merge_versioned,
+        read_version,
+        vacuum_versioned,
+    )
+
+    path = str(tmp_path / "vac")
+    df = spark.range(16).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v")
+    )  # 8 buckets x 2 keys
+    create_versioned(spark, path, df, "k", 8)
+    # commit 1 rewrites bucket 1 (key 1); commit 2 rewrites bucket 2 (key 2)
+    merge_versioned(
+        spark,
+        path,
+        spark.createDataFrame([(1, -1.0, False)], "k long, v double, dead boolean"),
+        tombstone_col="dead",
+    )
+    merge_versioned(
+        spark,
+        path,
+        spark.createDataFrame([(2, -2.0, False)], "k long, v double, dead boolean"),
+        tombstone_col="dead",
+    )
+    before = {r["k"]: r["v"] for r in read_version(spark, path).collect()}
+    retained_files = {
+        p: m
+        for p, m in _files(path).items()
+        # v2's snapshot references: v1/b1, v2/b2, v0/everything-else
+        if not (
+            p.startswith("data/v0/__mbucket=1")
+            or p.startswith("data/v0/__mbucket=2")
+        )
+        and "_log" not in p
+    }
+
+    stats = vacuum_versioned(spark, path, retain_from=2)
+    assert stats["deleted_dirs"] == 2  # v0/b1 and v0/b2
+    assert stats["deleted_logs"] == 2  # v0.json, v1.json
+
+    # latest snapshot unchanged, retained files byte-stable
+    after = {r["k"]: r["v"] for r in read_version(spark, path).collect()}
+    assert after == before
+    now = _files(path)
+    for p, m in retained_files.items():
+        assert now.get(p) == m, p
+    # carried-over expired-commit dir survives (v1/b1 is live in v2's log)
+    assert os.path.isdir(os.path.join(path, "data/v1/__mbucket=1"))
+    assert not os.path.exists(os.path.join(path, "data/v0/__mbucket=1"))
+    assert not os.path.exists(os.path.join(path, "data/v0/__mbucket=2"))
+
+    # expired versions now unreadable; retained one still is
+    import pytest as _pytest
+
+    for v in (0, 1):
+        with _pytest.raises(FileNotFoundError):
+            read_version(spark, path, v)
+    assert len(read_version(spark, path, 2).collect()) == 16
+
+
+def test_vacuum_retain_all_is_a_noop(spark, tmp_path):
+    from ida_dataengineerproject_spark.operators.merge_cow import (
+        create_versioned,
+        merge_versioned,
+        vacuum_versioned,
+    )
+
+    path = str(tmp_path / "vac0")
+    df = spark.range(8).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    create_versioned(spark, path, df, "k", 4)
+    merge_versioned(
+        spark,
+        path,
+        spark.createDataFrame([(3, 5.0, False)], "k long, v double, dead boolean"),
+        tombstone_col="dead",
+    )
+    before = _files(path)
+    stats = vacuum_versioned(spark, path, retain_from=0)
+    assert stats["deleted_dirs"] == 0 and stats["deleted_logs"] == 0
+    assert _files(path) == before
