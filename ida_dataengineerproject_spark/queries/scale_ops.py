@@ -488,3 +488,87 @@ def vacuum_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_exact("o_totalprice", scale=6).alias("total_price"),
         )
     )
+
+
+_N_BUCKETS_XS9 = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """orders + lineitem materialized as Spark BUCKETED tables (catalog
+    metadata, not ad-hoc directories): same bucket count, bucketed AND
+    sorted on the join key, one file per bucket (the repartition before
+    the write aligns write tasks with buckets — Spark's repartition hash
+    IS the bucketing hash).  Idempotent per (session, sf_dir)."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = _scratch_dir("bucketed", sf_dir)
+    specs = (
+        ("orders", "o_orderkey", ["o_orderkey", "o_orderstatus", "o_orderpriority"]),
+        ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice"]),
+    )
+    names = []
+    for tbl, key, cols in specs:
+        name = f"bkt_{tbl}_{tag}"
+        if not spark.catalog.tableExists(name):
+            (
+                table(spark, sf_dir, tbl)
+                .select(*cols)
+                .repartition(_N_BUCKETS_XS9, F.col(key))
+                .write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(_N_BUCKETS_XS9, key)
+                .sortBy(key)
+                .option("path", os.path.join(base, name))
+                .saveAsTable(name)
+            )
+        names.append(name)
+    return names[0], names[1]
+
+
+def _bucketed_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.aggs import sum_exact
+
+    n_orders, n_lineitem = _bucketed_tables(spark, sf_dir)
+    o = spark.table(n_orders).filter(F.col("o_orderstatus") == "F")
+    li = spark.table(n_lineitem)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            sum_exact("l_extendedprice", scale=6).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "xs9_bucketed_join_colocated",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via Spark bucketed tables: both sides
+    written `bucketBy(8, orderkey).sortBy(orderkey)` with one file per
+    bucket, so the orders ⋈ lineitem sort-merge join needs NO exchange
+    on either side — bucket i joins bucket i straight off the scans
+    (tests/test_plan_quality.py pins zero Exchange below the join and
+    `Bucketed: true` on both scans).  Spark 4 no longer propagates
+    bucket-file sort order into outputOrdering, so a per-bucket Sort
+    remains — but that sort runs over an already-sorted single file and
+    never spills a shuffle; the expensive node (the orderkey Exchange of
+    both fact tables) is gone.  The only shuffle left is the 5-group
+    final aggregate.
+
+    This is THE 100 TB strategy for repeated big-big joins: pay the
+    bucketed write once, then every orderkey join is shuffle-free —
+    exactly what a fact table keyed for a training pipeline should look
+    like at rest.  Oracle: the plain relational join."""
+    return _bucketed_join_plan(spark, sf_dir)

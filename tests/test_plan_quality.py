@@ -329,3 +329,33 @@ def test_pq_adc_scan_has_no_python_in_scoring(spark):
     assert "WindowGroupLimit" in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("MapInPandas (") == 1, tree
+
+
+def test_bucketed_join_has_no_exchange_below_join(spark):
+    """xs9: both fact tables bucketed on the join key with the same
+    bucket count -> the sort-merge join consumes bucketed scans directly
+    (Bucketed: true on both sides) and the ONLY Exchange in the whole
+    plan is the final 5-group aggregate's — the fact-fact shuffle a
+    100 TB join must not pay twice is gone from the plan entirely."""
+    import re
+
+    from ida_dataengineerproject_spark.queries.scale_ops import (
+        _bucketed_join_plan,
+    )
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = [spark.conf.get(k, None) for k in keys]
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        plan = _plan(_bucketed_join_plan(spark, SF_SMOKE))
+    finally:
+        for k, v in zip(keys, saved):
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert len(re.findall(r"\) Exchange\n", plan)) == 1
