@@ -497,3 +497,98 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("status")
     )
+
+
+@register(
+    "xq4_revenue_trend_regression",
+    """
+    WITH monthly AS (
+        SELECT c_mktsegment,
+               (EXTRACT(year FROM o_orderdate) - 1992) * 12
+                   + EXTRACT(month FROM o_orderdate) - 1 AS x,
+               CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(38,6)))) AS BIGINT) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+    s AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_months,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM monthly GROUP BY c_mktsegment)
+    SELECT c_mktsegment,
+           n_months,
+           sy AS total_rev,
+           ROUND(CAST(n_months * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_months * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - CAST(n_months * sxy - sx * sy AS DOUBLE)
+                    / CAST(n_months * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n_months AS DOUBLE), 6) AS intercept
+    FROM s
+    """,
+)
+def revenue_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment least-squares revenue trend (slope + intercept of
+    monthly revenue vs month index) computed EXACTLY until the last
+    division: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are
+    BIGINT aggregates of integer month indexes and floor-to-dollar
+    monthly revenues, so the normal-equation numerators/denominators are
+    integer-exact and cross-engine identical; only the final slope /
+    intercept divisions touch doubles (same IEEE ops both engines,
+    rounded to 6 dp).  No libm, no regr_* (whose float accumulation
+    order is engine-specific).
+
+    Plan: one broadcast join (customer dim), one monthly aggregate with
+    map-side partials, then a 5-row regroup — the "fit a trend per
+    entity" primitive at 100 TB is exactly this shape: sufficient
+    statistics distribute, the model solve is O(groups).
+    tests/test_quality_ops.py checks slope/intercept against
+    numpy.polyfit."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = (
+        (F.year("o_orderdate") - F.lit(1992)) * 12
+        + F.month("o_orderdate")
+        - F.lit(1)
+    ).cast("long")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", x.alias("x"))
+        .agg(
+            F.floor(F.sum(F.col("o_totalprice").cast("decimal(38,6)")))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    s = monthly.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_months"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col("n_months"),
+        F.col("sx"),
+        F.col("sy"),
+        F.col("sxy"),
+        F.col("sxx"),
+    )
+    num = (n * sxy - sx * sy).cast("double")
+    den = (n * sxx - sx * sx).cast("double")
+    return s.select(
+        "c_mktsegment",
+        "n_months",
+        sy.alias("total_rev"),
+        F.round(num / den, 6).alias("slope"),
+        F.round(
+            (sy.cast("double") - num / den * sx.cast("double"))
+            / n.cast("double"),
+            6,
+        ).alias("intercept"),
+    )

@@ -343,3 +343,47 @@ def test_snapshot_diff_totals_consistent(spark):
     assert sum(got.values()) == n
     assert 0 < got["removed"] < n * 0.15
     assert 0 < got["changed"] < n * 0.25
+
+
+def test_regression_matches_numpy_polyfit(spark):
+    """xq4's integer-exact normal equations agree with numpy's
+    least-squares fit on the same (x, y) points to float precision."""
+    import numpy as np
+
+    from ida_dataengineerproject_spark.queries.quality_ops import (
+        revenue_trend_regression,
+    )
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    got = {
+        r["c_mktsegment"]: (r["slope"], r["intercept"])
+        for r in revenue_trend_regression(spark, SF_SMOKE).collect()
+    }
+
+    o = table(spark, SF_SMOKE, "orders")
+    c = table(spark, SF_SMOKE, "customer")
+    pts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            (
+                (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+            ).alias("x"),
+        )
+        .agg(
+            F.floor(F.sum(F.col("o_totalprice").cast("decimal(38,6)")))
+            .cast("long")
+            .alias("y")
+        )
+        .collect()
+    )
+    by_seg: dict[str, list[tuple[int, int]]] = {}
+    for r in pts:
+        by_seg.setdefault(r["c_mktsegment"], []).append((r["x"], r["y"]))
+    assert set(by_seg) == set(got)
+    for seg, xy in by_seg.items():
+        xs = np.array([p[0] for p in xy], dtype=float)
+        ys = np.array([p[1] for p in xy], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(got[seg][0] - slope) < 1e-4, seg
+        assert abs(got[seg][1] - intercept) < 1e-2 * max(1.0, abs(intercept)), seg
