@@ -140,3 +140,62 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.refreshByPath(out)  # see xio1: drop any stale recache
 
     return _summarize(read_csv(spark, out, _EVENT_WIRE_SCHEMA))
+
+
+@register(
+    "xio3_schema_evolution_merge",
+    """
+    SELECT CASE WHEN event_id % 2 = 0 THEN '__pre_evolution__'
+                ELSE event_type END AS event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COALESCE(SUM(CASE WHEN event_id % 2 = 1
+                                  THEN CAST(value AS DECIMAL(38,6)) END),
+                         0) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round-trip: half the events land under a LEGACY
+    3-column schema (event_id, ts_us, user_id), half under the evolved
+    5-column one; a single mergeSchema read reconciles both vintages
+    (added columns surface as NULL on legacy files — parquet's
+    schema-on-read widening), and one aggregate audits each vintage.
+
+    The oracle recomputes the same split relationally, so parity proves
+    the merged read is LOSSLESS: no row lost to the schema gap, evolved
+    columns aggregate only over files that physically carry them.
+    100 TB: schema evolution by rewrite is a full-table pass; evolution
+    by mergeSchema-read is free at write time and costs one footer per
+    file at planning — this is why production corpora append vintages
+    instead of rewriting (the reference's pandas ETL re-derives the
+    whole frame per run — the posture this replaces).
+    recursiveFileLookup keeps the vintage dirs out of partition
+    discovery."""
+    root = _scratch_dir("schevo", sf_dir) + "/events_vintages"
+    wire = _wire(spark, sf_dir)
+    wire.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "ts_us", "user_id"
+    ).write.mode("overwrite").parquet(root + "/legacy")
+    wire.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        root + "/current"
+    )
+    spark.catalog.refreshByPath(root)
+
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("event_type"), F.lit("__pre_evolution__")).alias(
+            "event_type"
+        )
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"),
+            F.lit(0.0),
+        ).alias("total_value"),
+    )
