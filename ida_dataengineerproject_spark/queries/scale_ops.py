@@ -572,3 +572,63 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what a fact table keyed for a training pipeline should look
     like at rest.  Oracle: the plain relational join."""
     return _bucketed_join_plan(spark, sf_dir)
+
+
+@register(
+    "xs11_write_audit_publish",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def write_audit_publish_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish round-trip: publish orders through the WAP
+    gate (audits: unique key, non-null key, non-negative price — ONE
+    aggregate pass over the staged files), then attempt a SECOND publish
+    whose changeset carries injected duplicate keys — it must fail the
+    audit, discard its staging, and leave the first publish live.  The
+    returned aggregate reads the published path; the oracle aggregates
+    the clean source — parity therefore proves both halves: the good
+    publish was lossless AND the bad one never reached readers.
+
+    100 TB: auditing staged files costs one scan of the new data only;
+    auditing after publish serves violations to every reader in the
+    rollback window.  sources/wap.py; refusal path also pinned in
+    tests/test_wap.py."""
+    from ..functions.aggs import sum_exact
+    from ..sources.wap import (
+        AuditError,
+        duplicate_keys,
+        row_violations,
+        write_audit_publish,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    audits = [
+        ("dup_orderkey", duplicate_keys("o_orderkey")),
+        ("null_orderkey", row_violations(F.col("o_orderkey").isNull())),
+        ("negative_price", row_violations(F.col("o_totalprice") < 0)),
+    ]
+    path = _scratch_dir("wap", sf_dir) + "/orders_pub"
+    ok = write_audit_publish(spark, orders, path, audits)
+    assert not any(ok.values())
+
+    bad = orders.unionByName(orders.filter(F.col("o_orderkey") % 1009 == 0))
+    try:
+        write_audit_publish(spark, bad, path, audits)
+        raise AssertionError("duplicate-key publish must fail the audit")
+    except AuditError:
+        pass  # staging discarded, first publish still live
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            sum_exact("o_totalprice", scale=6).alias("total_price"),
+        )
+    )
