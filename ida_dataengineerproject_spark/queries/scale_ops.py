@@ -632,3 +632,60 @@ def write_audit_publish_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_exact("o_totalprice", scale=6).alias("total_price"),
         )
     )
+
+
+@register(
+    "xs12_change_data_feed",
+    f"""
+    WITH
+{_CHG_CTE}
+    cdf AS (
+        SELECT CASE kind WHEN 'update' THEN CAST(1000 AS DECIMAL(38,6))
+                         WHEN 'delete' THEN -CAST(o_totalprice AS DECIMAL(38,6))
+                         ELSE CAST(o_totalprice AS DECIMAL(38,6)) END AS delta,
+               kind AS change_type
+        FROM chg)
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(delta) AS DOUBLE) AS price_delta
+    FROM cdf GROUP BY change_type
+    """,
+)
+def change_data_feed_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed round-trip: commit orders as v0, MERGE the xs6
+    changeset (v1), then derive the row-level diff FROM STORAGE
+    (operators/merge_cow.py::change_data_feed — reads only buckets whose
+    owning commit differs, full-outer join within them, null-safe struct
+    compare) and aggregate per change_type with the exact price delta.
+
+    The oracle classifies the changeset relationally — parity therefore
+    proves the storage-derived feed recovers exactly the applied
+    changes: survivors of rewritten buckets drop out as unchanged,
+    deletes surface with their full old row, updates carry old AND new.
+    100 TB: CDF cost is O(rewritten buckets), never O(table) — the
+    bucket-diff pruning is pinned in tests/test_merge_cow.py."""
+    import shutil
+
+    from ..functions.aggs import sum_exact
+    from ..operators.merge_cow import (
+        change_data_feed,
+        create_versioned,
+        merge_versioned,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch_dir("cdf", sf_dir) + "/orders_v"
+    shutil.rmtree(path, ignore_errors=True)  # commit log must start at v0
+    create_versioned(spark, path, orders, "o_orderkey", 16)
+    merge_versioned(spark, path, _xs_changeset(orders), tombstone_col="__dead")
+
+    feed = change_data_feed(spark, path, 0, 1)
+    delta = F.coalesce(
+        F.col("new.o_totalprice").cast("decimal(38,6)"), F.lit(0)
+    ) - F.coalesce(F.col("old.o_totalprice").cast("decimal(38,6)"), F.lit(0))
+    return feed.groupBy("change_type").agg(
+        F.count("*").alias("n_rows"),
+        sum_exact(delta, scale=6).alias("price_delta"),
+    )

@@ -268,3 +268,59 @@ def test_vacuum_retain_all_is_a_noop(spark, tmp_path):
     stats = vacuum_versioned(spark, path, retain_from=0)
     assert stats["deleted_dirs"] == 0 and stats["deleted_logs"] == 0
     assert _files(path) == before
+
+
+def test_cdf_reads_only_differing_buckets_and_classifies(spark, tmp_path):
+    from ida_dataengineerproject_spark.operators.merge_cow import (
+        _cdf_inputs,
+        change_data_feed,
+        create_versioned,
+        merge_versioned,
+    )
+
+    path = str(tmp_path / "cdf")
+    df = spark.range(16).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )  # 8 buckets x 2 keys
+    create_versioned(spark, path, df, "k", 8)
+    # update k=1 (bucket 1), delete k=2 (bucket 2), insert k=100 (bucket 4)
+    ch = spark.createDataFrame(
+        [(1, -1.0, False), (2, 0.0, True), (100, 9.0, False)],
+        "k long, v double, dead boolean",
+    )
+    merge_versioned(spark, path, ch, tombstone_col="dead")
+
+    dirs_a, dirs_b, key = _cdf_inputs(spark, path, 0, 1)
+    assert key == "k"
+    # only buckets 1, 2, 4 differ; bucket 2 was NOT emptied (k=10 survives)
+    assert len(dirs_a) == 3 and len(dirs_b) == 3
+    assert all("__mbucket=" in d for d in dirs_a + dirs_b)
+
+    rows = {
+        (r["k"], r["change_type"]): (
+            r["old"]["v"] if r["old"] else None,
+            r["new"]["v"] if r["new"] else None,
+        )
+        for r in change_data_feed(spark, path, 0, 1).collect()
+    }
+    # survivors of rewritten buckets (k=9, 10, 12 …) must NOT appear
+    assert rows == {
+        (1, "update"): (1.0, -1.0),
+        (2, "delete"): (2.0, None),
+        (100, "insert"): (None, 9.0),
+    }
+
+
+def test_cdf_identical_versions_raise(spark, tmp_path):
+    import pytest as _pytest
+
+    from ida_dataengineerproject_spark.operators.merge_cow import (
+        change_data_feed,
+        create_versioned,
+    )
+
+    path = str(tmp_path / "cdf0")
+    df = spark.range(8).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    create_versioned(spark, path, df, "k", 4)
+    with _pytest.raises(ValueError):
+        change_data_feed(spark, path, 0, 0)
