@@ -170,3 +170,73 @@ def q_x04e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", rolling_fingerprint_kr(norm).alias("fingerprint")
     )
+
+
+_IIDX_TERMS = ("dup", "vector", "merge")  # one rare term (~5% df) + two common
+
+
+@register(
+    "xt19_inverted_index_search",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS id_mass,
+           CAST(COALESCE(MIN(doc_id), -1) AS BIGINT) AS first_doc
+    FROM (SELECT doc_id,
+                 list_transform({_TOKS}, t -> lower(t)) AS lt
+          FROM documents)
+    WHERE list_contains(lt, '{_IIDX_TERMS[0]}')
+      AND list_contains(lt, '{_IIDX_TERMS[1]}')
+      AND list_contains(lt, '{_IIDX_TERMS[2]}')
+    """,
+)
+def inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index conjunctive keyword search: materialize distinct
+    (token, doc_id) posting pairs range-partitioned and sorted by token
+    (so a term probe is a pushed parquet predicate + row-group skip —
+    the at-rest layout of a real text index), then answer
+    `dup AND vector AND merge` by probing the three posting ranges and
+    keeping doc_ids that matched all three terms (count-distinct == 3).
+
+    The oracle answers the same query by brute-force scanning every
+    document's token list — parity proves the index is LOSSLESS for
+    conjunctive search.  100 TB: the scan arm reads the whole corpus per
+    query; the index arm reads |postings of the query terms| (here the
+    rare term 'dup' bounds the candidate set at ~5% of docs), and the
+    posting build is one explode + distinct, amortized over every query
+    against it."""
+    docs = table(spark, sf_dir, "documents")
+    from .scale_ops import _scratch_dir
+
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: F.lower(t),
+                )
+            )
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    idx = _scratch_dir("iidx", sf_dir) + "/postings"
+    (
+        pairs.repartitionByRange(8, "token")
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode("overwrite")
+        .parquet(idx)
+    )
+    spark.catalog.refreshByPath(idx)
+
+    hits = spark.read.parquet(idx).filter(
+        F.col("token").isin(*_IIDX_TERMS)
+    )
+    matched = (
+        hits.groupBy("doc_id")
+        .agg(F.countDistinct("token").alias("nt"))
+        .filter(F.col("nt") == len(_IIDX_TERMS))
+    )
+    return matched.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_mass"),
+        F.coalesce(F.min("doc_id"), F.lit(-1)).alias("first_doc"),
+    )

@@ -359,3 +359,13 @@ def test_bucketed_join_has_no_exchange_below_join(spark):
     assert "SortMergeJoin" in plan
     assert plan.count("Bucketed: true") == 2
     assert len(re.findall(r"\) Exchange\n", plan)) == 1
+
+
+def test_inverted_index_probe_pushes_term_filter(spark):
+    """xt19: the term probe must reach the posting-file scan as a pushed
+    In(token, ...) filter — with postings sorted by token, that is a
+    row-group skip, not a posting-table scan."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xt19_inverted_index_search"](spark, SF_SMOKE))
+    assert "In(token, [dup,merge,vector])" in plan
