@@ -689,3 +689,95 @@ def change_data_feed_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         sum_exact(delta, scale=6).alias("price_delta"),
     )
+
+
+@register(
+    "xs13_mv_incremental_refresh",
+    f"""
+    WITH
+{_CHG_CTE}
+    state AS (
+{_MERGED_SELECT})
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM state GROUP BY o_orderstatus
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance from the Change Data Feed: compute
+    the per-status (count, exact-decimal sum) MV at v0, commit the xs6
+    changeset as v1, then refresh the MV using ONLY the CDF deltas —
+    inserts +1/+price, deletes -1/-price, updates ±(new-old) — never
+    re-reading v1.  Groups whose count reaches zero drop out (the 'P'
+    status can vanish at tiny SFs).  The oracle aggregates the fully
+    recomputed v1 state, so parity proves delta-refresh == recompute
+    through real storage, updates and deletes included — the half the
+    append-only xs5 rollup merge cannot express.
+
+    100 TB: refresh cost is O(changed rows) (the CDF's bucket-diff
+    bound) + a |groups|-sized merge join — the standard argument for
+    maintaining aggregates off a change feed instead of recomputing a
+    100 TB table."""
+    import shutil
+
+    from ..operators.merge_cow import (
+        change_data_feed,
+        create_versioned,
+        merge_versioned,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch_dir("mvcdf", sf_dir) + "/orders_v"
+    shutil.rmtree(path, ignore_errors=True)  # commit log must start at v0
+    create_versioned(spark, path, orders, "o_orderkey", 16)
+
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    mv0 = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(dec(F.col("o_totalprice"))).alias("sum_price"),
+    )
+
+    merge_versioned(spark, path, _xs_changeset(orders), tombstone_col="__dead")
+    feed = change_data_feed(spark, path, 0, 1)
+
+    # per-status deltas from the feed: status of a row is old's for
+    # deletes, new's otherwise (updates here never change status)
+    status = F.coalesce(
+        F.col("new.o_orderstatus"), F.col("old.o_orderstatus")
+    )
+    n_delta = (
+        F.when(F.col("change_type") == "insert", 1)
+        .when(F.col("change_type") == "delete", -1)
+        .otherwise(0)
+    )
+    p_delta = F.coalesce(dec(F.col("new.o_totalprice")), F.lit(0)) - F.coalesce(
+        dec(F.col("old.o_totalprice")), F.lit(0)
+    )
+    deltas = feed.groupBy(status.alias("o_orderstatus")).agg(
+        F.sum(n_delta).alias("d_n"), F.sum(p_delta).alias("d_price")
+    )
+
+    zero = F.lit(0)
+    merged = (
+        mv0.join(deltas, on="o_orderstatus", how="full_outer")
+        .select(
+            "o_orderstatus",
+            (
+                F.coalesce(F.col("n_rows"), zero)
+                + F.coalesce(F.col("d_n"), zero)
+            ).alias("n_rows"),
+            (
+                F.coalesce(F.col("sum_price"), dec(zero))
+                + F.coalesce(F.col("d_price"), dec(zero))
+            ).alias("sum_price"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    return merged.select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_price").cast("double").alias("total_price"),
+    )
