@@ -200,13 +200,26 @@ def create_versioned(
 
 def _bucket_dirs(path: str, log: dict, buckets: list[int] | None = None) -> list[str]:
     """Directories owning the given buckets (all buckets when None) as of
-    `log` — resolved purely from the commit log, never by listing data."""
+    `log` — resolved purely from the commit log, never by listing data.
+
+    A SHALLOW CLONE's log carries ``base``/``base_watermark``: buckets
+    owned by a commit ≤ the watermark still live under the base table's
+    data tree (zero-copy inheritance); commits above it are the clone's
+    own writes under its own path."""
+    base = log.get("base")
+    wm = log.get("base_watermark", -1)
+
+    def root(commit: int) -> str:
+        if base is not None and commit <= wm:
+            return base
+        return path.rstrip("/")
+
     items = sorted(log["buckets"].items(), key=lambda kv: int(kv[0]))
     if buckets is not None:
         want = {str(b) for b in buckets}
         items = [kv for kv in items if kv[0] in want]
     return [
-        f"{path.rstrip('/')}/data/v{commit}/{BUCKET_COL}={b}"
+        f"{root(int(commit))}/data/v{commit}/{BUCKET_COL}={b}"
         for b, commit in items
     ]
 
@@ -281,16 +294,16 @@ def merge_versioned(
             buckets[str(b)] = new_version
         else:
             buckets.pop(str(b), None)  # bucket fully deleted this commit
-    _write_log(
-        spark,
-        path,
-        {
-            "version": new_version,
-            "key": key,
-            "n_buckets": n_buckets,
-            "buckets": buckets,
-        },
-    )
+    new_log = {
+        "version": new_version,
+        "key": key,
+        "n_buckets": n_buckets,
+        "buckets": buckets,
+    }
+    for k in ("base", "base_watermark"):  # shallow clones stay clones
+        if k in log:
+            new_log[k] = log[k]
+    _write_log(spark, path, new_log)
     return new_version
 
 
@@ -333,7 +346,9 @@ def vacuum_versioned(spark: SparkSession, path: str, retain_from: int) -> dict:
     Path = spark._jvm.org.apache.hadoop.fs.Path
     data_root = Path(path.rstrip("/") + "/data")
     deleted = retained = 0
-    for commit_st in fs.listStatus(data_root):
+    # a fresh shallow clone owns no data dirs yet — nothing to reclaim
+    commit_dirs = fs.listStatus(data_root) if fs.exists(data_root) else []
+    for commit_st in commit_dirs:
         name = commit_st.getPath().getName()
         if not (commit_st.isDirectory() and name.startswith("v")):
             continue
@@ -433,3 +448,45 @@ def change_data_feed(
         "old",
         "new",
     ).filter(F.col("change_type").isNotNull())
+
+
+def shallow_clone(spark: SparkSession, src_path: str, dst_path: str) -> int:
+    """Zero-copy clone of the versioned table's LATEST snapshot: writes a
+    single commit-log entry at ``dst_path`` that references the source's
+    data directories (``base`` + ``base_watermark``) — no data moves.
+    The clone's version counter starts AT the source's latest version,
+    so its own commits (watermark+1, …) can never collide with inherited
+    commit ids; merges on the clone write under the clone's data tree
+    and the source stays byte-stable (tests pin this).
+
+    Semantics and caveat match Delta's shallow CLONE: O(1) metadata to
+    fork a 100 TB table for experiments/backfills, reads served from
+    shared files — and vacuuming the SOURCE below the clone's watermark
+    breaks the clone (the clone's own vacuum only ever lists its own
+    data tree, so it cannot damage the source).  Returns the clone's
+    starting version."""
+    log = _read_log(spark, src_path)
+    version = log["version"]
+    base = log.get("base", src_path.rstrip("/"))
+    clone_log = {
+        "version": version,
+        "key": log["key"],
+        "n_buckets": log["n_buckets"],
+        "buckets": dict(log["buckets"]),
+        "base": base,
+        # a clone of a clone keeps the ORIGINAL base for inherited
+        # buckets, but its watermark moves up to cover the middle
+        # clone's own commits too — which also live under `base` only if
+        # that middle clone never merged; to stay correct we refuse the
+        # chain when the middle clone diverged.
+        "base_watermark": version,
+    }
+    if "base" in log:
+        mid_wm = log.get("base_watermark", -1)
+        if any(int(c) > mid_wm for c in log["buckets"].values()):
+            raise ValueError(
+                "cannot shallow-clone a clone that has diverged from its "
+                "base — materialize it first (read latest + create_versioned)"
+            )
+    _write_log(spark, dst_path, clone_log)
+    return version

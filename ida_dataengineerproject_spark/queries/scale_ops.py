@@ -781,3 +781,67 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("sum_price").cast("double").alias("total_price"),
     )
+
+
+@register(
+    "xs14_shallow_clone_divergence",
+    f"""
+    WITH
+{_CHG_CTE}
+    merged AS (
+{_MERGED_SELECT})
+    SELECT 'source' AS branch, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'clone', o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy table fork: commit orders as a versioned table, SHALLOW
+    CLONE it (one JSON log write — no data copied), MERGE the xs6
+    changeset into the CLONE, then aggregate both branches.  The oracle
+    computes source = raw orders and clone = relational MERGE — parity
+    proves the fork semantics end-to-end: the clone serves inherited
+    buckets from the source's files, its merge writes only under its own
+    tree, and the source is untouched by the clone's divergence
+    (byte-stability pinned in tests/test_merge_cow.py).
+
+    100 TB: forking a table for an experiment or backfill is O(1)
+    metadata instead of a 100 TB copy — Delta/Iceberg shallow-clone
+    semantics on the same commit log that powers time travel, vacuum,
+    and CDF (operators/merge_cow.py::shallow_clone)."""
+    import shutil
+
+    from ..functions.aggs import sum_exact
+    from ..operators.merge_cow import (
+        create_versioned,
+        merge_versioned,
+        read_version,
+        shallow_clone,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = _scratch_dir("clone", sf_dir)
+    src, dst = base + "/orders_src", base + "/orders_clone"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    create_versioned(spark, src, orders, "o_orderkey", 16)
+    shallow_clone(spark, src, dst)
+    merge_versioned(spark, dst, _xs_changeset(orders), tombstone_col="__dead")
+
+    branches = read_version(spark, src).withColumn(
+        "branch", F.lit("source")
+    ).unionByName(
+        read_version(spark, dst).withColumn("branch", F.lit("clone"))
+    )
+    return branches.groupBy("branch", "o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        sum_exact("o_totalprice", scale=6).alias("total_price"),
+    )

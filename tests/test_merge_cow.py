@@ -324,3 +324,68 @@ def test_cdf_identical_versions_raise(spark, tmp_path):
     create_versioned(spark, path, df, "k", 4)
     with _pytest.raises(ValueError):
         change_data_feed(spark, path, 0, 0)
+
+
+def test_shallow_clone_is_zero_copy_and_diverges_safely(spark, tmp_path):
+    from ida_dataengineerproject_spark.operators.merge_cow import (
+        create_versioned,
+        merge_versioned,
+        read_version,
+        shallow_clone,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(16).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_versioned(spark, src, df, "k", 8)
+    v = shallow_clone(spark, src, dst)
+    assert v == 0
+    # zero-copy: the clone owns NO data files, only a log
+    assert not os.path.exists(os.path.join(dst, "data"))
+    clone0 = {r["k"]: r["v"] for r in read_version(spark, dst).collect()}
+    assert clone0 == {i: float(i) for i in range(16)}
+
+    src_files = _files(os.path.join(src, "data"))
+    ch = spark.createDataFrame(
+        [(1, -1.0, False), (2, 0.0, True)], "k long, v double, dead boolean"
+    )
+    merge_versioned(spark, dst, ch, tombstone_col="dead")
+
+    # source data byte-stable; source latest unchanged
+    assert _files(os.path.join(src, "data")) == src_files
+    assert {r["k"] for r in read_version(spark, src).collect()} == set(range(16))
+    # clone diverged: update applied, delete applied, inherited buckets intact
+    got = {r["k"]: r["v"] for r in read_version(spark, dst).collect()}
+    assert got[1] == -1.0 and 2 not in got and len(got) == 15
+    # the clone's own commit lives under ITS data tree
+    assert os.path.isdir(os.path.join(dst, "data", "v1"))
+
+
+def test_shallow_clone_of_diverged_clone_refused(spark, tmp_path):
+    import pytest as _pytest
+
+    from ida_dataengineerproject_spark.operators.merge_cow import (
+        create_versioned,
+        merge_versioned,
+        shallow_clone,
+    )
+
+    src, mid, leaf = (
+        str(tmp_path / "src"),
+        str(tmp_path / "mid"),
+        str(tmp_path / "leaf"),
+    )
+    df = spark.range(8).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    create_versioned(spark, src, df, "k", 4)
+    shallow_clone(spark, src, mid)
+    # undiverged clone-of-clone is fine (same base)
+    shallow_clone(spark, mid, leaf)
+    merge_versioned(
+        spark,
+        mid,
+        spark.createDataFrame([(1, 9.0, False)], "k long, v double, dead boolean"),
+        tombstone_col="dead",
+    )
+    with _pytest.raises(ValueError):
+        shallow_clone(spark, mid, str(tmp_path / "leaf2"))
