@@ -264,6 +264,38 @@ def _xs_changeset(orders: DataFrame) -> DataFrame:
     )
 
 
+def _shared_versioned(spark: SparkSession, sf_dir: str) -> str:
+    """The (v0 = raw orders, v1 = xs-changeset MERGE) versioned table the
+    READ-ONLY consumers share (xs8 time travel, xs12 CDF, xs13 MV
+    refresh): its content is deterministic, none of them ever commits to
+    it, and rebuilding the same two commits inside every query was the
+    dominant cost of the versioned family in a bench sweep.  Built once
+    per (sf_dir, process), reused when the log already shows v1.
+    Mutating ops (xs10 vacuum, xs11 WAP, xs14 clone) keep private
+    tables."""
+    import shutil
+
+    from ..operators.merge_cow import (
+        _read_log,
+        create_versioned,
+        merge_versioned,
+    )
+
+    path = _scratch_dir("vshared", sf_dir) + "/orders_v"
+    try:
+        if _read_log(spark, path)["version"] == 1:
+            return path
+    except FileNotFoundError:
+        pass
+    shutil.rmtree(path, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    create_versioned(spark, path, orders, "o_orderkey", 16)
+    merge_versioned(spark, path, _xs_changeset(orders), tombstone_col="__dead")
+    return path
+
+
 @register(
     "xs6_merge_cow_state",
     f"""
@@ -391,25 +423,13 @@ def time_travel_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     the new snapshot is exactly the merged state, through the actual
     file layout.  100 TB: a commit writes O(impacted buckets), time
     travel reads one small JSON + at most n_buckets directories; see
-    operators/merge_cow.py (versioned section)."""
-    import shutil
-
+    operators/merge_cow.py (versioned section).  The committed table is
+    the shared (v0, v1) build (_shared_versioned) — this query only
+    READS it."""
     from ..functions.aggs import sum_exact
-    from ..operators.merge_cow import (
-        create_versioned,
-        merge_versioned,
-        read_version,
-    )
+    from ..operators.merge_cow import read_version
 
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    path = _scratch_dir("timetravel", sf_dir) + "/orders_v"
-    shutil.rmtree(path, ignore_errors=True)  # commit log must start at v0
-    create_versioned(spark, path, orders, "o_orderkey", 16)
-
-    changes = _xs_changeset(orders)
-    merge_versioned(spark, path, changes, tombstone_col="__dead")
+    path = _shared_versioned(spark, sf_dir)
 
     states = None
     for v in (0, 1):
@@ -663,25 +683,12 @@ def change_data_feed_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes: survivors of rewritten buckets drop out as unchanged,
     deletes surface with their full old row, updates carry old AND new.
     100 TB: CDF cost is O(rewritten buckets), never O(table) — the
-    bucket-diff pruning is pinned in tests/test_merge_cow.py."""
-    import shutil
-
+    bucket-diff pruning is pinned in tests/test_merge_cow.py.  Reads the
+    shared (v0, v1) build (_shared_versioned)."""
     from ..functions.aggs import sum_exact
-    from ..operators.merge_cow import (
-        change_data_feed,
-        create_versioned,
-        merge_versioned,
-    )
+    from ..operators.merge_cow import change_data_feed
 
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    path = _scratch_dir("cdf", sf_dir) + "/orders_v"
-    shutil.rmtree(path, ignore_errors=True)  # commit log must start at v0
-    create_versioned(spark, path, orders, "o_orderkey", 16)
-    merge_versioned(spark, path, _xs_changeset(orders), tombstone_col="__dead")
-
-    feed = change_data_feed(spark, path, 0, 1)
+    feed = change_data_feed(spark, _shared_versioned(spark, sf_dir), 0, 1)
     delta = F.coalesce(
         F.col("new.o_totalprice").cast("decimal(38,6)"), F.lit(0)
     ) - F.coalesce(F.col("old.o_totalprice").cast("decimal(38,6)"), F.lit(0))
@@ -719,28 +726,20 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound) + a |groups|-sized merge join — the standard argument for
     maintaining aggregates off a change feed instead of recomputing a
     100 TB table."""
-    import shutil
+    from ..operators.merge_cow import change_data_feed, read_version
 
-    from ..operators.merge_cow import (
-        change_data_feed,
-        create_versioned,
-        merge_versioned,
-    )
-
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    path = _scratch_dir("mvcdf", sf_dir) + "/orders_v"
-    shutil.rmtree(path, ignore_errors=True)  # commit log must start at v0
-    create_versioned(spark, path, orders, "o_orderkey", 16)
-
+    path = _shared_versioned(spark, sf_dir)
     dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
-    mv0 = orders.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_rows"),
-        F.sum(dec(F.col("o_totalprice"))).alias("sum_price"),
+    # the MV's base state is the v0 SNAPSHOT (time travel), so the whole
+    # query runs off the shared committed table
+    mv0 = (
+        read_version(spark, path, 0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(dec(F.col("o_totalprice"))).alias("sum_price"),
+        )
     )
-
-    merge_versioned(spark, path, _xs_changeset(orders), tombstone_col="__dead")
     feed = change_data_feed(spark, path, 0, 1)
 
     # per-status deltas from the feed: status of a row is old's for
