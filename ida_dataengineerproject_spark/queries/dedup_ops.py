@@ -237,3 +237,63 @@ def q_x02d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("comp", "canonical_doc")
         .orderBy("canonical_doc")
     )
+
+
+@register(
+    "xt20_ngram_containment_pairs",
+    f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_sort(list_transform({_SHINGLES}, s -> hash(s))) AS sh
+      FROM documents WHERE len({_TOKS}) >= 3 AND doc_id < 300)
+    SELECT id_a, id_b, containment FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(a.sh), 6) AS containment
+        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+    WHERE containment >= 0.8
+    """,
+)
+def q_xt20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED n-gram containment pairs — |sh(a) ∩ sh(b)| / |sh(a)| —
+    the asymmetric twin of Jaccard that catches a document EMBEDDED in a
+    larger one (quotation, concatenation, boilerplate wrapping), where
+    Jaccard dilutes below any near-dup threshold as the size ratio
+    grows.  Bounded to doc_id < 300 to match the quadratic oracle, like
+    x02.
+
+    The Spark side never goes quadratic: shingles explode to (shingle,
+    doc) postings, the posting self-equi-join yields shared-shingle
+    counts per ordered pair (cost = Σ_shingle df², i.e. shared-content
+    mass, not n²), and containment divides by the probe side's shingle
+    count.  The same plan at 100 TB is the standard quote-detection /
+    cross-doc-overlap pass of a training pipeline; the oracle is the
+    brute-force list-intersect ground truth."""
+    from ..functions.textstats import ngram_shingles
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sh = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.array_distinct(ngram_shingles("text", 3))
+        ).alias("s"),
+    ).withColumn("s", F.xxhash64("s"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a"), on="id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter").cast("double") / F.col("n_sh"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
