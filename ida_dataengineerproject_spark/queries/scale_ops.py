@@ -411,7 +411,7 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = spark.read.parquet(idx_path)
     keys = orders.filter(F.col("o_orderkey") % 7919 == 0).select("o_orderkey")
     hit, _stats = bloom_pruned_lookup(
-        spark, path, index, "mes", "o_orderkey", keys
+        spark, path, index, "mes", "o_orderkey", keys, with_stats=False
     )
     return hit.select("o_orderkey", "mes", "o_orderstatus", "o_totalprice")
 

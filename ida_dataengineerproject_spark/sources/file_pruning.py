@@ -159,6 +159,7 @@ def bloom_pruned_lookup(
     keys_df: DataFrame,
     n_hashes: int = 3,
     m: int = 4096,
+    with_stats: bool = True,
 ):
     """Point-lookup of `keys_df[key]` against the partitioned table at
     `path`, reading ONLY partitions whose bloom admits at least one key
@@ -170,23 +171,45 @@ def bloom_pruned_lookup(
     turns it into a partition filter via Dynamic Partition Pruning, so
     non-candidate directories are never listed or opened.  100 TB: the
     index is O(partitions x m) rows, the lookup side is the (small)
-    key set, and the data-side cost is O(candidate partitions)."""
+    key set, and the data-side cost is O(candidate partitions).
+
+    The all-hashes requirement is ONE aggregate over the posexploded
+    probe positions (count-distinct-j == n_hashes), not n_hashes
+    DataFrame intersects — the per-j intersect chain cost ~1.3 s of
+    driver-side plan work per call (trap 23a).  `with_stats=False`
+    skips the two eager partition-count jobs; the lookup itself never
+    needed them."""
     from ..functions.hashing import cw_bucket
 
-    cand = None
-    for j in range(1, n_hashes + 1):
-        pj = keys_df.select(
-            F.col(key), cw_bucket(F.col(key), j, m).alias("pos")
-        )
-        mj = pj.join(index, "pos").select(part_col, key)
-        cand = mj if cand is None else cand.intersect(mj)
-    cand_parts = cand.select(part_col).distinct()
+    probes = keys_df.select(
+        F.col(key),
+        F.posexplode(
+            F.array(
+                *[cw_bucket(F.col(key), j, m) for j in range(1, n_hashes + 1)]
+            )
+        ).alias("j", "pos"),
+    )
+    cand_parts = (
+        probes.join(index, "pos")
+        .groupBy(part_col, key)
+        .agg(F.countDistinct("j").alias("nj"))
+        .filter(F.col("nj") == n_hashes)
+        .select(part_col)
+        .distinct()
+    )
 
-    n_total = spark.read.parquet(path).select(part_col).distinct().count()
-    n_read = cand_parts.count()
+    stats = {}
+    if with_stats:
+        stats = {
+            "parts_total": spark.read.parquet(path)
+            .select(part_col)
+            .distinct()
+            .count(),
+            "parts_read": cand_parts.count(),
+        }
 
     data = spark.read.parquet(path).join(
         F.broadcast(cand_parts), part_col, "left_semi"
     )
     hit = data.join(F.broadcast(keys_df.select(key).distinct()), key, "left_semi")
-    return hit, {"parts_total": n_total, "parts_read": n_read}
+    return hit, stats
