@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 BUCKET_COL = "__mbucket"
 
@@ -330,9 +331,28 @@ def vacuum_versioned(spark: SparkSession, path: str, retain_from: int) -> dict:
     from ..sources.ingest_ledger import _hadoop_fs
 
     latest = _read_log(spark, path)["version"]
-    if not 0 <= retain_from <= latest:
+    # a shallow clone's history starts at its watermark, not 0 — its
+    # earliest log IS its creation entry, and retaining below it would
+    # try to read logs that never existed here
+    from ..sources.ingest_ledger import _hadoop_fs as _hfs
+
+    fs0, _ = _hfs(spark, path)
+    JPath = spark._jvm.org.apache.hadoop.fs.Path
+    earliest = min(
+        int(st.getPath().getName()[1:-5])
+        for st in fs0.listStatus(JPath(_log_dir(path)))
+        if st.getPath().getName().startswith("v")
+        and st.getPath().getName().endswith(".json")
+    )
+    if not earliest <= retain_from <= latest:
         raise ValueError(
-            f"retain_from={retain_from} outside committed range 0..{latest}"
+            f"retain_from={retain_from} outside committed range "
+            f"{earliest}..{latest}"
+            + (
+                " (shallow clone: history starts at its watermark)"
+                if earliest > 0
+                else ""
+            )
         )
 
     keep: set[tuple[int, int]] = set()
@@ -431,12 +451,20 @@ def change_data_feed(
     old, new = _side(dirs_a, "old"), _side(dirs_b, "new")
     if old is None and new is None:
         raise ValueError("versions are identical: no differing buckets")
+    # an absent side must still be a TYPED empty frame — a NullType
+    # literal would break the feed's schema contract (consumers read
+    # struct fields; NullType is unwritable to parquet)
     if old is None:
-        j = new.select(key, F.lit(None).alias("old"), "new")
-    elif new is None:
-        j = old.select(key, "old", F.lit(None).alias("new"))
-    else:
-        j = old.join(new, on=key, how="full_outer")
+        schema = T.StructType(
+            [new.schema[0], T.StructField("old", new.schema[1].dataType)]
+        )
+        old = spark.createDataFrame([], schema)
+    if new is None:
+        schema = T.StructType(
+            [old.schema[0], T.StructField("new", old.schema[1].dataType)]
+        )
+        new = spark.createDataFrame([], schema)
+    j = old.join(new, on=key, how="full_outer")
     return j.select(
         key,
         F.when(F.col("old").isNull(), F.lit("insert"))

@@ -264,6 +264,30 @@ def _xs_changeset(orders: DataFrame) -> DataFrame:
     )
 
 
+def _build_orders_versioned(
+    spark: SparkSession, sf_dir: str, path: str, merge_changeset: bool = True
+) -> DataFrame:
+    """THE one definition of the versioned orders table every versioned
+    query builds from: fresh v0 commit of (key, status, price), plus the
+    xs changeset as v1 when requested.  Single site so the private
+    tables (xs10 vacuum, xs14 clone) can never drift from the shared one
+    the oracles assume.  Returns the source orders frame."""
+    import shutil
+
+    from ..operators.merge_cow import create_versioned, merge_versioned
+
+    shutil.rmtree(path, ignore_errors=True)  # commit log must start at v0
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    create_versioned(spark, path, orders, "o_orderkey", 16)
+    if merge_changeset:
+        merge_versioned(
+            spark, path, _xs_changeset(orders), tombstone_col="__dead"
+        )
+    return orders
+
+
 def _shared_versioned(spark: SparkSession, sf_dir: str) -> str:
     """The (v0 = raw orders, v1 = xs-changeset MERGE) versioned table the
     READ-ONLY consumers share (xs8 time travel, xs12 CDF, xs13 MV
@@ -271,15 +295,8 @@ def _shared_versioned(spark: SparkSession, sf_dir: str) -> str:
     it, and rebuilding the same two commits inside every query was the
     dominant cost of the versioned family in a bench sweep.  Built once
     per (sf_dir, process), reused when the log already shows v1.
-    Mutating ops (xs10 vacuum, xs11 WAP, xs14 clone) keep private
-    tables."""
-    import shutil
-
-    from ..operators.merge_cow import (
-        _read_log,
-        create_versioned,
-        merge_versioned,
-    )
+    Mutating ops (xs10 vacuum, xs14 clone) keep private tables."""
+    from ..operators.merge_cow import _read_log
 
     path = _scratch_dir("vshared", sf_dir) + "/orders_v"
     try:
@@ -287,12 +304,7 @@ def _shared_versioned(spark: SparkSession, sf_dir: str) -> str:
             return path
     except FileNotFoundError:
         pass
-    shutil.rmtree(path, ignore_errors=True)
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    create_versioned(spark, path, orders, "o_orderkey", 16)
-    merge_versioned(spark, path, _xs_changeset(orders), tombstone_col="__dead")
+    _build_orders_versioned(spark, sf_dir, path)
     return path
 
 
@@ -493,23 +505,15 @@ def vacuum_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(impacted buckets)-per-commit storage growth of the COW design
     finite.  Expired-version reads raise afterwards
     (tests/test_merge_cow.py pins file-level behavior)."""
-    import shutil
-
     from ..functions.aggs import sum_exact
     from ..operators.merge_cow import (
-        create_versioned,
         merge_versioned,
         read_version,
         vacuum_versioned,
     )
 
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
     path = _scratch_dir("vacuum", sf_dir) + "/orders_v"
-    shutil.rmtree(path, ignore_errors=True)  # commit log must start at v0
-    create_versioned(spark, path, orders, "o_orderkey", 16)
-    merge_versioned(spark, path, _xs_changeset(orders), tombstone_col="__dead")
+    _build_orders_versioned(spark, sf_dir, path)
 
     latest = read_version(spark, path)
     touch = latest.filter(F.col("o_orderkey") % 97 == 0).withColumn(
@@ -838,20 +842,17 @@ def shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.aggs import sum_exact
     from ..operators.merge_cow import (
-        create_versioned,
         merge_versioned,
         read_version,
         shallow_clone,
     )
 
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
     base = _scratch_dir("clone", sf_dir)
     src, dst = base + "/orders_src", base + "/orders_clone"
-    shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(dst, ignore_errors=True)
-    create_versioned(spark, src, orders, "o_orderkey", 16)
+    orders = _build_orders_versioned(
+        spark, sf_dir, src, merge_changeset=False
+    )
     shallow_clone(spark, src, dst)
     merge_versioned(spark, dst, _xs_changeset(orders), tombstone_col="__dead")
 

@@ -42,8 +42,10 @@ def row_violations(cond: Column) -> Column:
 
 
 def duplicate_keys(col: str) -> Column:
-    """Audit expression: how many rows share an already-seen key."""
-    return F.count("*") - F.countDistinct(col)
+    """Audit expression: how many NON-NULL-keyed rows share an
+    already-seen key.  count(col) (not count(*)) so NULL keys are the
+    null-completeness audit's finding, not phantom duplicates."""
+    return F.count(F.col(col)) - F.countDistinct(col)
 
 
 def write_audit_publish(
@@ -76,13 +78,29 @@ def write_audit_publish(
         fs.delete(Path(staging), True)
         raise AuditError(violations)
 
+    # publish by rename-aside, not delete-then-rename: the live table is
+    # moved to __prev (metadata op), staging renamed in, then __prev
+    # dropped — a failed swap ROLLS BACK to the previous version, so
+    # readers never see an empty path; the unprotected window is the
+    # instant between the two renames (the best plain-FS can do).
     target = Path(path)
-    if fs.exists(target) and not fs.delete(target, True):
-        raise IOError(f"WAP publish: could not remove {target}")
+    prev = Path(path.rstrip("/") + "__prev")
+    if fs.exists(prev) and not fs.delete(prev, True):  # stale crash remnant
+        raise IOError(f"WAP publish: could not clear stale {prev}")
+    had_live = fs.exists(target)
+    if had_live and not fs.rename(target, prev):
+        raise IOError(f"WAP publish: could not move live {target} aside")
     if not fs.rename(Path(staging), target):
+        if had_live and not fs.rename(prev, target):
+            raise IOError(
+                f"WAP publish: swap failed AND rollback failed; previous "
+                f"version is at {prev}, staged data at {staging}"
+            )
         raise IOError(
-            f"WAP publish: rename {staging} -> {target} failed; "
-            f"staged data left under {staging} for recovery"
+            f"WAP publish: rename {staging} -> {target} failed; previous "
+            f"version restored, staged data left under {staging}"
         )
+    if had_live and not fs.delete(prev, True):
+        raise IOError(f"WAP publish: published OK but could not drop {prev}")
     spark.catalog.refreshByPath(path)
     return violations

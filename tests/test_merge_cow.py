@@ -389,3 +389,69 @@ def test_shallow_clone_of_diverged_clone_refused(spark, tmp_path):
     )
     with _pytest.raises(ValueError):
         shallow_clone(spark, mid, str(tmp_path / "leaf2"))
+
+
+def test_cdf_one_sided_diff_keeps_typed_schema(spark, tmp_path):
+    """Pure-insert diff into buckets absent at v_from: the 'old' column
+    must still be a typed struct (readable fields, parquet-writable),
+    never a NullType literal."""
+    from ida_dataengineerproject_spark.operators.merge_cow import (
+        change_data_feed,
+        create_versioned,
+        merge_versioned,
+    )
+
+    path = str(tmp_path / "cdf1s")
+    df = spark.range(4).select(
+        (F.col("id") * 8).alias("k"), F.lit(1.0).alias("v")
+    )  # all keys land in bucket 0 of 8
+    create_versioned(spark, path, df, "k", 8)
+    ch = spark.createDataFrame(
+        [(3, 9.0, False)], "k long, v double, dead boolean"
+    )  # bucket 3: absent at v0 -> dirs_a is empty for the diff
+    merge_versioned(spark, path, ch, tombstone_col="dead")
+
+    feed = change_data_feed(spark, path, 0, 1)
+    assert feed.schema["old"].dataType.typeName() == "struct"
+    rows = feed.select(
+        "k", "change_type", F.col("old.v").alias("ov"), F.col("new.v").alias("nv")
+    ).collect()
+    assert [(r["k"], r["change_type"], r["ov"], r["nv"]) for r in rows] == [
+        (3, "insert", None, 9.0)
+    ]
+    out = str(tmp_path / "feed")  # NullType would make this write fail
+    feed.write.mode("overwrite").parquet(out)
+    assert spark.read.parquet(out).count() == 1
+
+
+def test_vacuum_on_clone_rejects_retain_below_watermark(spark, tmp_path):
+    import pytest as _pytest
+
+    from ida_dataengineerproject_spark.operators.merge_cow import (
+        create_versioned,
+        merge_versioned,
+        shallow_clone,
+        vacuum_versioned,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(8).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    create_versioned(spark, src, df, "k", 4)
+    merge_versioned(
+        spark,
+        src,
+        spark.createDataFrame([(1, 2.0, False)], "k long, v double, dead boolean"),
+        tombstone_col="dead",
+    )
+    shallow_clone(spark, src, dst)  # clone history starts at v1
+    merge_versioned(
+        spark,
+        dst,
+        spark.createDataFrame([(2, 3.0, False)], "k long, v double, dead boolean"),
+        tombstone_col="dead",
+    )
+    with _pytest.raises(ValueError, match="watermark"):
+        vacuum_versioned(spark, dst, retain_from=0)
+    # valid floor works and never touches the base
+    stats = vacuum_versioned(spark, dst, retain_from=2)
+    assert stats["deleted_logs"] == 1  # the clone's own v1 creation entry

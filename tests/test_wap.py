@@ -81,6 +81,7 @@ def test_audit_counts_multiple_violation_kinds(spark, tmp_path):
     with pytest.raises(AuditError) as ei:
         write_audit_publish(spark, df, path, _audits())
     v = ei.value.violations
-    # countDistinct ignores NULL keys: 4 rows, 2 distinct non-null dups...
-    assert v["null_k"] == 1 and v["neg_v"] == 1 and v["dup_k"] >= 1
+    # NULL key is the null audit's finding only — 3 non-null keys,
+    # 2 distinct -> exactly ONE duplicate; no phantom dup from the NULL
+    assert v == {"dup_k": 1, "null_k": 1, "neg_v": 1}
     assert not os.path.exists(path)  # nothing ever published
