@@ -55,24 +55,23 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("nmin"))
         )
-        new_labels = (
+        new_comp = F.least(
+            F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+        )
+        # the change flag rides along in the SAME select (old comp is
+        # already in scope), so convergence costs one scan of the
+        # checkpoint — not a second labels-vs-labels join job per round
+        staged = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
-                ).alias("comp"),
+                new_comp.alias("comp"),
+                (new_comp < F.col("comp")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = staged.filter("chg").limit(1).count()
+        labels = staged.drop("chg")
         if changed == 0:
             break
     return labels
