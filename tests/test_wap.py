@@ -85,3 +85,21 @@ def test_audit_counts_multiple_violation_kinds(spark, tmp_path):
     # 2 distinct -> exactly ONE duplicate; no phantom dup from the NULL
     assert v == {"dup_k": 1, "null_k": 1, "neg_v": 1}
     assert not os.path.exists(path)  # nothing ever published
+
+
+def test_stale_prev_from_crash_is_cleared_on_next_publish(spark, tmp_path):
+    """A crash after rename-aside leaves <path>__prev behind; the next
+    successful publish must clear it and land normally."""
+    import shutil
+
+    from ida_dataengineerproject_spark.sources.wap import write_audit_publish
+
+    path = str(tmp_path / "pub")
+    df = spark.range(10).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    write_audit_publish(spark, df, path, _audits())
+    shutil.copytree(path, path + "__prev")  # simulate crash remnant
+
+    df2 = spark.range(20).select(F.col("id").alias("k"), F.lit(2.0).alias("v"))
+    write_audit_publish(spark, df2, path, _audits())
+    assert not os.path.exists(path + "__prev")
+    assert spark.read.parquet(path).count() == 20
