@@ -1,0 +1,171 @@
+"""Growth/occupancy analytics on `events` (round 5d).
+
+Two classic event-warehouse operators, each chosen because the naive SQL
+formulation does NOT scale and the registered plan is the standard
+distributed rewrite:
+
+- x17_cumulative_distinct_users — "distinct users seen through day D".
+  The naive form is COUNT(DISTINCT user) OVER (ORDER BY day ROWS
+  UNBOUNDED PRECEDING), which Spark refuses (and any engine would
+  execute as an O(days × users) re-scan).  The scalable identity:
+  cumulative distinct == running SUM of first-appearance counts.  One
+  groupBy(user) for first_day, one tiny per-day rollup, one window over
+  ~10² day rows.  At 100 TB the only big shuffle keys on user_id.
+- xq5_concurrent_sessions — per-day peak number of simultaneously open
+  sessions (sweep line over session intervals).  The textbook form is a
+  single global cumsum over all ±1 boundary events — a one-partition
+  sort.  Registered here as the two-level prefix sum: intra-day cumsum
+  (window partitioned by day) + carry-in offsets (global window over
+  distinct DAYS only, bounded by calendar size, SURVEY.md §7.4.2).
+  Peak-per-day is invariant to tie order among equal (t, delta) keys,
+  so the row-frame cumsum is deterministic where it matters.
+
+Reference scope: the reference's analytics layer is monthly aggregate
+views (/root/reference/schema_star.sql:108-164, month-over-month rates);
+these extend the same "derive a time series from raw facts" posture to
+event granularity.
+
+Sessions for xq5 come from the same 30-min-gap sessionize as
+x05_sessionize_events (operators/sessionize.py) so the two operators
+agree on what a session is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.sessionize import session_stats
+from ..registry import register
+from ..sources.tables import table
+from .events_ops import EVENTS_US
+
+
+@register(
+    "x17_cumulative_distinct_users",
+    f"""
+    WITH f AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM {EVENTS_US}
+        GROUP BY user_id
+    ),
+    d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM {EVENTS_US}),
+    n AS (
+        SELECT d.day, COUNT(f.user_id) AS new_users
+        FROM d LEFT JOIN f ON f.first_day = d.day
+        GROUP BY d.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+           CAST(SUM(new_users) OVER (
+                ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM n
+    """,
+)
+def q_x17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day via first-seen + running sum.
+
+    COUNT(DISTINCT) over an unbounded ordered window is unsupported (and
+    inherently quadratic); first-appearance counting is the exact rewrite:
+    a user contributes to the cumulative count on exactly their first
+    day.  Days with zero new users still get a row (left join from the
+    distinct-day spine), so the series is gap-free over observed days.
+    """
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    daily = (
+        days.join(first, days["day"] == first["first_day"], "left")
+        .groupBy("day")
+        .agg(F.count("user_id").alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+@register(
+    "xq5_concurrent_sessions",
+    f"""
+    WITH s AS (
+        SELECT user_id, session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM (
+          SELECT user_id, ts,
+                 CAST(SUM(CASE WHEN prev_ts IS NULL
+                               OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_seq
+          FROM (SELECT user_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM {EVENTS_US}))
+        GROUP BY user_id, session_seq
+    ),
+    e AS (
+        SELECT session_start AS t, 1 AS delta FROM s
+        UNION ALL
+        SELECT session_end AS t, -1 AS delta FROM s
+    ),
+    c AS (
+        SELECT CAST(t AS DATE) AS day,
+               SUM(delta) OVER (
+                   ORDER BY t, delta DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS conc
+        FROM e
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM c GROUP BY day
+    """,
+)
+def q_xq5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak concurrent sessions, distributed sweep line.
+
+    Boundary events (+1 at session_start, -1 at session_end, inclusive
+    intervals so starts sort before ends at equal t) are prefix-summed in
+    two levels: a window partitioned BY DAY does the intra-day running
+    sum, and the carry-in (sessions opened before the day and not yet
+    closed) is the global running sum of per-day totals — a window over
+    one row per day.  Identical to the single global cumsum (the oracle's
+    form) because prefix sums compose; unlike it, no full-data single
+    partition anywhere.
+    """
+    ev = table(spark, sf_dir, "events")
+    s = session_stats(ev, gap_minutes=30)
+    bounds = s.select(
+        F.col("session_start").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        s.select(F.col("session_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    bounds = bounds.withColumn("day", F.to_date("t"))
+    # intra-day running sum (+1 before -1 at equal t → inclusive overlap)
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = bounds.withColumn("run", F.sum("delta").over(w_day))
+    # carry-in: cumulative sum of prior days' net deltas (one row per day)
+    day_tot = bounds.groupBy("day").agg(F.sum("delta").alias("net"))
+    w_days = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = day_tot.select(
+        "day", F.coalesce(F.sum("net").over(w_days), F.lit(0)).alias("carry")
+    )
+    return (
+        intra.join(F.broadcast(carry), "day")
+        .groupBy("day")
+        .agg(F.max(F.col("carry") + F.col("run")).alias("max_concurrent"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "max_concurrent"
+        )
+    )
