@@ -369,3 +369,57 @@ def test_inverted_index_probe_pushes_term_filter(spark):
 
     plan = _plan(e.queries()["xt19_inverted_index_search"](spark, SF_SMOKE))
     assert "In(token, [dup,merge,vector])" in plan
+
+
+def test_fuzzy_match_has_no_cross_join(spark):
+    """x19: deletion-neighborhood blocking must replace the probe x
+    catalog cross join — the plan may only contain hash equi-joins."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["x19_fuzzy_entity_match"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_span_windows_are_partitioned(spark):
+    """xt21: both windows (k-gram assembly by doc, first-occurrence by
+    hash) must be partitioned — an unpartitioned window would serialize
+    the token stream at 100 TB."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xt21_dup_span_stats"](spark, SF_SMOKE))
+    # no single-partition exchange anywhere: every window/agg keys on
+    # doc_id or the gram hash ("SinglePartition" appears in the details
+    # section of the formatted plan when present)
+    assert "SinglePartition" not in plan, plan
+
+
+def test_concurrency_global_window_is_days_only(spark):
+    """xq5: the only unpartitioned window (carry-in prefix sum) must sit
+    above the per-day aggregate — i.e. after a HashAggregate keyed by
+    day — never on the raw boundary stream."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xq5_concurrent_sessions"](spark, SF_SMOKE))
+    # exactly one single-partition exchange (the day-level carry); the
+    # boundary-stream windows are partitioned by day/user
+    assert plan.count("Arguments: SinglePartition") == 1, plan
+
+
+def test_cumulative_distinct_window_is_post_aggregate(spark):
+    """x17: the running-sum window runs over one row per day; the only
+    big shuffle keys on user_id (the first-seen groupBy)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["x17_cumulative_distinct_users"](spark, SF_SMOKE))
+    assert plan.count("Arguments: SinglePartition") == 1, plan
+    # and it must sit directly above a HashAggregate (post-aggregation
+    # day rollup), which the tree order shows as Window over Exchange
+    # over HashAggregate
+    tree = plan.split("\n\n")[0]
+    import re
+
+    assert re.search(
+        r"Window \(\d+\)\n\s+\+- Sort \(\d+\)\n\s+\+- Exchange \(\d+\)\n\s+\+- HashAggregate",
+        tree,
+    ), tree
