@@ -90,6 +90,56 @@ def q_x17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x17b_rolling_active_users",
+    f"""
+    WITH a AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM {EVENTS_US}
+    ),
+    d AS (SELECT DISTINCT day FROM a),
+    w AS (
+        SELECT a.user_id, d.day AS window_day
+        FROM a JOIN d ON d.day BETWEEN a.day AND a.day + 6
+    )
+    SELECT strftime(window_day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM w GROUP BY window_day
+    """,
+)
+def q_x17b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users (WAU) per observed day.
+
+    COUNT(DISTINCT) OVER (RANGE 6 days PRECEDING) is unsupported and
+    would re-scan the window per day; the distributed rewrite explodes
+    each (user, active-day) pair to the <=7 window days it contributes
+    to — a fixed fan-out, not a range join — then runs an ordinary
+    two-phase distinct count keyed by window day.  The day spine join is
+    a broadcast (calendar-sized).  Shuffles: (user, day) dedup and the
+    final count-distinct — both linear, both key-uniform.
+    """
+    ev = table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    spine = active.select("day").distinct().withColumnRenamed(
+        "day", "window_day"
+    )
+    fanned = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", 6))
+        ).alias("window_day"),
+    )
+    return (
+        fanned.join(F.broadcast(spine), "window_day")
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(
+            F.date_format("window_day", "yyyy-MM-dd").alias("day"), "wau"
+        )
+    )
+
+
+@register(
     "xq5_concurrent_sessions",
     f"""
     WITH s AS (

@@ -865,3 +865,61 @@ def shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         sum_exact("o_totalprice", scale=6).alias("total_price"),
     )
+
+
+@register(
+    "xs15_dynamic_partition_overwrite",
+    """
+    WITH base AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CASE WHEN strftime(o_orderdate, '%Y-%m') = '1995-03'
+                    THEN o_totalprice * 1.05 ELSE o_totalprice END AS price
+        FROM orders
+    )
+    SELECT month, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM base GROUP BY month
+    """,
+)
+def q_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite: restate ONE month in a
+    month-partitioned table without touching the others.
+
+    Load orders partitioned by order month, then write a corrected batch
+    for 1995-03 (prices +5%) with
+    ``option("partitionOverwriteMode", "dynamic")`` — the writer replaces
+    only the partitions present in the incoming frame (Spark's
+    INSERT OVERWRITE ... PARTITION semantics on plain parquet; static
+    mode would truncate the whole table first).  This is the
+    coarse-grained restatement tool between full reload and row-level
+    MERGE (xs6): O(restated partition) I/O, no read-modify-write.
+
+    The query re-reads the table and returns per-month (count, exact
+    total); the oracle computes the post-restatement state relationally.
+    Byte-stability of untouched partitions is pinned in
+    tests/test_dynamic_overwrite.py.
+    """
+    from ..functions.aggs import sum_exact
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = _scratch_dir("dpo", sf_dir) + "/orders_by_month"
+    base.write.partitionBy("month").mode("overwrite").parquet(path)
+    restated = base.where(F.col("month") == "1995-03").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.05
+    )
+    (
+        restated.write.partitionBy("month")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("month").agg(
+        F.count("*").alias("n_orders"),
+        sum_exact("o_totalprice", scale=6).alias("total_price"),
+    )
