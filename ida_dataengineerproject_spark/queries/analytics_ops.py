@@ -140,6 +140,102 @@ def q_x17b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xq6_last_touch_attribution",
+    f"""
+    WITH t AS (
+        SELECT user_id, ts, MAX(event_type) AS channel
+        FROM {EVENTS_US} WHERE event_type IN ('click', 'view')
+        GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT user_id, ts, value AS revenue FROM {EVENTS_US}
+        WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT CASE WHEN t.ts IS NOT NULL
+                         AND epoch_us(p.ts) - epoch_us(t.ts)
+                             <= CAST(604800 AS BIGINT) * 1000000
+                    THEN t.channel ELSE 'direct' END AS channel,
+               p.revenue
+        FROM p ASOF LEFT JOIN t
+          ON p.user_id = t.user_id AND t.ts <= p.ts
+    )
+    SELECT channel, COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE)
+               AS attributed_revenue
+    FROM j GROUP BY channel
+    """,
+)
+def q_xq6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution with a 7-day lookback TTL.
+
+    Each purchase is credited to the user's most recent click/view at or
+    before it; touches older than 7 days (or absent) fall to 'direct'.
+    Same union-then-window as-of composition as x05b (one shuffle on
+    user_id, no per-group pandas) with two extensions: multi-channel
+    touches deduped to one deterministic row per (user, ts)
+    (MAX(event_type) — 'view' beats 'click' on ties, identically in both
+    engines), and the TTL applied AFTER the carry-forward, which is
+    exactly last-touch semantics (an expired touch does not fall back to
+    an older one).  Oracle: DuckDB native ASOF JOIN + the same CASE.
+    """
+    ev = table(spark, sf_dir, "events")
+    touches = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("channel"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("revenue")
+    )
+    tagged = touches.select(
+        "user_id", "ts", F.lit(0).alias("side"), "channel",
+        F.col("ts").alias("touch_ts"),
+        F.lit(None).cast("double").alias("revenue"),
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts", F.lit(1).alias("side"),
+            F.lit(None).cast("string").alias("channel"),
+            F.lit(None).cast("timestamp").alias("touch_ts"), "revenue",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ttl_us = 7 * 86400 * 1_000_000
+    attributed = (
+        tagged.withColumn(
+            "last_channel", F.last("channel", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_touch_ts", F.last("touch_ts", ignorenulls=True).over(w)
+        )
+        .where(F.col("side") == 1)
+        .select(
+            F.when(
+                F.col("last_touch_ts").isNotNull()
+                & (
+                    F.unix_micros("ts") - F.unix_micros("last_touch_ts")
+                    <= ttl_us
+                ),
+                F.col("last_channel"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            "revenue",
+        )
+    )
+    from ..functions.aggs import sum_exact
+
+    return attributed.groupBy("channel").agg(
+        F.count("*").alias("n_purchases"),
+        sum_exact("revenue", scale=6).alias("attributed_revenue"),
+    )
+
+
+@register(
     "xq5_concurrent_sessions",
     f"""
     WITH s AS (
