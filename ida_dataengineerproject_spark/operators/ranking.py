@@ -1,0 +1,78 @@
+"""Distributed global ranking without a single-partition sort (round 5d).
+
+``row_number() OVER (ORDER BY v)`` with no PARTITION BY moves the whole
+table through one task — the classic Spark scaling cliff (WindowExec
+warns, and at 100 TB it simply doesn't run).  The exact rewrite:
+
+1. pick ~``n_buckets`` approximate quantile boundaries of the order
+   column (``approxQuantile`` — Greenwald-Khanna, deterministic, one
+   pass, driver gets a bounded float list);
+2. assign each row a bucket with a monotone chain of codegen'd
+   comparisons (equal values always share a bucket, so bucket order
+   refines to total order);
+3. per-bucket offsets = running sum over the bucket COUNTS — a window
+   over <= n_buckets rows (bounded, the only single-partition step);
+4. global rank = offset + row_number within the bucket (window
+   partitioned by bucket).
+
+Ranks are EXACT and identical to the naive global window for any
+boundary choice — boundaries only balance work.  Skewed order columns
+degrade gracefully: a bucket holding one hot value processes that
+value's rows in one task, same as any rank-by definition must.
+
+Used by xq7_gini_revenue; the same primitive serves ECDF, exact
+top-percent cuts, and rank-based statistics at scale.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    n_buckets: int = 64,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Attach a 1-based dense global row number ordered by
+    (value_col, *tiebreak_cols).  Requires (value_col, tiebreaks) to be
+    unique per row for a deterministic total order."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.approxQuantile(value_col, probs, 0.001)
+    # dedupe preserving order (constant columns yield repeated bounds)
+    uniq: list[float] = []
+    for b in bounds:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    v = F.col(value_col)
+    bucket: Column = reduce(
+        lambda acc, b: acc + (v > F.lit(b)).cast("int"),
+        uniq,
+        F.lit(0),
+    )
+    with_bucket = df.withColumn("__bucket", bucket)
+    counts = with_bucket.groupBy("__bucket").agg(
+        F.count("*").alias("__n")
+    )
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__bucket",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    w_in = Window.partitionBy("__bucket").orderBy(
+        value_col, *tiebreak_cols
+    )
+    return (
+        with_bucket.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            rank_col, F.col("__offset") + F.row_number().over(w_in)
+        )
+        .drop("__bucket", "__offset")
+    )

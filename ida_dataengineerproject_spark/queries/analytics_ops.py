@@ -236,6 +236,81 @@ def q_xq6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xq7_gini_revenue",
+    """
+    WITH r AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS revc
+        FROM orders GROUP BY o_custkey
+    ),
+    k AS (
+        SELECT revc,
+               row_number() OVER (ORDER BY revc, o_custkey) AS i
+        FROM r
+    ),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(revc) AS BIGINT) AS s1,
+               CAST(SUM(CAST(i AS DECIMAL(19,0)) * CAST(revc AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS s2
+        FROM k
+    )
+    SELECT n AS n_customers,
+           CAST(s2 + s2 - CAST(n + 1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0))
+                AS DOUBLE)
+           / CAST(CAST(n AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0))
+                  AS DOUBLE) AS gini
+    FROM a
+    """,
+)
+def q_xq7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-customer revenue.
+
+    Gini needs every row's GLOBAL rank — the one statistic that naively
+    forces a single-partition sort.  Uses operators/ranking.global_rank
+    (bucketed two-level ranking: quantile-bounded buckets + per-bucket
+    row_number + bounded offset cumsum) so the only unpartitioned step
+    touches <= n_buckets rows.  All arithmetic is exact: revenue in
+    integer cents, rank*revenue accumulated in DECIMAL(38,0), one final
+    double division — bit-identical across engines (ROUND_NOTES trap 4).
+    Formula: G = (2*Σ i*x_(i) − (n+1)*Σx) / (n*Σx) over ascending x.
+    """
+    from ..operators.ranking import global_rank
+
+    orders = table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("revc")
+    )
+    ranked = global_rank(rev, "revc", ["o_custkey"], rank_col="i")
+    a = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("revc").alias("s1"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)")
+            * F.col("revc").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    n1s1 = (F.col("n") + 1).cast("decimal(19,0)") * F.col("s1").cast(
+        "decimal(19,0)"
+    )
+    ns1 = F.col("n").cast("decimal(19,0)") * F.col("s1").cast(
+        "decimal(19,0)"
+    )
+    return a.select(
+        F.col("n").alias("n_customers"),
+        (
+            (F.col("s2") + F.col("s2") - n1s1).cast("double")
+            / ns1.cast("double")
+        ).alias("gini"),
+    )
+
+
+@register(
     "xq5_concurrent_sessions",
     f"""
     WITH s AS (
