@@ -311,6 +311,128 @@ def q_xq7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xq7b_lorenz_deciles",
+    """
+    WITH r AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS revc
+        FROM orders GROUP BY o_custkey
+    ),
+    k AS (
+        SELECT revc, row_number() OVER (ORDER BY revc, o_custkey) AS i,
+               COUNT(*) OVER () AS n,
+               CAST(SUM(revc) OVER () AS BIGINT) AS total
+        FROM r
+    ),
+    d AS (
+        SELECT CAST((i * 10 + n - 1) // n AS INTEGER) AS decile,
+               CAST(SUM(revc) AS BIGINT) AS decile_revc,
+               ANY_VALUE(total) AS total
+        FROM k GROUP BY (i * 10 + n - 1) // n
+    )
+    SELECT decile,
+           CAST(SUM(decile_revc) OVER (
+               ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_revc,
+           CAST(CAST(SUM(decile_revc) OVER (
+               ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / CAST(total AS DOUBLE) AS DOUBLE) AS cum_share
+    FROM d
+    """,
+)
+def q_xq7b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile resolution: cumulative revenue share of the
+    poorest 10%, 20%, ... of customers.  Same global_rank primitive as
+    xq7; decile assignment is pure integer arithmetic
+    (ceil(i*10/n) = (i*10 + n - 1) div n), cumulative share is one
+    window over 10 rows.  The oracle's COUNT(*)/SUM OVER () global
+    windows are replaced by one broadcast single-row aggregate.
+    """
+    from ..operators.ranking import global_rank
+
+    orders = table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("revc")
+    )
+    ranked = global_rank(rev, "revc", ["o_custkey"], rank_col="i")
+    totals = rev.agg(
+        F.count("*").alias("n"), F.sum("revc").alias("total")
+    )
+    decile = ranked.crossJoin(F.broadcast(totals)).select(
+        F.expr("CAST((i * 10 + n - 1) div n AS INT)").alias("decile"),
+        "revc",
+        "total",
+    )
+    per = decile.groupBy("decile").agg(
+        F.sum("revc").alias("decile_revc"),
+        F.first("total").alias("total"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("decile_revc").over(w)
+    return per.select(
+        "decile",
+        cum.alias("cum_revc"),
+        (cum.cast("double") / F.col("total").cast("double")).alias(
+            "cum_share"
+        ),
+    )
+
+
+@register(
+    "xq9_event_transition_matrix",
+    f"""
+    WITH t AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM {EVENTS_US}
+    ),
+    c AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM t WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(CAST(n AS DOUBLE) /
+                CAST(CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+                     AS DOUBLE) AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def q_xq9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: P(next event type |
+    previous event type), per-user consecutive pairs.  One window keyed
+    by user (tie-broken by event_id so both engines pair identically),
+    one count aggregate over the |types|² matrix, row-normalized by a
+    window over the tiny matrix itself.  The division is a single
+    double op on exact integer counts — engine-identical."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    c = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wrow).cast("double")
+        ).alias("p"),
+    )
+
+
+@register(
     "xq5_concurrent_sessions",
     f"""
     WITH s AS (
