@@ -32,16 +32,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def global_rank(
-    df: DataFrame,
-    value_col: str,
-    tiebreak_cols: list[str],
-    n_buckets: int = 64,
-    rank_col: str = "rank",
+def _with_buckets(
+    df: DataFrame, value_col: str, n_buckets: int
 ) -> DataFrame:
-    """Attach a 1-based dense global row number ordered by
-    (value_col, *tiebreak_cols).  Requires (value_col, tiebreaks) to be
-    unique per row for a deterministic total order."""
+    """Attach ``__bucket``: a monotone, codegen'd bucket id from
+    approximate quantile boundaries (equal values always share a
+    bucket, so bucket order refines to total order)."""
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.approxQuantile(value_col, probs, 0.001)
     # dedupe preserving order (constant columns yield repeated bounds)
@@ -55,7 +51,20 @@ def global_rank(
         uniq,
         F.lit(0),
     )
-    with_bucket = df.withColumn("__bucket", bucket)
+    return df.withColumn("__bucket", bucket)
+
+
+def global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    n_buckets: int = 64,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Attach a 1-based dense global row number ordered by
+    (value_col, *tiebreak_cols).  Requires (value_col, tiebreaks) to be
+    unique per row for a deterministic total order."""
+    with_bucket = _with_buckets(df, value_col, n_buckets)
     counts = with_bucket.groupBy("__bucket").agg(
         F.count("*").alias("__n")
     )
@@ -73,6 +82,45 @@ def global_rank(
         with_bucket.join(F.broadcast(offsets), "__bucket")
         .withColumn(
             rank_col, F.col("__offset") + F.row_number().over(w_in)
+        )
+        .drop("__bucket", "__offset")
+    )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    tiebreak_cols: list[str] | None = None,
+    n_buckets: int = 64,
+    out_col: str = "cum_weight",
+) -> DataFrame:
+    """Attach the inclusive running sum of ``weight_col`` in global
+    (value_col, *tiebreak_cols) order — same bucket decomposition as
+    global_rank with per-bucket WEIGHT totals as the carry.  Exact for
+    integer weights (long accumulation in both levels).  This is the
+    primitive behind weighted quantiles/medians at scale: the naive
+    ``SUM(w) OVER (ORDER BY v)`` is a single-partition sort."""
+    with_bucket = _with_buckets(df, value_col, n_buckets)
+    totals = with_bucket.groupBy("__bucket").agg(
+        F.sum(weight_col).alias("__w")
+    )
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__w").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(value_col, *(tiebreak_cols or []))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        with_bucket.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            out_col, F.col("__offset") + F.sum(weight_col).over(w_in)
         )
         .drop("__bucket", "__offset")
     )

@@ -382,6 +382,54 @@ def q_xq7b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xq8_weighted_median_price",
+    """
+    WITH g AS (
+        SELECT l_extendedprice AS v,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wgt
+        FROM lineitem GROUP BY l_extendedprice
+    ),
+    k AS (
+        SELECT v, wgt,
+               CAST(SUM(wgt) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cumw,
+               CAST(SUM(wgt) OVER () AS BIGINT) AS w_total
+        FROM g
+    )
+    SELECT MIN(v) AS weighted_median, ANY_VALUE(w_total) AS w_total
+    FROM k WHERE 2 * cumw >= w_total
+    """,
+)
+def q_xq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price: the smallest price whose
+    cumulative quantity weight reaches half the total.
+
+    Uses operators/ranking.global_prefix_sum — the naive form is
+    SUM(w) OVER (ORDER BY v), a single-partition sort; the rewrite's
+    only unpartitioned step is the <= n_buckets offset cumsum.  Weights
+    are exact integers, the crossing test (2*cum >= W) is integer, and
+    the median is an actual data value — no interpolation, no floats
+    until the output column itself."""
+    from ..operators.ranking import global_prefix_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("wgt")
+    )
+    ps = global_prefix_sum(g, "v", "wgt", out_col="cumw")
+    tot = g.agg(F.sum("wgt").alias("w_total"))
+    return (
+        ps.crossJoin(F.broadcast(tot))
+        .where(2 * F.col("cumw") >= F.col("w_total"))
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.first("w_total").alias("w_total"),
+        )
+    )
+
+
+@register(
     "xq9_event_transition_matrix",
     f"""
     WITH t AS (

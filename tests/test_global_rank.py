@@ -72,3 +72,43 @@ def test_only_bounded_single_partition_exchange(spark):
     )
     # exactly one SinglePartition exchange: the <=n_buckets offset cumsum
     assert plan.count("Arguments: SinglePartition") == 1, plan
+
+
+def test_prefix_sum_equals_naive(spark):
+    from ida_dataengineerproject_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+
+    li = table(spark, SF, "lineitem")
+    g = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("wgt")
+    )
+    got = {
+        r["v"]: r["cum_weight"]
+        for r in global_prefix_sum(g, "v", "wgt").collect()
+    }
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["v"]: r["cw"]
+        for r in g.withColumn("cw", F.sum("wgt").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_weighted_median_crossing_semantics(spark):
+    from ida_dataengineerproject_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+
+    # weights: 1,1,8 over values 10,20,30 -> half of 10 is 5, first value
+    # whose cumulative weight (1,2,10) doubles past 10 is 30
+    df = spark.createDataFrame(
+        [(10.0, 1), (20.0, 1), (30.0, 8)], ["v", "wgt"]
+    )
+    ps = global_prefix_sum(df, "v", "wgt", out_col="cumw")
+    got = (
+        ps.where(2 * F.col("cumw") >= 10)
+        .agg(F.min("v").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert got == 30.0
