@@ -481,6 +481,58 @@ def q_xq9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x09c_hll_rollup_day_to_month",
+    f"""
+    SELECT strftime(date_trunc('month', CAST(ts AS DATE)), '%Y-%m') AS month,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS hll_ok
+    FROM {EVENTS_US}
+    GROUP BY date_trunc('month', CAST(ts AS DATE))
+    """,
+)
+def q_x09c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch re-aggregation: day-level HLL sketches union'd to months.
+
+    The production pattern behind xs5 applied to distinct counts: daily
+    DataSketches HLL sketches are maintained incrementally at ingest;
+    month-level (or week, or quarter) distinct-user estimates come from
+    ``hll_union_agg`` over the 30 stored sketches — no rescan of raw
+    events, and the union is associative so any calendar rollup works
+    from the same partials.  The registered query carries the exact
+    verify arm (one countDistinct) and asserts the estimate lands within
+    ±4% (HLL lgK=12 has sigma ~1.6%); the oracle checks exact + flag,
+    same contract shape as xt14_ngram_vocab_estimate.
+    """
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    day_sketches = days.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    month_est = (
+        day_sketches.groupBy(
+            F.date_format(F.trunc("day", "month"), "yyyy-MM").alias("month")
+        )
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = days.groupBy(
+        F.date_format(F.trunc("day", "month"), "yyyy-MM").alias("month")
+    ).agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return (
+        exact.join(month_est, "month")
+        .select(
+            "month",
+            "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= 0.04 * F.col("exact_distinct")
+            ).alias("hll_ok"),
+        )
+    )
+
+
+@register(
     "xq5_concurrent_sessions",
     f"""
     WITH s AS (

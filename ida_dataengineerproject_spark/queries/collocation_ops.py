@@ -1,0 +1,89 @@
+"""Collocation (phrase) mining over the corpus — xt22 (round 5d).
+
+Top bigrams by pointwise mutual information with a minimum-count
+floor — the classic phrase-mining step before tokenizer/vocab work
+(Mikolov et al. 2013 use the same count-ratio score to merge phrases).
+
+Engine-exactness: PMI itself is log(p(ab)/(p(a)p(b))) but log is libm
+(ROUND_NOTES trap: last-ulp differences across engines), and log is
+MONOTONE — so rank by the exact ratio n_ab·N/(n_a·n_b) instead.  All
+counts are exact integers; the score is computed in one fixed IEEE
+double expression tree identical in both engines; top-k ties break on
+the words themselves.
+
+Plan: one token explode (reused for unigrams), bigrams from a per-doc
+LEAD window (one shuffle by doc), vocabulary-bounded count aggregates,
+unigram counts broadcast-joined twice, TakeOrderedAndProject for the
+top-20 — nothing scans the corpus more than twice and nothing big is
+globally sorted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import table
+
+MIN_COUNT = 5
+TOP_K = 20
+
+
+@register(
+    "xt22_collocations_pmi",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (
+        SELECT toks[i] AS w
+        FROM d, unnest(generate_series(1, len(toks))) AS t(i)
+    ),
+    b AS (
+        SELECT toks[i] AS w1, toks[i+1] AS w2
+        FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+    ),
+    u AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY w),
+    c AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM b GROUP BY w1, w2 HAVING COUNT(*) >= {MIN_COUNT}
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM b)
+    SELECT c.w1, c.w2, n_ab,
+           CAST(n_ab AS DOUBLE) * CAST(n_tot AS DOUBLE)
+           / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) AS score
+    FROM c, tot
+    JOIN u ua ON ua.w = c.w1
+    JOIN u ub ON ub.w = c.w2
+    ORDER BY score DESC, w1, w2 LIMIT {TOP_K}
+    """,
+)
+def q_xt22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} bigram collocations by exact PMI-monotone ratio."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    c = big.groupBy("w1", "w2").agg(F.count("*").alias("n_ab")).where(
+        F.col("n_ab") >= MIN_COUNT
+    )
+    uni = tok.groupBy(F.col("tok").alias("w")).agg(
+        F.count("*").alias("n")
+    )
+    tot = big.agg(F.count("*").alias("n_tot"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("n").alias("n_b"))
+    score = (
+        F.col("n_ab").cast("double") * F.col("n_tot").cast("double")
+    ) / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    return (
+        c.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_ab", score.alias("score"))
+        .orderBy(F.desc("score"), "w1", "w2")
+        .limit(TOP_K)
+    )

@@ -103,3 +103,23 @@ def test_xq5_carry_in_crosses_midnight(spark):
         .collect()
     }
     assert out == {"2024-01-01": 1, "2024-01-02": 2}
+
+
+def test_hll_union_of_days_equals_single_sketch(spark):
+    """Associativity contract: unioning the 30 day sketches gives the
+    same estimate as sketching the whole month directly — the property
+    that makes stored day partials reusable for ANY calendar rollup."""
+    ev = table(spark, SF, "events")
+    days = ev.select(F.to_date("ts").alias("day"), "user_id")
+    via_union = (
+        days.groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    direct = (
+        days.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+        ).collect()[0]["e"]
+    )
+    assert via_union == direct
