@@ -33,13 +33,19 @@ from pyspark.sql import functions as F
 
 
 def _with_buckets(
-    df: DataFrame, value_col: str, n_buckets: int
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Attach ``__bucket``: a monotone, codegen'd bucket id from
     approximate quantile boundaries (equal values always share a
-    bucket, so bucket order refines to total order)."""
+    bucket, so bucket order refines to total order).  ``bounds`` lets a
+    caller ranking several columns of one frame batch all boundary
+    probes into a single multi-column approxQuantile job."""
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = df.approxQuantile(value_col, probs, 0.001)
+    if bounds is None:
+        bounds = df.approxQuantile(value_col, probs, 0.001)
     # dedupe preserving order (constant columns yield repeated bounds)
     uniq: list[float] = []
     for b in bounds:
@@ -60,11 +66,12 @@ def global_rank(
     tiebreak_cols: list[str],
     n_buckets: int = 64,
     rank_col: str = "rank",
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Attach a 1-based dense global row number ordered by
     (value_col, *tiebreak_cols).  Requires (value_col, tiebreaks) to be
     unique per row for a deterministic total order."""
-    with_bucket = _with_buckets(df, value_col, n_buckets)
+    with_bucket = _with_buckets(df, value_col, n_buckets, bounds)
     counts = with_bucket.groupBy("__bucket").agg(
         F.count("*").alias("__n")
     )

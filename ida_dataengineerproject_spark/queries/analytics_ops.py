@@ -430,6 +430,91 @@ def q_xq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xq11_rfm_segmentation",
+    """
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(MAX(CAST(o_orderdate AS DATE)) - DATE '1970-01-01'
+                    AS BIGINT) AS rec_day,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS revc
+        FROM orders GROUP BY o_custkey
+    ),
+    k AS (
+        SELECT revc,
+               row_number() OVER (ORDER BY rec_day, o_custkey) AS rr,
+               row_number() OVER (ORDER BY n_orders, o_custkey) AS fr,
+               row_number() OVER (ORDER BY revc, o_custkey) AS mr,
+               COUNT(*) OVER () AS n
+        FROM per
+    )
+    SELECT CAST((rr * 3 + n - 1) // n AS INTEGER) AS r_tercile,
+           CAST((fr * 3 + n - 1) // n AS INTEGER) AS f_tercile,
+           CAST((mr * 3 + n - 1) // n AS INTEGER) AS m_tercile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(revc) AS BIGINT) AS total_revc
+    FROM k GROUP BY 1, 2, 3
+    """,
+)
+def q_xq11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary terciles, exactly.
+
+    The textbook form is three global NTILE(3) windows — three
+    single-partition sorts.  Here each tercile comes from
+    global_rank (the bucketed primitive) + integer ceil-division, so
+    the segment boundaries are EXACT rank terciles (ntile semantics)
+    with no unpartitioned step beyond the bounded bucket cumsum.
+    Output: the 27-cell segment grid with exact customer counts and
+    integer-cents revenue mass."""
+    from ..operators.ranking import global_rank
+
+    orders = table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.unix_date(F.max(F.col("o_orderdate").cast("date")))
+        .cast("long")
+        .alias("rec_day"),
+        F.count("*").alias("n_orders"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("revc"),
+    )
+    # one checkpoint (one row per customer, orders-of-magnitude smaller
+    # than the fact) + ONE multi-column approxQuantile job supplying all
+    # three boundary sets — without these the per-customer groupBy would
+    # re-execute from the parquet scan five times.
+    per = per.localCheckpoint()
+    probs = [i / 64 for i in range(1, 64)]
+    b_rec, b_frq, b_mon = per.approxQuantile(
+        ["rec_day", "n_orders", "revc"], probs, 0.001
+    )
+    ranked = global_rank(
+        per, "rec_day", ["o_custkey"], rank_col="rr", bounds=b_rec
+    )
+    ranked = global_rank(
+        ranked, "n_orders", ["o_custkey"], rank_col="fr", bounds=b_frq
+    )
+    ranked = global_rank(
+        ranked, "revc", ["o_custkey"], rank_col="mr", bounds=b_mon
+    )
+    n_row = per.agg(F.count("*").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
+            F.expr("CAST((rr * 3 + n - 1) div n AS INT)").alias("r_tercile"),
+            F.expr("CAST((fr * 3 + n - 1) div n AS INT)").alias("f_tercile"),
+            F.expr("CAST((mr * 3 + n - 1) div n AS INT)").alias("m_tercile"),
+            "revc",
+        )
+        .groupBy("r_tercile", "f_tercile", "m_tercile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("revc").alias("total_revc"),
+        )
+    )
+
+
+@register(
     "xq9_event_transition_matrix",
     f"""
     WITH t AS (

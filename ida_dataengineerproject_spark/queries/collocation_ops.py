@@ -28,6 +28,7 @@ from ..sources.tables import table
 
 MIN_COUNT = 5
 TOP_K = 20
+SHINGLE_K = 3
 
 
 @register(
@@ -86,4 +87,85 @@ def q_xt22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "n_ab", score.alias("score"))
         .orderBy(F.desc("score"), "w1", "w2")
         .limit(TOP_K)
+    )
+
+
+@register(
+    "x22_corpus_source_jaccard",
+    f"""
+    WITH d AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+        SELECT DISTINCT source,
+               array_to_string(toks[i:i+{SHINGLE_K - 1}], ' ') AS g
+        FROM d, unnest(generate_series(1, len(toks) - {SHINGLE_K - 1})) AS t(i)
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, n_inter,
+           CAST(n_inter AS DOUBLE)
+           / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+)
+def q_x22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level similarity: shingle-set Jaccard between SOURCES.
+
+    The whole-corpus twin of x02 document dedup: how much do two data
+    sources overlap?  Distinct (source, {SHINGLE_K}-gram) pairs
+    self-equi-join on the shingle — cost Σ per-shingle source-count²
+    (bounded by the source count, here ~5), never corpus².  Set sizes
+    broadcast back; Jaccard = |A∩B| / (|A|+|B|−|A∩B|) as one double
+    division over exact integer counts."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, SHINGLE_K)
+    ]
+    sh = (
+        tok.select(
+            "source",
+            F.lead("tok", SHINGLE_K - 1).over(w).alias("_tail"),
+            F.concat_ws(" ", *parts).alias("g"),
+        )
+        .where(F.col("_tail").isNotNull())
+        .select("source", "g")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "g")
+    b = sh.select(F.col("source").alias("src_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
     )
