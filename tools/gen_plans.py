@@ -37,6 +37,13 @@ PICKS = {
     "xt19_inverted_index_search": "term probe is a pushed In(token) filter on token-sorted postings -- row-group skip, not a posting-table scan (r5c)",
     "xq4_revenue_trend_regression": "broadcast dim join, monthly aggregate with map-side partials, 5-row regroup; normal equations stay integer-exact to the last division (r5c)",
     "xt20_ngram_containment_pairs": "shingle posting self-equi-join: candidate cost is shared-content mass, never n-squared (r5c)",
+    "xq7_gini_revenue": "global-rank statistic with NO full-data single partition: bucket ids from quantile bounds, offset cumsum over <=64 rows, rank windows partitioned by bucket (r5d)",
+    "xq8_weighted_median_price": "weighted quantile via global prefix sum: per-bucket weight carries, integer crossing test -- the naive SUM OVER (ORDER BY v) form never appears (r5d)",
+    "xq5_concurrent_sessions": "sweep line as two-level prefix sum: intra-day cumsum windows partitioned by day; the only SinglePartition exchange carries one row per day (r5d)",
+    "x19_fuzzy_entity_match": "deletion-neighborhood blocking: both sides explode to delete-1 variants, hash equi-join, exact levenshtein confirm -- no CartesianProduct/BNLJ anywhere (r5d)",
+    "xt21_dup_span_stats": "k-gram assembly is ONE doc-keyed window (7 LEADs share a sort); first-occurrence flagging is ONE hash-keyed window; both partitioned, two linear shuffles total (r5d)",
+    "xt22_collocations_pmi": "bigram counts from the same token explode as unigrams; both unigram joins broadcast; top-20 is TakeOrderedAndProject on the exact log-free ratio (r5d)",
+    "x17b_rolling_active_users": "rolling 7-day distinct: fixed fan-out explode + broadcast day spine + two-phase distinct count -- no range join, no windowed COUNT DISTINCT (r5d)",
 }
 
 
