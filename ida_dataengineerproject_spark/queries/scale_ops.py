@@ -923,3 +923,66 @@ def q_dynamic_partition_overwrite(
         F.count("*").alias("n_orders"),
         sum_exact("o_totalprice", scale=6).alias("total_price"),
     )
+
+
+@register(
+    "xs16_merge_on_read_state",
+    f"""
+    WITH
+{_CHG_CTE}
+    state AS (
+{_MERGED_SELECT}),
+    agg AS (
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS total_price
+        FROM state GROUP BY o_orderstatus)
+    SELECT p.phase, a.o_orderstatus, a.n_rows, a.total_price
+    FROM agg a CROSS JOIN (VALUES ('mor'), ('compacted')) p(phase)
+    """,
+)
+def merge_on_read_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read round-trip, the deletion-vector twin of xs6's COW
+    MERGE: commit orders as the 16-bucket MOR base, apply the SAME xs
+    changeset as one O(changeset) commit (deletion vectors + appends —
+    no base file rewritten), read the reconciled state, then COMPACT
+    every tombstoned bucket and read again.
+
+    Both reads are aggregated per status and labeled ``phase`` — the one
+    oracle (the relational post-MERGE state × both phase labels) proves
+    (a) the DV-reconciling read path and (b) that compaction is
+    content-preserving, in a single parity row.  Storage-level contracts
+    (base byte-stability across commits, O(impacted-buckets) write
+    shape, vector clearing) are pinned in tests/test_merge_mor.py.
+    100 TB: see operators/merge_mor.py — MOR is the write-cheap half of
+    the lake surface (GDPR deletes, CDC upserts); compaction bounds the
+    read-side amplification."""
+    import shutil
+
+    from ..functions.aggs import sum_exact
+    from ..operators.merge_mor import (
+        compact_mor,
+        create_mor,
+        read_mor,
+        upsert_mor,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch_dir("mor", sf_dir) + "/orders_m"
+    shutil.rmtree(path, ignore_errors=True)  # mutating op: fresh v0
+    create_mor(spark, path, orders, "o_orderkey", 16)
+    upsert_mor(spark, path, _xs_changeset(orders), tombstone_col="__dead")
+
+    def _agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_rows"),
+            sum_exact("o_totalprice", scale=6).alias("total_price"),
+        ).select(F.lit(phase).alias("phase"), "*")
+
+    pre = _agg(read_mor(spark, path), "mor")
+    compact_mor(spark, path)
+    post = _agg(read_mor(spark, path), "compacted")
+    return pre.unionByName(post)
