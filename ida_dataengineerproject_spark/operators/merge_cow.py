@@ -97,22 +97,72 @@ def merge_cow(
 
     fs, root = _hadoop_fs(spark, path)
     Path = spark._jvm.org.apache.hadoop.fs.Path
-    for b in impacted:
-        final_dir = Path(f"{path}/{BUCKET_COL}={b}")
-        staged_dir = Path(f"{staging}/{BUCKET_COL}={b}")
-        # Hadoop FileSystem signals most failures by RETURNING FALSE, not
-        # raising — an unchecked rename here would fall through to the
-        # staging cleanup below and destroy the only copy of the bucket.
-        if fs.exists(final_dir) and not fs.delete(final_dir, True):
-            raise IOError(f"COW commit: could not remove {final_dir}")
-        if fs.exists(staged_dir) and not fs.rename(staged_dir, final_dir):
-            raise IOError(
-                f"COW commit: rename {staged_dir} -> {final_dir} failed; "
-                f"staged data left under {staging} for recovery"
-            )
-        # no staged dir: every row of bucket b was deleted — dir stays gone
-    fs.delete(Path(staging), True)
+    # Rename-aside commit (the wap.py pattern, per bucket): the live
+    # directory is MOVED to <path>__prev — never deleted — before the
+    # staged directory is renamed in.  A crash mid-loop therefore never
+    # loses a bucket: its data is under __prev (and the merge result
+    # under __staging); the recovery sweep below restores it on the next
+    # merge.  __prev lives OUTSIDE the table path so a reader listing
+    # <path> mid-commit never sees a malformed partition directory.
+    prev_root = path.rstrip("/") + "__prev"
+    _recover_prev(fs, Path, path, prev_root)
+    fs.mkdirs(Path(prev_root))
+    try:
+        for b in impacted:
+            final_dir = Path(f"{path}/{BUCKET_COL}={b}")
+            staged_dir = Path(f"{staging}/{BUCKET_COL}={b}")
+            prev_dir = Path(f"{prev_root}/{BUCKET_COL}={b}")
+            # Hadoop FileSystem signals most failures by RETURNING FALSE,
+            # not raising — an unchecked rename would fall through to the
+            # staging cleanup below and destroy the only copy of a bucket.
+            if fs.exists(final_dir) and not fs.rename(final_dir, prev_dir):
+                raise IOError(
+                    f"COW commit: could not move {final_dir} aside"
+                )
+            if fs.exists(staged_dir) and not fs.rename(staged_dir, final_dir):
+                if fs.exists(prev_dir) and not fs.rename(prev_dir, final_dir):
+                    raise IOError(
+                        f"COW commit: rename {staged_dir} -> {final_dir} "
+                        f"failed AND rollback failed; previous copy at "
+                        f"{prev_dir}, staged data under {staging}"
+                    )
+                raise IOError(
+                    f"COW commit: rename {staged_dir} -> {final_dir} "
+                    f"failed; bucket rolled back, staged data left under "
+                    f"{staging} for inspection"
+                )
+            # no staged dir: every row of bucket b was deleted — gone
+        fs.delete(Path(prev_root), True)
+        fs.delete(Path(staging), True)
+    finally:
+        # cached file listings of the live path are stale after ANY
+        # rename touching it — including the partial-failure paths
+        spark.catalog.refreshByPath(path)
     return {"n_buckets": n_buckets, "impacted_buckets": impacted}
+
+
+def _recover_prev(fs, Path, path: str, prev_root: str) -> None:
+    """Self-heal a crashed in-place commit: any bucket directory left
+    under ``__prev`` whose live counterpart is MISSING crashed between
+    the two renames — restore it (the merge never fully committed, so
+    the pre-merge state is the correct rollback).  A __prev bucket whose
+    live counterpart EXISTS was superseded by a completed rename — drop
+    it.  Bounded metadata work: one listing of __prev."""
+    prev = Path(prev_root)
+    if not fs.exists(prev):
+        return
+    for st in fs.listStatus(prev):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(BUCKET_COL + "=")):
+            continue
+        live = Path(f"{path}/{name}")
+        if not fs.exists(live):
+            if not fs.rename(st.getPath(), live):
+                raise IOError(
+                    f"COW recovery: could not restore {st.getPath()}"
+                )
+    if not fs.delete(prev, True):
+        raise IOError(f"COW recovery: could not clear {prev_root}")
 
 
 # ---------------------------------------------------------------------------
@@ -173,11 +223,50 @@ def _write_log(spark: SparkSession, path: str, log: dict) -> None:
         out.close()
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer claimed this commit version first.  Retry the whole
+    operation (it will re-read the log and target the next version).  A
+    stale ``_log/v{n}.lock`` with no matching ``v{n}.json`` and no live
+    writer is a crashed commit — delete the lock to unblock."""
+
+
+def _claim_commit(spark: SparkSession, path: str, version: int) -> None:
+    """Writer-side mutual exclusion: atomically create
+    ``_log/v{version}.lock`` (create with overwrite=False is the one
+    atomic primitive plain Hadoop FS gives us) BEFORE any data directory
+    is written.  Two concurrent writers that both computed
+    ``version = latest + 1`` race on this create; the loser fails HERE,
+    before it can clobber the winner's ``data/v{version}`` files — the
+    window ADVICE r5 flagged (both wrote data with mode=overwrite and
+    only collided later at the log write, after the damage)."""
+    from ..sources.ingest_ledger import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, path)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    lock = Path(f"{_log_dir(path)}/v{version}.lock")
+    try:
+        fs.create(lock, False).close()
+    except Exception as exc:  # JVM FileAlreadyExists surfaces via py4j
+        raise ConcurrentWriteError(
+            f"commit v{version} of {path} already claimed ({lock}); "
+            f"retry, or remove a stale lock left by a crashed writer"
+        ) from exc
+
+
+def _release_commit(spark: SparkSession, path: str, version: int) -> None:
+    from ..sources.ingest_ledger import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, path)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    fs.delete(Path(f"{_log_dir(path)}/v{version}.lock"), False)
+
+
 def create_versioned(
     spark: SparkSession, path: str, df: DataFrame, key: str, n_buckets: int
 ) -> int:
     """Commit v0 of a versioned bucketed table: all buckets written under
     data/v0/, log records the mapping."""
+    _claim_commit(spark, path, 0)
     data = path.rstrip("/") + "/data/v0"
     df.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets)).write.mode(
         "overwrite"
@@ -196,6 +285,7 @@ def create_versioned(
             "buckets": {str(b): 0 for b in buckets},
         },
     )
+    _release_commit(spark, path, 0)
     return 0
 
 
@@ -249,6 +339,10 @@ def merge_versioned(
     log = _read_log(spark, path)
     key, n_buckets = log["key"], log["n_buckets"]
     new_version = log["version"] + 1
+    # claim the version BEFORE any data write: a concurrent merge that
+    # computed the same new_version fails here instead of overwriting
+    # this writer's data/v{n} directories (ADVICE r5)
+    _claim_commit(spark, path, new_version)
 
     ch = changes.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets))
     impacted = sorted(
@@ -305,6 +399,7 @@ def merge_versioned(
         if k in log:
             new_log[k] = log[k]
     _write_log(spark, path, new_log)
+    _release_commit(spark, path, new_version)
     return new_version
 
 

@@ -51,7 +51,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .merge_cow import BUCKET_COL, bucket_of
+from .merge_cow import BUCKET_COL, _claim_commit, _release_commit, bucket_of
 
 COMMIT_COL = "__commit"
 
@@ -131,6 +131,7 @@ def create_mor(
 ) -> int:
     """Commit v0: the base data, bucket-partitioned, each row stamped
     with ``__commit = 0``."""
+    _claim_commit(spark, path, 0)
     data = f"{path.rstrip('/')}/data/v0"
     (
         df.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets))
@@ -148,6 +149,7 @@ def create_mor(
         path,
         {"version": 0, "key": key, "n_buckets": n_buckets, "buckets": buckets},
     )
+    _release_commit(spark, path, 0)
     return 0
 
 
@@ -165,6 +167,9 @@ def upsert_mor(
     log = _read_log(spark, path)
     key, n_buckets = log["key"], log["n_buckets"]
     c = log["version"] + 1
+    # claim commit c before any data/dv write — the loser of a concurrent
+    # race fails here, not after clobbering the winner's v{c} directories
+    _claim_commit(spark, path, c)
 
     ch = changes.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets))
     dv = ch.select(
@@ -195,6 +200,7 @@ def upsert_mor(
         path,
         {"version": c, "key": key, "n_buckets": n_buckets, "buckets": buckets},
     )
+    _release_commit(spark, path, c)
     return c
 
 
@@ -211,6 +217,14 @@ def read_mor(
     key = log["key"]
     data_dirs = _leaf_dirs(path, log, "data", buckets)
     if not data_dirs:
+        if buckets is not None:
+            # a bucket selection can legitimately hit only dv-only log
+            # entries (deletes for keys that never had stored rows) —
+            # return a TYPED empty frame with the table's schema rather
+            # than raising (ADVICE r5: compact_mor crashed on this)
+            all_dirs = _leaf_dirs(path, log, "data")
+            if all_dirs:
+                return spark.read.parquet(*all_dirs).limit(0).drop(COMMIT_COL)
         raise FileNotFoundError(f"MOR table at {path} has no data")
     data = spark.read.parquet(*data_dirs)
 
@@ -262,22 +276,38 @@ def compact_mor(
         .filter(F.col("n") >= min_dv_rows)
         .collect()
     )
-    chosen = sorted(int(r["b"]) for r in census)
-    if not chosen:
+    candidates = sorted(int(r["b"]) for r in census)
+    buckets = {b: dict(e) for b, e in log["buckets"].items()}
+    # A bucket can be DV-ONLY: deletes/upsert-tombstones arrived for keys
+    # that never had stored rows in it (common in CDC/GDPR flows), so its
+    # log entry is {data: [], dv: [...]}.  Its tombstones reference
+    # nothing — the entry is dropped outright instead of being fed to
+    # read_mor, which has no data directories to reconcile (ADVICE r5:
+    # this crashed compaction with FileNotFoundError).
+    chosen = [b for b in candidates if buckets.get(str(b), {}).get("data")]
+    dv_only = [
+        b
+        for b in candidates
+        if str(b) in buckets and not buckets[str(b)]["data"]
+    ]
+    for b in dv_only:
+        buckets.pop(str(b))
+    if not chosen and not dv_only:
         return {"version": log["version"], "compacted": []}
 
-    live = read_mor(spark, path, buckets=set(chosen))
-    data_dir = f"{path.rstrip('/')}/data/v{c}"
-    (
-        live.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets))
-        .withColumn(COMMIT_COL, F.lit(c).cast("long"))
-        .write.mode("overwrite")
-        .partitionBy(BUCKET_COL)
-        .parquet(data_dir)
-    )
-
-    written = _written_buckets(spark, data_dir)
-    buckets = {b: dict(e) for b, e in log["buckets"].items()}
+    _claim_commit(spark, path, c)
+    written: set[int] = set()
+    if chosen:
+        live = read_mor(spark, path, buckets=set(chosen))
+        data_dir = f"{path.rstrip('/')}/data/v{c}"
+        (
+            live.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets))
+            .withColumn(COMMIT_COL, F.lit(c).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(data_dir)
+        )
+        written = _written_buckets(spark, data_dir)
     for b in chosen:
         if b in written:
             buckets[str(b)] = {"data": [c], "dv": []}
@@ -288,4 +318,5 @@ def compact_mor(
         path,
         {"version": c, "key": key, "n_buckets": n_buckets, "buckets": buckets},
     )
-    return {"version": c, "compacted": chosen}
+    _release_commit(spark, path, c)
+    return {"version": c, "compacted": chosen, "dropped_dv_only": dv_only}

@@ -42,7 +42,13 @@ def _with_buckets(
     approximate quantile boundaries (equal values always share a
     bucket, so bucket order refines to total order).  ``bounds`` lets a
     caller ranking several columns of one frame batch all boundary
-    probes into a single multi-column approxQuantile job."""
+    probes into a single multi-column approxQuantile job.
+
+    NULL ``value_col`` rows land in a dedicated bucket -1 that sorts
+    before every boundary bucket — NULLS FIRST, matching Spark's default
+    ascending ``ORDER BY`` the naive global window would apply.  (Without
+    the guard, ``v > lit(b)`` is NULL for NULL v, the bucket id is NULL,
+    and the offsets join silently DROPPED those rows — ADVICE r5.)"""
     probs = [i / n_buckets for i in range(1, n_buckets)]
     if bounds is None:
         bounds = df.approxQuantile(value_col, probs, 0.001)
@@ -57,6 +63,7 @@ def _with_buckets(
         uniq,
         F.lit(0),
     )
+    bucket = F.when(v.isNull(), F.lit(-1)).otherwise(bucket)
     return df.withColumn("__bucket", bucket)
 
 
@@ -67,26 +74,39 @@ def global_rank(
     n_buckets: int = 64,
     rank_col: str = "rank",
     bounds: list[float] | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Attach a 1-based dense global row number ordered by
-    (value_col, *tiebreak_cols).  Requires (value_col, tiebreaks) to be
-    unique per row for a deterministic total order."""
+    """Attach a 1-based dense row number ordered by
+    (value_col, *tiebreak_cols) — globally, or WITHIN each distinct
+    ``group_cols`` tuple when given (the scale-safe replacement for
+    ``row_number() OVER (PARTITION BY g ORDER BY v)`` when single groups
+    are too big for one task).  Requires (value_col, tiebreaks) unique
+    per row (per group) for a deterministic total order; rank-position
+    consumers that only read the VALUE at a rank (quantiles) tolerate
+    duplicate values with an empty tiebreak.
+
+    One quantile-boundary set serves every group — boundaries only
+    balance work, never affect correctness; the offsets frame grows to
+    (groups × buckets) rows, still bounded commit metadata for the
+    grouped-aggregate cardinalities this serves."""
+    g = list(group_cols or [])
     with_bucket = _with_buckets(df, value_col, n_buckets, bounds)
-    counts = with_bucket.groupBy("__bucket").agg(
+    counts = with_bucket.groupBy(*g, "__bucket").agg(
         F.count("*").alias("__n")
     )
-    w_off = Window.orderBy("__bucket").rowsBetween(
+    w_off = Window.partitionBy(*g).orderBy("__bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = counts.select(
+        *g,
         "__bucket",
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset"),
     )
-    w_in = Window.partitionBy("__bucket").orderBy(
+    w_in = Window.partitionBy(*g, "__bucket").orderBy(
         value_col, *tiebreak_cols
     )
     return (
-        with_bucket.join(F.broadcast(offsets), "__bucket")
+        with_bucket.join(F.broadcast(offsets), g + ["__bucket"])
         .withColumn(
             rank_col, F.col("__offset") + F.row_number().over(w_in)
         )

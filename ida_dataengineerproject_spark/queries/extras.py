@@ -227,19 +227,84 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median / continuous percentile per group.  Both quantiles are
-    requested as ONE ``percentile(col, array(...))`` aggregate — a single
-    buffer and a single per-group sort, instead of one sorted buffer per
-    quantile (the exact-quantile cost is inherent; paying it once is
-    not)."""
-    li = table(spark, sf_dir, "lineitem")
-    return (
+    """Exact median / continuous percentile per group, WITHOUT a
+    per-group sort buffer.
+
+    The previous form — ``percentile(col, array(0.5, 0.9))`` — buffers
+    every value of a group inside one aggregation buffer on one task
+    (VERDICT r5's last single-task scale cliff: an entire
+    ``l_returnflag`` group ≫ executor memory at 100×).  The rewrite runs
+    on the bucketed two-level rank primitive (operators/ranking.py):
+
+    1. per-group exact rank of every row — bounded windows only (the
+       quantile-bucket decomposition global_rank established);
+    2. per-group row counts → each quantile's continuous position
+       ``pos = q·(n−1)`` and its two straddling ranks (a groups×quantiles
+       frame, broadcast);
+    3. one filtered aggregate interpolates
+       ``v_lo·(1−frac) + v_hi·frac`` — ``quantile_cont`` semantics,
+       identical to DuckDB's and to Spark's ``percentile``.
+
+    Ties need no tiebreak column: rows with equal values are
+    interchangeable at a rank position."""
+    from ..operators.ranking import global_rank
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    ranked = global_rank(
+        li,
+        "l_extendedprice",
+        tiebreak_cols=[],
+        n_buckets=64,
+        rank_col="__r",
+        group_cols=["l_returnflag"],
+    )
+    quantiles = [(0.5, "med_price"), (0.9, "p90_price")]
+    targets = (
         li.groupBy("l_returnflag")
-        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("p"))
+        .agg(F.count("*").alias("__n"))
         .select(
             "l_returnflag",
-            F.round(F.col("p")[0], 4).alias("med_price"),
-            F.round(F.col("p")[1], 4).alias("p90_price"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("qname"),
+                            (F.lit(q) * (F.col("__n") - 1)).alias("pos"),
+                        )
+                        for q, name in quantiles
+                    ]
+                )
+            ).alias("t"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("t.qname").alias("qname"),
+            (F.floor("t.pos") + 1).alias("lo_rank"),
+            (F.col("t.pos") - F.floor("t.pos")).alias("frac"),
+        )
+    )
+    v = F.col("l_extendedprice")
+    interpolated = (
+        ranked.join(F.broadcast(targets), "l_returnflag")
+        .filter(F.col("__r").between(F.col("lo_rank"), F.col("lo_rank") + 1))
+        .groupBy("l_returnflag", "qname")
+        .agg(
+            F.sum(
+                F.when(F.col("__r") == F.col("lo_rank"), v * (1 - F.col("frac")))
+                .when(F.col("__r") == F.col("lo_rank") + 1, v * F.col("frac"))
+            ).alias("q_value")
+        )
+    )
+    return (
+        interpolated.groupBy("l_returnflag")
+        .pivot("qname", [name for _, name in quantiles])
+        .agg(F.first("q_value"))
+        .select(
+            "l_returnflag",
+            F.round("med_price", 4).alias("med_price"),
+            F.round("p90_price", 4).alias("p90_price"),
         )
     )
 

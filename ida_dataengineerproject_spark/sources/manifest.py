@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass
-from urllib.request import urlopen
+from urllib.request import Request, urlopen
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,6 +20,10 @@ SERVICES = ("SMP", "STFC", "SCM")  # etl_ida.py:656-657
 YEARS = (2017, 2018, 2019)
 
 DEFAULT_API = "https://dados.gov.br/dados/api/publico/conjuntos-dados"
+
+# the dados.gov.br open-data API authenticates every request with this
+# header (etl_ida.py:667: headers = {"chave-api-dados-abertos": api_key})
+API_KEY_HEADER = "chave-api-dados-abertos"
 
 
 @dataclass(frozen=True)
@@ -31,7 +35,28 @@ class Resource:
     formato: str
 
 
-def fetch_to_memory(url: str, timeout: float = 60.0) -> bytes:
+def build_request(
+    url: str,
+    api_key: str | None = None,
+    headers: dict[str, str] | None = None,
+) -> Request:
+    """The outbound request, with the dados.gov.br auth header attached
+    when an API key is given (etl_ida.py:667,677 — every catalog call
+    sends ``chave-api-dados-abertos``).  Split from the I/O so header
+    injection is testable offline: the sandbox has no network, but the
+    Request object the live path would send is fully constructed here."""
+    h = dict(headers or {})
+    if api_key is not None:
+        h[API_KEY_HEADER] = api_key
+    return Request(url, headers=h)  # noqa: S310 (catalog URLs)
+
+
+def fetch_to_memory(
+    url: str,
+    timeout: float = 60.0,
+    api_key: str | None = None,
+    headers: dict[str, str] | None = None,
+) -> bytes:
     """op03 (etl_ida.py:714-730): fetch one resource into memory.
 
     Driver-side control-plane I/O (the data plane ingests the fetched
@@ -39,16 +64,24 @@ def fetch_to_memory(url: str, timeout: float = 60.0) -> bytes:
     ``http(s)://`` and ``file://`` alike, so tests exercise the real
     code path against local fixtures; the sandbox has no network, which
     is an environment property, not a stub."""
-    with urlopen(url, timeout=timeout) as resp:  # noqa: S310 (catalog URLs)
+    req = build_request(url, api_key=api_key, headers=headers)
+    with urlopen(req, timeout=timeout) as resp:  # noqa: S310 (catalog URLs)
         return resp.read()
 
 
-def fetch_catalog(dataset_id: str, api_base: str = DEFAULT_API) -> list[Resource]:
+def fetch_catalog(
+    dataset_id: str,
+    api_base: str = DEFAULT_API,
+    api_key: str | None = None,
+) -> list[Resource]:
     """op01 (etl_ida.py:653-657, 672-682): GET the dataset catalog and
     map its ``recursos`` entries to Resources.  Accepts any URL scheme
     urllib supports (tests use file:// fixtures shaped like the
-    dados.gov.br payload)."""
-    payload = json.loads(fetch_to_memory(f"{api_base}/{dataset_id}"))
+    dados.gov.br payload); ``api_key`` rides the same auth header the
+    reference sends."""
+    payload = json.loads(
+        fetch_to_memory(f"{api_base}/{dataset_id}", api_key=api_key)
+    )
     return [
         Resource(
             titulo=r.get("titulo") or r.get("title", ""),

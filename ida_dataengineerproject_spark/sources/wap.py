@@ -85,22 +85,30 @@ def write_audit_publish(
     # instant between the two renames (the best plain-FS can do).
     target = Path(path)
     prev = Path(path.rstrip("/") + "__prev")
-    if fs.exists(prev) and not fs.delete(prev, True):  # stale crash remnant
-        raise IOError(f"WAP publish: could not clear stale {prev}")
-    had_live = fs.exists(target)
-    if had_live and not fs.rename(target, prev):
-        raise IOError(f"WAP publish: could not move live {target} aside")
-    if not fs.rename(Path(staging), target):
-        if had_live and not fs.rename(prev, target):
+    try:
+        if fs.exists(prev) and not fs.delete(prev, True):  # stale remnant
+            raise IOError(f"WAP publish: could not clear stale {prev}")
+        had_live = fs.exists(target)
+        if had_live and not fs.rename(target, prev):
+            raise IOError(f"WAP publish: could not move live {target} aside")
+        if not fs.rename(Path(staging), target):
+            if had_live and not fs.rename(prev, target):
+                raise IOError(
+                    f"WAP publish: swap failed AND rollback failed; previous "
+                    f"version is at {prev}, staged data at {staging}"
+                )
             raise IOError(
-                f"WAP publish: swap failed AND rollback failed; previous "
-                f"version is at {prev}, staged data at {staging}"
+                f"WAP publish: rename {staging} -> {target} failed; previous "
+                f"version restored, staged data left under {staging}"
             )
-        raise IOError(
-            f"WAP publish: rename {staging} -> {target} failed; previous "
-            f"version restored, staged data left under {staging}"
-        )
-    if had_live and not fs.delete(prev, True):
-        raise IOError(f"WAP publish: published OK but could not drop {prev}")
-    spark.catalog.refreshByPath(path)
+        if had_live and not fs.delete(prev, True):
+            raise IOError(
+                f"WAP publish: published OK but could not drop {prev}"
+            )
+    finally:
+        # in a finally, not just on success: a failed or rolled-back swap
+        # also renamed the live path, so any session that cached its file
+        # listing must be invalidated either way (ADVICE r5 — the xio1
+        # stale-recache class of bug)
+        spark.catalog.refreshByPath(path)
     return violations

@@ -455,3 +455,68 @@ def test_vacuum_on_clone_rejects_retain_below_watermark(spark, tmp_path):
     # valid floor works and never touches the base
     stats = vacuum_versioned(spark, dst, retain_from=2)
     assert stats["deleted_logs"] == 1  # the clone's own v1 creation entry
+
+
+def test_crash_between_renames_recovers_on_next_merge(spark, tmp_path):
+    """ADVICE r5: the in-place commit is now rename-aside — simulate a
+    crash between the two renames (live bucket moved to __prev, staged
+    not yet renamed in) and verify the next merge restores the bucket
+    before committing."""
+    import shutil
+
+    from ida_dataengineerproject_spark.operators.merge_cow import (
+        BUCKET_COL,
+        merge_cow,
+    )
+
+    path = str(tmp_path / "cow_crash")
+    _mktarget(spark, path, n=100, n_buckets=4)
+    before = spark.read.parquet(path).count()
+
+    # simulate the crash window: bucket 2's live dir sits under __prev,
+    # missing from the live table
+    prev_root = path + "__prev"
+    os.makedirs(prev_root)
+    shutil.move(
+        os.path.join(path, f"{BUCKET_COL}=2"),
+        os.path.join(prev_root, f"{BUCKET_COL}=2"),
+    )
+    spark.catalog.refreshByPath(path)
+    assert spark.read.parquet(path).count() < before
+
+    # next merge touches a different bucket; recovery must restore b=2
+    ch = spark.createDataFrame([(1, 111.0)], "k long, v double")
+    merge_cow(spark, path, ch, "k", 4)
+    assert not os.path.exists(prev_root)
+    out = spark.read.parquet(path)
+    assert out.count() == before
+    assert out.filter("k = 1").collect()[0]["v"] == 111.0
+
+
+def test_superseded_prev_bucket_is_dropped_not_restored(spark, tmp_path):
+    """Crash AFTER staged→live rename: live bucket exists, __prev holds
+    the superseded copy — recovery must drop it, not clobber the new."""
+    import shutil
+
+    from ida_dataengineerproject_spark.operators.merge_cow import (
+        BUCKET_COL,
+        merge_cow,
+    )
+
+    path = str(tmp_path / "cow_crash2")
+    _mktarget(spark, path, n=100, n_buckets=4)
+    before = _files(path)
+
+    prev_root = path + "__prev"
+    os.makedirs(prev_root)
+    shutil.copytree(
+        os.path.join(path, f"{BUCKET_COL}=2"),
+        os.path.join(prev_root, f"{BUCKET_COL}=2"),
+    )
+    ch = spark.createDataFrame([(1, 111.0)], "k long, v double")
+    merge_cow(spark, path, ch, "k", 4)
+    assert not os.path.exists(prev_root)
+    after = _files(path)
+    # bucket 2 untouched by merge (1 mod 4 = bucket 1) and NOT clobbered
+    b2 = {k: v for k, v in before.items() if f"{BUCKET_COL}=2" in k}
+    assert {k: after[k] for k in b2} == b2

@@ -143,3 +143,64 @@ def test_fully_deleted_bucket_leaves_log(spark, tmp_path):
     log = _read_log(spark, path)
     assert "0" not in log["buckets"] and "1" in log["buckets"]
     assert {r["k"] for r in read_mor(spark, path).collect()} == {1}
+
+
+def test_compact_dv_only_bucket_drops_entry_instead_of_crashing(
+    spark, tmp_path
+):
+    """ADVICE r5 (medium): deletes for keys whose bucket holds no data
+    files leave a {data: [], dv: [c]} log entry; compaction must drop it
+    (the tombstones reference nothing), not crash in read_mor."""
+    path = str(tmp_path / "mor_dvonly")
+    # keys 1..4 with N_BUCKETS=4 put exactly one key per bucket; base
+    # holds ONLY buckets 1 and 2 (keys 1, 2)
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, name string"
+    )
+    create_mor(spark, path, base, "k", N_BUCKETS)
+    # delete keys 3 and 0-mod keys that never existed: dv-only buckets
+    ch = spark.createDataFrame([(3, None, True)], "k long, name string, t boolean")
+    upsert_mor(spark, path, ch, tombstone_col="t")
+    log = _read_log(spark, path)
+    assert log["buckets"]["3"] == {"data": [], "dv": [1]}
+
+    res = compact_mor(spark, path, min_dv_rows=1)
+    assert res["dropped_dv_only"] == [3]
+    log2 = _read_log(spark, path)
+    assert "3" not in log2["buckets"]
+    # state unchanged
+    assert {
+        (r["k"], r["name"]) for r in read_mor(spark, path).collect()
+    } == {(1, "a"), (2, "b")}
+
+
+def test_read_mor_dv_only_bucket_selection_returns_typed_empty(
+    spark, tmp_path
+):
+    path = str(tmp_path / "mor_dvonly2")
+    base = spark.createDataFrame([(1, "a")], "k long, name string")
+    create_mor(spark, path, base, "k", N_BUCKETS)
+    ch = spark.createDataFrame(
+        [(3, None, True)], "k long, name string, t boolean"
+    )
+    upsert_mor(spark, path, ch, tombstone_col="t")
+    out = read_mor(spark, path, buckets={3})
+    assert out.columns == ["k", "name"]
+    assert out.count() == 0
+
+
+def test_concurrent_commit_claim_blocks_second_writer(spark, mor_table):
+    """Two writers that both computed version n+1: the second create of
+    the commit lock fails BEFORE any data is written."""
+    from ida_dataengineerproject_spark.operators.merge_cow import (
+        ConcurrentWriteError,
+        _claim_commit,
+    )
+
+    _claim_commit(spark, mor_table, 1)  # writer A claims v1
+    ch = spark.createDataFrame([(1, "x", 0, False)],
+                               "k long, name string, val long, t boolean")
+    with pytest.raises(ConcurrentWriteError):
+        upsert_mor(spark, mor_table, ch, tombstone_col="t")  # writer B
+    # writer A's claimed version is untouched: no data/v1 dir appeared
+    assert not os.path.exists(os.path.join(mor_table, "data", "v1"))

@@ -438,3 +438,43 @@ def test_io_roundtrip_queries_are_session_idempotent(spark):
         assert first == second, name
         quarantined = [r for r in second if r[0] == "__quarantined__"]
         assert quarantined and quarantined[0][1] == 2, name
+
+
+def test_auth_header_injected_into_request(tmp_path):
+    """op01 auth surface (etl_ida.py:667,677): the catalog request must
+    carry the ``chave-api-dados-abertos`` header when an API key is
+    configured — asserted on the constructed Request (offline), then the
+    same code path is driven end-to-end over file:// where the header is
+    legitimately ignored."""
+    import json as _json
+
+    from ida_dataengineerproject_spark.sources.manifest import (
+        API_KEY_HEADER,
+        build_request,
+        fetch_catalog,
+    )
+
+    req = build_request("https://example.invalid/x", api_key="sekret-123")
+    assert req.get_header(API_KEY_HEADER.capitalize()) == "sekret-123"
+    # extra headers survive alongside the key
+    req2 = build_request(
+        "https://example.invalid/x",
+        api_key="k",
+        headers={"Accept": "application/json"},
+    )
+    assert req2.get_header("Accept") == "application/json"
+    assert req2.get_header(API_KEY_HEADER.capitalize()) == "k"
+    # no key → no auth header
+    assert build_request("file:///x").get_header(
+        API_KEY_HEADER.capitalize()
+    ) is None
+
+    (tmp_path / "ida-key").write_text(
+        _json.dumps({"recursos": [
+            {"titulo": "SMP 2018", "link": "file:///r", "formato": "ODS"}
+        ]})
+    )
+    res = fetch_catalog(
+        "ida-key", api_base=f"file://{tmp_path}", api_key="sekret-123"
+    )
+    assert [r.titulo for r in res] == ["SMP 2018"]
