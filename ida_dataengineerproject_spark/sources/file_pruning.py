@@ -67,7 +67,13 @@ def build_bucket_manifest(
     for c in cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
-    return df.groupBy(BUCKET_COL).agg(*aggs)
+    # Materialize the (bucket-count-sized) manifest ONCE: every consumer —
+    # the pruned read's broadcast semi-join, the totals readout, the kept
+    # readout — would otherwise recompute this aggregate's full DATA scan
+    # lazily (the xs4 r5 regression: 3 hidden scans of the table per
+    # pruned read).  localCheckpoint keeps it on executors — bounded rows,
+    # never a driver collect, same contract at a 10⁶-row manifest.
+    return df.groupBy(BUCKET_COL).agg(*aggs).localCheckpoint()
 
 
 def prune_buckets(manifest: DataFrame, predicates: dict[str, tuple]) -> DataFrame:

@@ -67,6 +67,67 @@ def _execute_statements(
         conn.close()
 
 
+def dialect_of(url: str) -> str:
+    """JDBC dialect from the URL subprotocol: ``jdbc:postgresql:...`` →
+    ``postgresql``; everything else takes the ANSI MERGE arm."""
+    parts = url.split(":")
+    if len(parts) >= 2 and parts[0] == "jdbc" and parts[1] == "postgresql":
+        return "postgresql"
+    return "ansi"
+
+
+def upsert_statements(
+    target_table: str,
+    staging: str,
+    cols: list[str],
+    key_cols: list[str],
+    update_on_match: bool = False,
+    dialect: str = "ansi",
+) -> list[str]:
+    """The server-side set-based upsert as dialect SQL, pure function of
+    the schema — testable without a live database.
+
+    ``ansi``: one ``MERGE INTO`` (Derby 10.11+, PostgreSQL 15+, every
+    warehouse dialect) — executed for real against embedded Derby in
+    tests/test_jdbc_builders.py.
+    ``postgresql``: the reference's native shape —
+    ``INSERT ... SELECT ... ON CONFLICT (keys) DO NOTHING`` /
+    ``DO UPDATE SET col = EXCLUDED.col`` (etl/etl_ida.py:534) — the
+    statement a PostgreSQL deployment runs verbatim; no pg server exists
+    in this container, so this arm is pinned by SQL-generation tests
+    (COVERAGE.md records the live-round-trip gap).
+
+    Spark's JDBC writer creates columns as quoted (case-sensitive)
+    identifiers, so both dialects quote them too."""
+    q = '"{}"'.format
+    insert_cols = ", ".join(q(c) for c in cols)
+    non_keys = [c for c in cols if c not in key_cols]
+    if dialect == "postgresql":
+        conflict_keys = ", ".join(q(k) for k in key_cols)
+        stmt = (
+            f"INSERT INTO {target_table} ({insert_cols}) "
+            f"SELECT {insert_cols} FROM {staging} "
+            f"ON CONFLICT ({conflict_keys}) "
+        )
+        if update_on_match and non_keys:
+            sets = ", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in non_keys)
+            stmt += f"DO UPDATE SET {sets}"
+        else:
+            stmt += "DO NOTHING"
+        return [stmt, f"DROP TABLE {staging}"]
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+    insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
+    merge = f"MERGE INTO {target_table} t USING {staging} s ON {on} "
+    if update_on_match and non_keys:
+        sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
+        merge += f"WHEN MATCHED THEN UPDATE SET {sets} "
+    merge += (
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) "
+        f"VALUES ({insert_vals})"
+    )
+    return [merge, f"DROP TABLE {staging}"]
+
+
 def jdbc_upsert(
     df: DataFrame,
     url: str,
@@ -77,24 +138,21 @@ def jdbc_upsert(
     batch_size: int = DEFAULT_BATCH_SIZE,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     driver: str | None = None,
+    dialect: str | None = None,
     **options: str,
 ) -> None:
     """Idempotent JDBC load — the reference's ``INSERT ... ON CONFLICT
-    DO NOTHING`` (etl/etl_ida.py:534) as staging + server-side MERGE.
+    DO NOTHING`` (etl/etl_ida.py:534) as staging + server-side upsert.
 
     Scale shape: the batch lands in ``staging_table`` through the
     DISTRIBUTED batched writer (bounded connection fan-out), then ONE
-    set-based ``MERGE INTO target USING staging ON keys WHEN NOT MATCHED
-    THEN INSERT`` runs on a single driver-side connection — dedup happens
-    in the database as one statement, no per-row driver traffic, and
-    re-running the load inserts nothing (exactly the reference's conflict
-    semantics).  ``update_on_match=True`` adds ``WHEN MATCHED THEN
-    UPDATE`` for full upsert (the reference's dimension refresh shape).
-
-    ANSI MERGE runs on Derby 10.11+, PostgreSQL 15+, and every warehouse
-    dialect; on older PostgreSQL the same staging table feeds
-    ``INSERT ... SELECT ... ON CONFLICT DO NOTHING`` instead.
-    """
+    set-based statement (see :func:`upsert_statements` — ANSI MERGE, or
+    PostgreSQL ``ON CONFLICT`` push-down when the URL says so) runs on a
+    single driver-side connection — dedup happens in the database as one
+    statement, no per-row driver traffic, and re-running the load inserts
+    nothing (exactly the reference's conflict semantics).
+    ``update_on_match=True`` upgrades to full upsert (the reference's
+    dimension refresh shape)."""
     staging = staging_table or f"{target_table}_staging"
     jdbc_writer(
         df,
@@ -107,28 +165,17 @@ def jdbc_upsert(
         **options,
     ).save()
 
-    # Spark's JDBC writer creates columns as quoted (case-sensitive)
-    # identifiers, so the MERGE must quote them too
-    cols = df.columns
-    q = '"{}"'.format
-    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
-    insert_cols = ", ".join(q(c) for c in cols)
-    insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
-    merge = (
-        f"MERGE INTO {target_table} t USING {staging} s ON {on} "
-    )
-    if update_on_match:
-        sets = ", ".join(
-            f"{q(c)} = s.{q(c)}" for c in cols if c not in key_cols
-        )
-        merge += f"WHEN MATCHED THEN UPDATE SET {sets} "
-    merge += (
-        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) "
-        f"VALUES ({insert_vals})"
+    statements = upsert_statements(
+        target_table,
+        staging,
+        df.columns,
+        key_cols,
+        update_on_match=update_on_match,
+        dialect=dialect or dialect_of(url),
     )
     spark = df.sparkSession
-    _execute_statements(spark, url, [merge], driver)
-    _execute_statements(spark, url, [f"DROP TABLE {staging}"], driver)
+    for stmt in statements:
+        _execute_statements(spark, url, [stmt], driver)
 
 
 def jdbc_writer(

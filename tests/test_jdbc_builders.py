@@ -144,3 +144,52 @@ def test_jdbc_upsert_update_on_match(spark):
     back = jdbc_reader(spark, url=url, table="nation_upd", driver=driver).load()
     assert back.count() == nation.count()
     assert back.filter(~F.col("n_name").endswith("_v2")).count() == 0
+
+
+def test_postgres_dialect_generates_on_conflict_statements():
+    """The reference's real sink is PostgreSQL (etl/etl_ida.py:461-554,
+    INSERT ... ON CONFLICT at :534); no pg server exists offline, so the
+    dialect arm is pinned at the SQL layer — the statement a deployment
+    would execute, byte-for-byte."""
+    from ida_dataengineerproject_spark.sources.jdbc import (
+        dialect_of,
+        upsert_statements,
+    )
+
+    assert dialect_of("jdbc:postgresql://db:5432/ida") == "postgresql"
+    assert dialect_of("jdbc:derby:memory:x;create=true") == "ansi"
+
+    cols = ["mes", "servico", "valor"]
+    keys = ["mes", "servico"]
+    nothing = upsert_statements(
+        "ida_taxa", "ida_taxa_staging", cols, keys, dialect="postgresql"
+    )
+    assert nothing == [
+        'INSERT INTO ida_taxa ("mes", "servico", "valor") '
+        'SELECT "mes", "servico", "valor" FROM ida_taxa_staging '
+        'ON CONFLICT ("mes", "servico") DO NOTHING',
+        "DROP TABLE ida_taxa_staging",
+    ]
+    upsert = upsert_statements(
+        "ida_taxa",
+        "ida_taxa_staging",
+        cols,
+        keys,
+        update_on_match=True,
+        dialect="postgresql",
+    )
+    assert upsert[0].endswith('DO UPDATE SET "valor" = EXCLUDED."valor"')
+
+
+def test_ansi_dialect_merge_unchanged_and_url_dispatch():
+    from ida_dataengineerproject_spark.sources.jdbc import upsert_statements
+
+    stmts = upsert_statements(
+        "t", "t_staging", ["k", "v"], ["k"], update_on_match=True
+    )
+    assert stmts[0] == (
+        'MERGE INTO t t USING t_staging s ON t."k" = s."k" '
+        'WHEN MATCHED THEN UPDATE SET "v" = s."v" '
+        'WHEN NOT MATCHED THEN INSERT ("k", "v") VALUES (s."k", s."v")'
+    )
+    assert stmts[1] == "DROP TABLE t_staging"
