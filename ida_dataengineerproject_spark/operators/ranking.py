@@ -114,6 +114,78 @@ def global_rank(
     )
 
 
+def grouped_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: dict[str, float],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact continuous quantiles (``quantile_cont`` semantics — linear
+    interpolation at position q·(n−1)) per group, WITHOUT a per-group
+    sort buffer: one grouped two-level rank (bounded windows only), one
+    broadcast of the (groups × quantiles) target-rank frame, one
+    filtered interpolating aggregate.  Returns one row per group with a
+    column per ``quantiles`` key.
+
+    NULL values are excluded, matching SQL ``median``/``percentile``.
+    The scale-safe replacement for ``percentile(col, array(...))``
+    GROUP BY — which buffers an entire group in one task's aggregation
+    buffer (the r5 scale cliff)."""
+    src = df.select(*group_cols, value_col).filter(
+        F.col(value_col).isNotNull()
+    )
+    ranked = global_rank(
+        src,
+        value_col,
+        tiebreak_cols=[],
+        n_buckets=n_buckets,
+        rank_col="__r",
+        group_cols=group_cols,
+    )
+    targets = (
+        src.groupBy(*group_cols)
+        .agg(F.count("*").alias("__n"))
+        .select(
+            *group_cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("__qname"),
+                            (F.lit(q) * (F.col("__n") - 1)).alias("__pos"),
+                        )
+                        for name, q in quantiles.items()
+                    ]
+                )
+            ).alias("__t"),
+        )
+        .select(
+            *group_cols,
+            F.col("__t.__qname").alias("__qname"),
+            (F.floor("__t.__pos") + 1).alias("__lo"),
+            (F.col("__t.__pos") - F.floor("__t.__pos")).alias("__frac"),
+        )
+    )
+    v = F.col(value_col)
+    per_q = (
+        ranked.join(F.broadcast(targets), group_cols)
+        .filter(F.col("__r").between(F.col("__lo"), F.col("__lo") + 1))
+        .groupBy(*group_cols, "__qname")
+        .agg(
+            F.sum(
+                F.when(F.col("__r") == F.col("__lo"), v * (1 - F.col("__frac")))
+                .when(F.col("__r") == F.col("__lo") + 1, v * F.col("__frac"))
+            ).alias("__qv")
+        )
+    )
+    return (
+        per_q.groupBy(*group_cols)
+        .pivot("__qname", list(quantiles))
+        .agg(F.first("__qv"))
+    )
+
+
 def global_prefix_sum(
     df: DataFrame,
     value_col: str,

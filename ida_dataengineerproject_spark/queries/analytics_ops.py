@@ -697,3 +697,92 @@ def q_xq5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("day", "yyyy-MM-dd").alias("day"), "max_concurrent"
         )
     )
+
+
+@register(
+    "xq12_robust_group_stats",
+    """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders),
+    med AS (
+        SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS m
+        FROM orders GROUP BY o_orderpriority),
+    mad AS (
+        SELECT o.o_orderpriority,
+               quantile_cont(abs(o.o_totalprice - med.m), 0.5) AS d
+        FROM orders o JOIN med USING (o_orderpriority)
+        GROUP BY o.o_orderpriority)
+    SELECT r.o_orderpriority,
+           ROUND(CAST(SUM(CAST(r.o_totalprice AS DECIMAL(38,6)))
+                        FILTER (WHERE rn > floor(n * 0.05)
+                                  AND rn <= n - floor(n * 0.05)) AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE rn > floor(n * 0.05)
+                                      AND rn <= n - floor(n * 0.05)),
+                 4) AS trimmed_mean,
+           ROUND(ANY_VALUE(med.m), 4) AS median_price,
+           ROUND(ANY_VALUE(mad.d), 4) AS mad_price
+    FROM ranked r
+    JOIN med USING (o_orderpriority)
+    JOIN mad USING (o_orderpriority)
+    GROUP BY r.o_orderpriority
+    """,
+)
+def q_robust_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics — 5% two-sided trimmed mean, exact
+    median, and MAD (median absolute deviation) of order value per
+    priority class — entirely on the bucketed rank/quantile primitives
+    (operators/ranking.py): no per-group sort buffer, no NTILE global
+    sort, every window bounded or partitioned.
+
+    The naive SQL is two nested per-group sorts (rank for the trim,
+    median of |x − median|); at 100 TB each would buffer a whole
+    priority class in one task.  Here: one grouped two-level rank for
+    the trim set, two grouped-quantile passes (median, then MAD over
+    the absolute deviations — a dependency no single pass can remove),
+    all aggregation exact-decimal."""
+    from ..functions.aggs import sum_exact
+    from ..operators.ranking import global_rank, grouped_quantiles
+
+    g = ["o_orderpriority"]
+    o = table(spark, sf_dir, "orders").select(
+        *g, "o_orderkey", "o_totalprice"
+    )
+    ranked = global_rank(
+        o, "o_totalprice", ["o_orderkey"], 64, "__r", group_cols=g
+    )
+    counts = o.groupBy(*g).agg(F.count("*").alias("__n"))
+    trim = counts.select(
+        *g, "__n", F.floor(F.col("__n") * 0.05).alias("__k")
+    )
+    trimmed = (
+        ranked.join(F.broadcast(trim), g)
+        .filter(
+            (F.col("__r") > F.col("__k"))
+            & (F.col("__r") <= F.col("__n") - F.col("__k"))
+        )
+        .groupBy(*g)
+        .agg(
+            (
+                sum_exact("o_totalprice", scale=6) / F.count("*")
+            ).alias("__tm")
+        )
+    )
+    med = grouped_quantiles(o, "o_totalprice", g, {"__med": 0.5})
+    dev = o.join(F.broadcast(med), g).withColumn(
+        "__adev", F.abs(F.col("o_totalprice") - F.col("__med"))
+    )
+    mad = grouped_quantiles(dev, "__adev", g, {"__mad": 0.5})
+    return (
+        trimmed.join(med, g)
+        .join(mad, g)
+        .select(
+            *g,
+            F.round("__tm", 4).alias("trimmed_mean"),
+            F.round("__med", 4).alias("median_price"),
+            F.round("__mad", 4).alias("mad_price"),
+        )
+    )

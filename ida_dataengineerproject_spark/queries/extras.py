@@ -247,65 +247,20 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ties need no tiebreak column: rows with equal values are
     interchangeable at a rank position."""
-    from ..operators.ranking import global_rank
+    from ..operators.ranking import grouped_quantiles
 
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    ranked = global_rank(
+    return grouped_quantiles(
         li,
         "l_extendedprice",
-        tiebreak_cols=[],
-        n_buckets=64,
-        rank_col="__r",
-        group_cols=["l_returnflag"],
-    )
-    quantiles = [(0.5, "med_price"), (0.9, "p90_price")]
-    targets = (
-        li.groupBy("l_returnflag")
-        .agg(F.count("*").alias("__n"))
-        .select(
-            "l_returnflag",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(name).alias("qname"),
-                            (F.lit(q) * (F.col("__n") - 1)).alias("pos"),
-                        )
-                        for q, name in quantiles
-                    ]
-                )
-            ).alias("t"),
-        )
-        .select(
-            "l_returnflag",
-            F.col("t.qname").alias("qname"),
-            (F.floor("t.pos") + 1).alias("lo_rank"),
-            (F.col("t.pos") - F.floor("t.pos")).alias("frac"),
-        )
-    )
-    v = F.col("l_extendedprice")
-    interpolated = (
-        ranked.join(F.broadcast(targets), "l_returnflag")
-        .filter(F.col("__r").between(F.col("lo_rank"), F.col("lo_rank") + 1))
-        .groupBy("l_returnflag", "qname")
-        .agg(
-            F.sum(
-                F.when(F.col("__r") == F.col("lo_rank"), v * (1 - F.col("frac")))
-                .when(F.col("__r") == F.col("lo_rank") + 1, v * F.col("frac"))
-            ).alias("q_value")
-        )
-    )
-    return (
-        interpolated.groupBy("l_returnflag")
-        .pivot("qname", [name for _, name in quantiles])
-        .agg(F.first("q_value"))
-        .select(
-            "l_returnflag",
-            F.round("med_price", 4).alias("med_price"),
-            F.round("p90_price", 4).alias("p90_price"),
-        )
+        ["l_returnflag"],
+        {"med_price": 0.5, "p90_price": 0.9},
+    ).select(
+        "l_returnflag",
+        F.round("med_price", 4).alias("med_price"),
+        F.round("p90_price", 4).alias("p90_price"),
     )
 
 

@@ -187,3 +187,30 @@ def test_exact_percentiles_plan_has_no_group_buffer(spark):
             # both windows are partitioned: row-rank by (group, bucket),
             # offsets by group over ≤ groups×buckets count rows
             assert "l_returnflag" in line
+
+
+def test_grouped_quantiles_matches_percentile_and_ignores_nulls(spark):
+    from ida_dataengineerproject_spark.operators.ranking import (
+        grouped_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i % 3, None if i % 11 == 0 else float((i * 13) % 97))
+            for i in range(400)
+        ],
+        "g int, v double",
+    )
+    got = {
+        (r["g"], round(r["q25"], 9), round(r["q50"], 9), round(r["q90"], 9))
+        for r in grouped_quantiles(
+            df, "v", ["g"], {"q25": 0.25, "q50": 0.5, "q90": 0.9}, n_buckets=8
+        ).collect()
+    }
+    want = {
+        (r["g"], round(r["p"][0], 9), round(r["p"][1], 9), round(r["p"][2], 9))
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, array(0.25, 0.5, 0.9))").alias("p"))
+        .collect()
+    }
+    assert got == want
