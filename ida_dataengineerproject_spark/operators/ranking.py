@@ -131,47 +131,66 @@ def grouped_quantiles(
     NULL values are excluded, matching SQL ``median``/``percentile``.
     The scale-safe replacement for ``percentile(col, array(...))``
     GROUP BY — which buffers an entire group in one task's aggregation
-    buffer (the r5 scale cliff)."""
-    src = df.select(*group_cols, value_col).filter(
-        F.col(value_col).isNotNull()
+    buffer (the r5 scale cliff).
+
+    Unlike a full grouped rank, NO window ever touches the data: the
+    per-(group, bucket) COUNT aggregate (map-side combined, tiny) gives
+    both the bucket offsets and the group totals; each target rank is
+    located in its owning bucket relationally; only the rows of TARGET
+    buckets (≈ quantiles/n_buckets of the data) are re-read through a
+    broadcast join and ranked locally per bucket.  The full table is
+    scanned, never shuffled."""
+    g = list(group_cols)
+    src = df.select(*g, value_col).filter(F.col(value_col).isNotNull())
+    wb = _with_buckets(src, value_col, n_buckets)
+    counts = wb.groupBy(*g, "__bucket").agg(F.count("*").alias("__n"))
+    w_off = Window.partitionBy(*g).orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    ranked = global_rank(
-        src,
-        value_col,
-        tiebreak_cols=[],
-        n_buckets=n_buckets,
-        rank_col="__r",
-        group_cols=group_cols,
+    offs = counts.select(
+        *g,
+        "__bucket",
+        "__n",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
     )
-    targets = (
-        src.groupBy(*group_cols)
-        .agg(F.count("*").alias("__n"))
-        .select(
-            *group_cols,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(name).alias("__qname"),
-                            (F.lit(q) * (F.col("__n") - 1)).alias("__pos"),
-                        )
-                        for name, q in quantiles.items()
-                    ]
-                )
-            ).alias("__t"),
+    totals = counts.groupBy(*g).agg(F.sum("__n").alias("__tot"))
+    targets = totals.select(
+        *g,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("__qname"),
+                        (F.lit(q) * (F.col("__tot") - 1)).alias("__pos"),
+                    )
+                    for name, q in quantiles.items()
+                ]
+            )
+        ).alias("__t"),
+    ).select(
+        *g,
+        F.col("__t.__qname").alias("__qname"),
+        (F.floor("__t.__pos") + 1).alias("__lo"),
+        (F.col("__t.__pos") - F.floor("__t.__pos")).alias("__frac"),
+    )
+    # the bucket(s) owning ranks {lo, lo+1}: [__off+1, __off+__n] must
+    # intersect that pair — __off <= lo and __off + __n >= lo (equal
+    # values always share a bucket, so the straddle spans <= 2 buckets)
+    target_buckets = (
+        targets.join(offs, g)
+        .filter(
+            (F.col("__off") <= F.col("__lo"))
+            & (F.col("__off") + F.col("__n") >= F.col("__lo"))
         )
-        .select(
-            *group_cols,
-            F.col("__t.__qname").alias("__qname"),
-            (F.floor("__t.__pos") + 1).alias("__lo"),
-            (F.col("__t.__pos") - F.floor("__t.__pos")).alias("__frac"),
-        )
+        .select(*g, "__bucket", "__qname", "__lo", "__frac", "__off")
     )
     v = F.col(value_col)
+    cand = wb.join(F.broadcast(target_buckets), g + ["__bucket"])
+    w_in = Window.partitionBy(*g, "__bucket", "__qname").orderBy(value_col)
     per_q = (
-        ranked.join(F.broadcast(targets), group_cols)
+        cand.withColumn("__r", F.col("__off") + F.row_number().over(w_in))
         .filter(F.col("__r").between(F.col("__lo"), F.col("__lo") + 1))
-        .groupBy(*group_cols, "__qname")
+        .groupBy(*g, "__qname")
         .agg(
             F.sum(
                 F.when(F.col("__r") == F.col("__lo"), v * (1 - F.col("__frac")))
@@ -180,9 +199,7 @@ def grouped_quantiles(
         )
     )
     return (
-        per_q.groupBy(*group_cols)
-        .pivot("__qname", list(quantiles))
-        .agg(F.first("__qv"))
+        per_q.groupBy(*g).pivot("__qname", list(quantiles)).agg(F.first("__qv"))
     )
 
 
