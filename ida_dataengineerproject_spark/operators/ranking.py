@@ -203,6 +203,76 @@ def grouped_quantiles(
     )
 
 
+def weighted_quantile_crossing(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+    n_buckets: int = 64,
+    out_col: str = "weighted_median",
+    total_col: str = "w_total",
+) -> DataFrame:
+    """One-row frame (out_col, total_col): the smallest value whose
+    cumulative weight in value order reaches q_num/q_den of the total —
+    the weighted median for the default 1/2, tested as
+    ``q_den·cum ≥ q_num·W`` in exact integer arithmetic.
+
+    Bucket-targeted (the grouped_quantiles shape): per-bucket weight
+    totals (map-side-combined aggregate, tiny) locate the single
+    crossing bucket via the bounded offsets frame; only THAT bucket's
+    rows (≈1/n_buckets of the data) take the in-bucket cumulative
+    window.  No full-data shuffle, no prefix sum over every row —
+    against ``SUM(w) OVER (ORDER BY v)``'s single-partition sort.
+
+    Duplicate values need no pre-aggregation: the filtered set is a
+    suffix of the value order, so MIN(value) over it is the crossing
+    value regardless of tie order inside the window."""
+    wb = _with_buckets(
+        df.select(value_col, weight_col).filter(
+            F.col(value_col).isNotNull()
+        ),
+        value_col,
+        n_buckets,
+    )
+    bt = wb.groupBy("__bucket").agg(F.sum(weight_col).alias("__w"))
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = bt.select(
+        "__bucket",
+        "__w",
+        F.coalesce(F.sum("__w").over(w_off), F.lit(0)).alias("__off"),
+    )
+    tot = bt.agg(F.sum("__w").alias("__tot"))
+    target = (
+        offs.crossJoin(F.broadcast(tot))  # 1-row total
+        .filter(
+            q_den * (F.col("__off") + F.col("__w"))
+            >= q_num * F.col("__tot")
+        )
+        .orderBy("__bucket")
+        .limit(1)  # bounded: <= n_buckets rows enter this sort
+        .select("__bucket", "__off", "__tot")
+    )
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        wb.join(F.broadcast(target), "__bucket")
+        .withColumn(
+            "__cum", F.col("__off") + F.sum(weight_col).over(w_in)
+        )
+        .filter(q_den * F.col("__cum") >= q_num * F.col("__tot"))
+        .agg(
+            F.min(value_col).alias(out_col),
+            F.first("__tot").alias(total_col),
+        )
+    )
+
+
 def global_prefix_sum(
     df: DataFrame,
     value_col: str,

@@ -405,28 +405,22 @@ def q_xq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median extended price: the smallest price whose
     cumulative quantity weight reaches half the total.
 
-    Uses operators/ranking.global_prefix_sum — the naive form is
-    SUM(w) OVER (ORDER BY v), a single-partition sort; the rewrite's
-    only unpartitioned step is the <= n_buckets offset cumsum.  Weights
-    are exact integers, the crossing test (2*cum >= W) is integer, and
-    the median is an actual data value — no interpolation, no floats
-    until the output column itself."""
-    from ..operators.ranking import global_prefix_sum
+    Uses operators/ranking.weighted_quantile_crossing (round 6) — the
+    naive form is SUM(w) OVER (ORDER BY v), a single-partition sort;
+    the r5 global_prefix_sum rewrite removed the cliff but still
+    windowed EVERY distinct price; the bucket-targeted form locates the
+    crossing bucket from per-bucket weight totals and windows only its
+    ~1/64 of rows (no pre-aggregation needed — the crossing MIN is
+    tie-order invariant).  Weights are exact integers, the crossing
+    test (2*cum >= W) is integer, and the median is an actual data
+    value — no interpolation, no floats until the output itself."""
+    from ..operators.ranking import weighted_quantile_crossing
 
-    li = table(spark, sf_dir, "lineitem")
-    g = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("wgt")
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("wgt"),
     )
-    ps = global_prefix_sum(g, "v", "wgt", out_col="cumw")
-    tot = g.agg(F.sum("wgt").alias("w_total"))
-    return (
-        ps.crossJoin(F.broadcast(tot))
-        .where(2 * F.col("cumw") >= F.col("w_total"))
-        .agg(
-            F.min("v").alias("weighted_median"),
-            F.first("w_total").alias("w_total"),
-        )
-    )
+    return weighted_quantile_crossing(li, "v", "wgt")
 
 
 @register(

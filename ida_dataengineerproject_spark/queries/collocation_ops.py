@@ -123,33 +123,44 @@ def q_x22(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded by the source count, here ~5), never corpus².  Set sizes
     broadcast back; Jaccard = |A∩B| / (|A|+|B|−|A∩B|) as one double
     division over exact integer counts."""
+    # round 6 rewrite: the r5 form exploded tokens through a per-doc
+    # WINDOW (doc_id shuffle + sort), DISTINCTed (source, g), then
+    # SELF-JOINED two recomputations of that pipeline on the shingle
+    # string.  Now: shingling is the no-shuffle codegen expression
+    # (ngram_shingles — one row stays one row), and ONE groupBy(g)
+    # collects each shingle's distinct source set; pair counts explode
+    # the (tiny, <= source-count) sets and sizes explode the same
+    # grouped frame — no join on shingle strings, no second pipeline.
+    # localCheckpoint: both readouts reuse the one shuffled aggregate
+    # (design rule 23) — distinct-shingle rows, executor-side.
+    from ..functions.textstats import ngram_shingles
+
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "source",
-        "doc_id",
-        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    sh = docs.select(
+        "source", F.explode(ngram_shingles("text", SHINGLE_K)).alias("g")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [
-        F.lead("tok", i).over(w) for i in range(1, SHINGLE_K)
-    ]
-    sh = (
-        tok.select(
-            "source",
-            F.lead("tok", SHINGLE_K - 1).over(w).alias("_tail"),
-            F.concat_ws(" ", *parts).alias("g"),
-        )
-        .where(F.col("_tail").isNotNull())
-        .select("source", "g")
-        .distinct()
+    grouped = (
+        sh.groupBy("g")
+        .agg(F.array_sort(F.collect_set("source")).alias("s"))
+        .localCheckpoint()
     )
-    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("source").alias("src_a"), "g")
-    b = sh.select(F.col("source").alias("src_b"), "g")
+    sizes = (
+        grouped.select(F.explode("s").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
     inter = (
-        a.join(b, "g")
-        .where(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
+        grouped.filter(F.size("s") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(s) - 1), i -> "
+                    "transform(slice(s, i + 1, size(s) - i), y -> "
+                    "struct(element_at(s, i) AS src_a, y AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .agg(F.count("*").alias("n_inter"))
     )
     sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))

@@ -214,3 +214,28 @@ def test_grouped_quantiles_matches_percentile_and_ignores_nulls(spark):
         .collect()
     }
     assert got == want
+
+
+def test_weighted_quantile_crossing_matches_naive_and_handles_ties(spark):
+    from ida_dataengineerproject_spark.operators.ranking import (
+        weighted_quantile_crossing,
+    )
+
+    # duplicate values across rows on purpose: crossing MIN must be
+    # tie-order invariant without pre-aggregation
+    df = spark.createDataFrame(
+        [(float((i * 7) % 40), (i % 5) + 1) for i in range(500)],
+        "v double, w long",
+    )
+    got = weighted_quantile_crossing(df, "v", "w").collect()[0]
+    rows = sorted((r["v"], r["w"]) for r in df.collect())
+    total = sum(w for _, w in rows)
+    cum = 0
+    naive_m = None
+    for v, w in rows:
+        cum += w
+        if 2 * cum >= total:
+            naive_m = v
+            break
+    assert got["weighted_median"] == naive_m
+    assert got["w_total"] == total
