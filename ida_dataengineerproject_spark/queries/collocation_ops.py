@@ -127,41 +127,43 @@ def q_x22(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WINDOW (doc_id shuffle + sort), DISTINCTed (source, g), then
     # SELF-JOINED two recomputations of that pipeline on the shingle
     # string.  Now: shingling is the no-shuffle codegen expression
-    # (ngram_shingles — one row stays one row), and ONE groupBy(g)
-    # collects each shingle's distinct source set; pair counts explode
-    # the (tiny, <= source-count) sets and sizes explode the same
-    # grouped frame — no join on shingle strings, no second pipeline.
-    # localCheckpoint: both readouts reuse the one shuffled aggregate
-    # (design rule 23) — distinct-shingle rows, executor-side.
+    # (ngram_shingles — one row stays one row); ONE groupBy(g) collects
+    # each shingle's distinct source set; and a single explode emits
+    # BOTH the ordered source pairs (src_a, src_b) and per-source size
+    # tokens (src_a, NULL) from each set, so one tiny aggregate
+    # (<= sources² + sources rows) carries intersections AND set sizes —
+    # no join on shingle strings, no second pass over the corpus.  The
+    # only checkpoint is that tiny aggregate (design rule 23).
     from ..functions.textstats import ngram_shingles
 
     docs = table(spark, sf_dir, "documents")
     sh = docs.select(
         "source", F.explode(ngram_shingles("text", SHINGLE_K)).alias("g")
     )
-    grouped = (
-        sh.groupBy("g")
-        .agg(F.array_sort(F.collect_set("source")).alias("s"))
+    grouped = sh.groupBy("g").agg(
+        F.array_sort(F.collect_set("source")).alias("s")
+    )
+    tokens = (
+        "concat("
+        "  CASE WHEN size(s) >= 2 THEN"
+        "    flatten(transform(sequence(1, size(s) - 1), i ->"
+        "      transform(slice(s, i + 1, size(s) - i), y ->"
+        "        struct(element_at(s, i) AS src_a, y AS src_b))))"
+        "  ELSE array() END,"
+        "  transform(s, x -> struct(x AS src_a, CAST(NULL AS STRING) AS src_b))"
+        ")"
+    )
+    agg = (
+        grouped.select(F.explode(F.expr(tokens)).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count("*").alias("c"))
         .localCheckpoint()
     )
-    sizes = (
-        grouped.select(F.explode("s").alias("source"))
-        .groupBy("source")
-        .agg(F.count("*").alias("n"))
+    inter = agg.filter(F.col("src_b").isNotNull()).withColumnRenamed(
+        "c", "n_inter"
     )
-    inter = (
-        grouped.filter(F.size("s") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, size(s) - 1), i -> "
-                    "transform(slice(s, i + 1, size(s) - i), y -> "
-                    "struct(element_at(s, i) AS src_a, y AS src_b))))"
-                )
-            ).alias("p")
-        )
-        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
-        .agg(F.count("*").alias("n_inter"))
+    sizes = agg.filter(F.col("src_b").isNull()).select(
+        F.col("src_a").alias("source"), F.col("c").alias("n")
     )
     sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
