@@ -478,7 +478,7 @@ def q_xq11(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three boundary sets — without these the per-customer groupBy would
     # re-execute from the parquet scan five times.
     per = per.localCheckpoint()
-    probs = [i / 64 for i in range(1, 64)]
+    probs = [i / 32 for i in range(1, 32)]
     b_rec, b_frq, b_mon = per.approxQuantile(
         ["rec_day", "n_orders", "revc"], probs, 0.001
     )
@@ -734,49 +734,42 @@ def q_robust_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The naive SQL is two nested per-group sorts (rank for the trim,
     median of |x − median|); at 100 TB each would buffer a whole
-    priority class in one task.  Here: one grouped two-level rank for
-    the trim set, two grouped-quantile passes (median, then MAD over
-    the absolute deviations — a dependency no single pass can remove),
-    all aggregation exact-decimal."""
-    from ..functions.aggs import sum_exact
-    from ..operators.ranking import global_rank, grouped_quantiles
+    priority class in one task.  Here: ONE approxQuantile boundary
+    probe and ONE bucket histogram serve both the trimmed mean and the
+    median (operators/ranking.grouped_robust_stats — only boundary and
+    straddle buckets are ranked); the MAD is a second grouped-quantile
+    pass over the absolute deviations (a dependency no single pass can
+    remove), with its work-balancing boundaries derived driver-side
+    from the value boundaries and the bounded per-group medians — no
+    second approxQuantile scan.  No full-data rank, no unbounded
+    window, all sums exact-decimal."""
+    from ..operators.ranking import grouped_quantiles, grouped_robust_stats
 
     g = ["o_orderpriority"]
-    o = table(spark, sf_dir, "orders").select(
-        *g, "o_orderkey", "o_totalprice"
-    )
-    ranked = global_rank(
-        o, "o_totalprice", ["o_orderkey"], 64, "__r", group_cols=g
-    )
-    counts = o.groupBy(*g).agg(F.count("*").alias("__n"))
-    trim = counts.select(
-        *g, "__n", F.floor(F.col("__n") * 0.05).alias("__k")
-    )
-    trimmed = (
-        ranked.join(F.broadcast(trim), g)
-        .filter(
-            (F.col("__r") > F.col("__k"))
-            & (F.col("__r") <= F.col("__n") - F.col("__k"))
-        )
-        .groupBy(*g)
-        .agg(
-            (
-                sum_exact("o_totalprice", scale=6) / F.count("*")
-            ).alias("__tm")
-        )
-    )
-    med = grouped_quantiles(o, "o_totalprice", g, {"__med": 0.5})
-    dev = o.join(F.broadcast(med), g).withColumn(
+    o = table(spark, sf_dir, "orders").select(*g, "o_totalprice")
+    probs = [i / 32 for i in range(1, 32)]
+    bounds = o.approxQuantile("o_totalprice", probs, 0.001)
+    stats = grouped_robust_stats(
+        o, "o_totalprice", g, 0.05, {"__med": 0.5},
+        bounds=bounds, trimmed_col="__tm",
+    ).localCheckpoint()  # one row per group (bounded); truncates the
+    # sub-DAG so the MAD branch and final join don't re-plan it
+    med_vals = [r["__med"] for r in stats.select("__med").collect()]
+    # deviation boundaries: |value boundary − group median| candidates,
+    # deduped and thinned to n_buckets−1 — boundaries only balance
+    # work, so any ascending set is correct for the deviation column
+    dev_cand = sorted({abs(b - m) for b in bounds for m in med_vals})
+    step = max(1, len(dev_cand) // 31)
+    dev_bounds = dev_cand[::step][:31]
+    dev = o.join(F.broadcast(stats.select(*g, "__med")), g).withColumn(
         "__adev", F.abs(F.col("o_totalprice") - F.col("__med"))
     )
-    mad = grouped_quantiles(dev, "__adev", g, {"__mad": 0.5})
-    return (
-        trimmed.join(med, g)
-        .join(mad, g)
-        .select(
-            *g,
-            F.round("__tm", 4).alias("trimmed_mean"),
-            F.round("__med", 4).alias("median_price"),
-            F.round("__mad", 4).alias("mad_price"),
-        )
+    mad = grouped_quantiles(
+        dev, "__adev", g, {"__mad": 0.5}, bounds=dev_bounds
+    )
+    return stats.join(mad, g).select(
+        *g,
+        F.round("__tm", 4).alias("trimmed_mean"),
+        F.round("__med", 4).alias("median_price"),
+        F.round("__mad", 4).alias("mad_price"),
     )

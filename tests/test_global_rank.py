@@ -216,6 +216,56 @@ def test_grouped_quantiles_matches_percentile_and_ignores_nulls(spark):
     assert got == want
 
 
+def test_grouped_trimmed_mean_matches_naive_with_ties_and_nulls(spark):
+    from ida_dataengineerproject_spark.operators.ranking import (
+        grouped_trimmed_mean,
+    )
+
+    # heavy duplicate values (mod 7) so trim boundaries cut inside tie
+    # runs; group 2 is tiny (k=0 → plain mean); NULLs excluded
+    rows = [
+        (i % 3 if i < 390 else 2, None if i % 29 == 0 else float((i * 5) % 7))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {
+        r["g"]: round(r["trimmed_mean"], 9)
+        for r in grouped_trimmed_mean(
+            df, "v", ["g"], 0.1, n_buckets=4
+        ).collect()
+    }
+    want = {}
+    for gk in {r[0] for r in rows}:
+        vals = sorted(v for g_, v in rows if g_ == gk and v is not None)
+        k = int(len(vals) * 0.1)
+        kept = vals[k : len(vals) - k]
+        want[gk] = round(sum(kept) / len(kept), 9)
+    assert got == want
+
+
+def test_grouped_trimmed_mean_bounds_reuse_is_result_invariant(spark):
+    from ida_dataengineerproject_spark.operators.ranking import (
+        grouped_trimmed_mean,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 2, float((i * 13) % 101)) for i in range(300)],
+        "g int, v double",
+    )
+    a = {
+        r["g"]: r["trimmed_mean"]
+        for r in grouped_trimmed_mean(df, "v", ["g"], 0.05).collect()
+    }
+    # deliberately terrible boundaries: all mass in one bucket
+    b = {
+        r["g"]: r["trimmed_mean"]
+        for r in grouped_trimmed_mean(
+            df, "v", ["g"], 0.05, bounds=[1000.0, 2000.0]
+        ).collect()
+    }
+    assert a == b
+
+
 def test_weighted_quantile_crossing_matches_naive_and_handles_ties(spark):
     from ida_dataengineerproject_spark.operators.ranking import (
         weighted_quantile_crossing,
