@@ -75,3 +75,60 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count of an undirected simple graph — one row,
+    column ``n_triangles``.  ``edges`` must hold each undirected edge
+    once (either direction, no duplicates, no self-loops).
+
+    Degree-ordered orientation (Cohen's MapReduce scheme): orient every
+    edge from its lower-(degree, id) endpoint to the higher, making the
+    orientation acyclic with out-degrees bounded by ~sqrt(m); the wedge
+    self-join then enumerates sum(outdeg^2) <= m^1.5 candidates
+    regardless of degree skew — a celebrity node no longer contributes
+    deg^2 wedges.  Each triangle has exactly one apex with out-edges to
+    the other two, and ordering the wedge (v, w) by the same rank
+    counts it exactly once.  All joins are shuffle equi-joins on node
+    keys; nothing data-sized is broadcast or collected.
+    """
+    und = edges.select(
+        F.col(src).alias("p1"), F.col(dst).alias("p2")
+    )
+    deg = (
+        und.select(F.col("p1").alias("node"))
+        .unionByName(und.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    d1 = deg.withColumnRenamed("node", "p1").withColumnRenamed("deg", "deg1")
+    d2 = deg.withColumnRenamed("node", "p2").withColumnRenamed("deg", "deg2")
+    ed = und.join(d1, "p1").join(d2, "p2")
+    lower_first = (F.col("deg1") < F.col("deg2")) | (
+        (F.col("deg1") == F.col("deg2")) & (F.col("p1") < F.col("p2"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+        F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+        F.when(lower_first, F.col("deg2")).otherwise(F.col("deg1")).alias(
+            "v_deg"
+        ),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (
+            (F.col("o1.v_deg") < F.col("o2.v_deg"))
+            | (
+                (F.col("o1.v_deg") == F.col("o2.v_deg"))
+                & (F.col("o1.v") < F.col("o2.v"))
+            )
+        ),
+    ).select(F.col("o1.v").alias("a"), F.col("o2.v").alias("b"))
+    closing = oriented.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    return wedges.join(closing, ["a", "b"]).agg(
+        F.count("*").alias("n_triangles")
+    )

@@ -773,3 +773,114 @@ def q_robust_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("__med", 4).alias("median_price"),
         F.round("__mad", 4).alias("mad_price"),
     )
+
+
+_Q13_BINW = 8
+_Q13_QS = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+
+
+def _q13_oracle() -> str:
+    cols = []
+    for name, q in _Q13_QS.items():
+        t = f"(CAST({q} AS DOUBLE) * CAST(tot AS DOUBLE))"
+        cols.append(
+            f"""ROUND(MAX(CASE
+               WHEN CAST(cum - c AS DOUBLE) < {t}
+                AND {t} <= CAST(cum AS DOUBLE)
+               THEN CAST(bin AS DOUBLE) * CAST({_Q13_BINW} AS DOUBLE)
+                    + CAST({_Q13_BINW} AS DOUBLE)
+                      * ({t} - CAST(cum - c AS DOUBLE))
+                      / CAST(c AS DOUBLE)
+               END), 4) AS {name}"""
+        )
+    sel = ",\n           ".join(cols)
+    return f"""
+    WITH e AS (
+        SELECT strftime(date_trunc('week', CAST(ts AS DATE)), '%Y-%m-%d')
+                 AS week,
+               CAST(ts AS DATE) AS day,
+               CAST(floor(value / CAST({_Q13_BINW} AS DOUBLE)) AS BIGINT)
+                 AS bin
+        FROM {EVENTS_US}),
+    d AS (SELECT week, day, bin, COUNT(*) AS c
+          FROM e GROUP BY week, day, bin),
+    m AS (SELECT week, bin, SUM(c) AS c FROM d GROUP BY week, bin),
+    t AS (SELECT week, SUM(c) AS tot FROM m GROUP BY week),
+    cu AS (SELECT week, bin, c,
+                  SUM(c) OVER (PARTITION BY week ORDER BY bin) AS cum
+           FROM m),
+    j AS (SELECT cu.week, cu.bin, cu.c, cu.cum, t.tot
+          FROM cu JOIN t USING (week))
+    SELECT week,
+           CAST(MAX(tot) AS BIGINT) AS n_events,
+           {sel}
+    FROM j GROUP BY week
+    """
+
+
+@register("xq13_histogram_quantile_rollup", _q13_oracle())
+def q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram sketch: daily partials rolled up to
+    weekly approximate quantiles (p50/p90/p99 of event value).
+
+    The sketch family's third member (x09c HLL distinct, x09b Count-Min
+    frequency, this one quantiles): a fixed-boundary histogram is the
+    simplest MERGEABLE quantile summary — day-level (month, day, bin)
+    count partials are maintained at ingest, any calendar rollup (week here —
+    the synthetic events span one month) is a re-aggregation of the
+    partials (SUM over bins — associative,
+    map-side combined), and no raw-event rescan ever happens.  Unlike
+    t-digest/KLL the merge is trivially deterministic, so the monthly
+    quantile is bit-reproducible on any engine — the DuckDB oracle runs
+    the identical double arithmetic and hash-matches exactly, giving
+    this sketch the same exact-verify contract as the HLL/CMS rows
+    (error bound: one bin width, here 8 value units).
+
+    Plan shape at 100 TB: two hash aggregates (events → day partials →
+    month bins) and ONE bounded window — the cumulative sum runs over
+    (months × ~70 bins) aggregated rows, never data.  Interpolation
+    within the crossing bin is pure arithmetic on (cum, c, tot).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.date_format(F.trunc(F.to_date("ts"), "week"), "yyyy-MM-dd")
+        .alias("week"),
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") / F.lit(float(_Q13_BINW)))
+        .cast("long")
+        .alias("bin"),
+    )
+    day_part = ev.groupBy("week", "day", "bin").agg(
+        F.count("*").alias("c")
+    )
+    week_hist = day_part.groupBy("week", "bin").agg(
+        F.sum("c").alias("c")
+    )
+    tot = week_hist.groupBy("week").agg(F.sum("c").alias("tot"))
+    w_cum = (
+        Window.partitionBy("week")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = week_hist.withColumn("cum", F.sum("c").over(w_cum)).join(
+        F.broadcast(tot), "week"
+    )
+    binw = F.lit(float(_Q13_BINW))
+    cum_lo = (F.col("cum") - F.col("c")).cast("double")
+    aggs = [F.max("tot").alias("n_events")]
+    for name, q in _Q13_QS.items():
+        t = F.lit(q) * F.col("tot").cast("double")
+        val = F.col("bin").cast("double") * binw + binw * (
+            t - cum_lo
+        ) / F.col("c").cast("double")
+        aggs.append(
+            F.round(
+                F.max(
+                    F.when(
+                        (cum_lo < t) & (t <= F.col("cum").cast("double")),
+                        val,
+                    )
+                ),
+                4,
+            ).alias(name)
+        )
+    return j.groupBy("week").agg(*aggs)

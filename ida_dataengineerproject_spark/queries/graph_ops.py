@@ -143,3 +143,76 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
+
+
+@register(
+    "x24_triangle_count",
+    """
+    WITH pr AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.p AS p1, b.p AS p2
+        FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+    nodes AS (
+        SELECT COUNT(DISTINCT x) AS n_nodes FROM (
+            SELECT p1 AS x FROM e UNION ALL SELECT p2 FROM e)),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.p1 = e1.p2
+        JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+    SELECT nodes.n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           tri.n_triangles
+    FROM nodes, tri
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the part co-order graph (parts are
+    adjacent iff some order contains both), one row: n_nodes, n_edges,
+    n_triangles.
+
+    The scale trap in triangle counting is wedge explosion: joining the
+    adjacency list with itself on the shared endpoint enumerates
+    sum(deg(v)^2) wedges, and one celebrity node quadratically dominates
+    the whole job.  The standard fix (degree-ordered orientation —
+    Cohen's MapReduce formulation, also MGT/'arboricity' counting):
+    orient every undirected edge from its lower-(degree, id) endpoint to
+    the higher; every node's OUT-degree is then bounded by ~sqrt(m), so
+    the wedge join enumerates sum(outdeg^2) <= m^1.5 candidates instead,
+    independent of skew.  Each triangle has exactly one node with out-
+    edges to the other two under this acyclic orientation, so counting
+    (u->v, u->w, v->w) with rank(v) < rank(w) counts each triangle
+    exactly ONCE — the DuckDB oracle counts the same triangles the naive
+    a<b<c way, so the equality is itself the correctness proof of the
+    orientation argument.
+
+    Plan shape: two distinct-aggregates (pair dedup), one bounded
+    per-order self-join (order line counts are bounded, so pair fan-out
+    per order is bounded), a node-keyed degree join, then the wedge
+    self-join + one closing equi-join on (v, w) — all shuffle joins on
+    graph keys, no broadcast of anything data-sized, no iteration."""
+    li = table(spark, sf_dir, "lineitem")
+    pr = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pr.alias("a"), pr.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .distinct()
+    )
+    from ..operators.graph import count_triangles
+
+    tri = count_triangles(und, "p1", "p2")
+    n_nodes = (
+        und.select(F.col("p1").alias("n"))
+        .unionByName(und.select(F.col("p2").alias("n")))
+        .agg(F.countDistinct("n").alias("n_nodes"))
+    )
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

@@ -592,3 +592,83 @@ def revenue_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept"),
     )
+
+
+@register(
+    "x23_group_outlier_mad",
+    """
+    WITH med AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY l_returnflag),
+    dev AS (
+        SELECT l.l_returnflag,
+               abs(l.l_extendedprice - med.med) AS adev,
+               med.med
+        FROM lineitem l JOIN med USING (l_returnflag)),
+    mad AS (
+        SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY l_returnflag)
+    SELECT d.l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (
+               WHERE d.adev > 3 * CAST(1.4826 AS DOUBLE) * mad.mad) AS n_outliers,
+           ROUND(CAST(COUNT(*) FILTER (
+                   WHERE d.adev > 3 * CAST(1.4826 AS DOUBLE) * mad.mad) AS DOUBLE)
+                 / COUNT(*), 6) AS outlier_rate,
+           ROUND(ANY_VALUE(d.med), 4) AS median_price,
+           ROUND(ANY_VALUE(mad.mad), 4) AS mad_price
+    FROM dev d JOIN mad USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    """,
+)
+def group_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: flag rows whose absolute
+    deviation from the group median exceeds 3 robust standard
+    deviations (MAD x 1.4826 — the normal-consistency constant), report
+    per-group counts and rates.
+
+    Mean/stddev outlier fences are circular (the outliers inflate the
+    fence); the median/MAD fence is the standard robust alternative —
+    and the naive SQL needs two per-group sorts (median, then median of
+    deviations), each a whole-group buffer at 100 TB.  Here both
+    medians come from the bucket-targeted grouped_quantiles primitive
+    (operators/ranking.py — bounded windows only, no full-data
+    shuffle); the flagging pass is a broadcast join of the 3-row
+    (group, median, MAD) frame against the fact followed by one
+    map-side-combined aggregate.  Three linear scans total, nothing
+    unbounded.  The threshold comparison is pure double arithmetic on
+    the exactly-interpolated medians, so counts hash-match the DuckDB
+    quantile_cont oracle exactly.
+    """
+    from ..operators.ranking import grouped_quantiles
+
+    g = ["l_returnflag"]
+    li = table(spark, sf_dir, "lineitem").select(*g, "l_extendedprice")
+    med = grouped_quantiles(
+        li, "l_extendedprice", g, {"med": 0.5}
+    ).localCheckpoint()  # one row per group (bounded metadata)
+    dev = li.join(F.broadcast(med), g).withColumn(
+        "adev", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = grouped_quantiles(dev, "adev", g, {"mad": 0.5})
+    thr = F.lit(3) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), g)
+        .groupBy(*g)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("adev") > thr, 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+            F.round(
+                F.sum(
+                    F.when(F.col("adev") > thr, 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("outlier_rate"),
+            F.round(F.first("med"), 4).alias("median_price"),
+            F.round(F.first("mad"), 4).alias("mad_price"),
+        )
+    )

@@ -14,7 +14,7 @@ these ops are the scale-out generalization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.aggs import avg_exact, sum_exact
@@ -337,4 +337,72 @@ def zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n_chars") - mean) / F.sqrt(var)).alias("z"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "x25_leakage_safe_split",
+    """
+    WITH c AS (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                 AS ckey
+        FROM documents),
+    k AS (
+        SELECT doc_id, ckey,
+               COUNT(*) OVER (PARTITION BY ckey) AS csize,
+               CASE WHEN substr(md5(ckey), 1, 1) <= 'b' THEN 'train'
+                    WHEN substr(md5(ckey), 1, 1) <= 'd' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM c)
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT ckey) AS BIGINT) AS n_clusters,
+           COUNT(*) FILTER (WHERE csize > 1) AS n_dup_docs
+    FROM k GROUP BY split ORDER BY split
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that cannot leak duplicates across splits:
+    assignment hashes the DUPLICATE-CLUSTER key (md5 of the normalized
+    text), not the document id, so every member of an exact-dup cluster
+    lands in the same split by construction.
+
+    Splitting by doc_id (xt1) is the standard recipe until dedup enters
+    the picture: two byte-identical documents with different ids can
+    straddle train and test, and the model is then evaluated on its own
+    training data — the benchmark-contamination failure mode xt8
+    measures after the fact.  Hashing the content-derived cluster key
+    eliminates it structurally (same first-hex-char thresholds as xt1:
+    12/2/2 of 16).  For NEAR-dup safety the same shape composes with
+    x02d's component labels as the cluster key; the exact-normalized
+    key here (x01b's fingerprint) keeps the oracle in plain SQL.
+
+    Scale: one narrow projection + hash (no shuffle), one windowed
+    cluster-size count keyed by cluster hash (uniform — md5 keys cannot
+    skew), one 3-row aggregate.  Nothing driver-side.
+    """
+    from ..functions.hashing import text_fingerprint
+
+    docs = table(spark, sf_dir, "documents")
+    ckey = text_fingerprint("text")
+    w = Window.partitionBy("ckey")
+    k = docs.select("doc_id", ckey.alias("ckey")).withColumn(
+        "csize", F.count("*").over(w)
+    )
+    c1 = F.substring(F.md5(F.col("ckey")), 1, 1)
+    split = (
+        F.when(c1 <= "b", "train").when(c1 <= "d", "val").otherwise("test")
+    )
+    return (
+        k.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("ckey").alias("n_clusters"),
+            F.sum(F.when(F.col("csize") > 1, 1).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+        )
+        .orderBy("split")
     )

@@ -54,3 +54,35 @@ def test_pagerank_matches_python_reference_bitwise(spark, tmp_path):
     # mass conservation up to the documented floor truncation
     total = sum(ref_ranks.values())
     assert 0.999 < total <= 1.0000001
+
+
+def _naive_triangles(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cnt = 0
+    for a, b in edges:
+        cnt += len(adj[a] & adj[b])
+    return cnt // 3  # each triangle seen once per edge
+
+
+def test_count_triangles_matches_naive_on_skewed_graph(spark):
+    from ida_dataengineerproject_spark.operators.graph import count_triangles
+
+    # hub node 0 connected to everyone (celebrity skew), plus a ring and
+    # chords: exercises the degree-orientation path on unequal degrees
+    edges = [(0, i) for i in range(1, 30)]
+    edges += [(i, i + 1) for i in range(1, 29)]
+    edges += [(i, i + 2) for i in range(1, 28, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = count_triangles(df).collect()[0]["n_triangles"]
+    assert got == _naive_triangles(edges)
+
+
+def test_count_triangles_k4_plus_pendant(spark):
+    from ida_dataengineerproject_spark.operators.graph import count_triangles
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    assert count_triangles(df).collect()[0]["n_triangles"] == 4
