@@ -884,3 +884,64 @@ def q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(name)
         )
     return j.groupBy("week").agg(*aggs)
+
+
+@register(
+    "xq14_cohort_ltv",
+    f"""
+    WITH p AS (
+        SELECT user_id,
+               date_trunc('week', CAST(ts AS DATE)) AS wk,
+               value
+        FROM {EVENTS_US} WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, MIN(wk) AS cohort FROM p GROUP BY user_id)
+    SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', c.cohort, p.wk) // 7 AS INT) AS age_weeks,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_buyers,
+           COUNT(*) AS n_purchases,
+           ROUND(CAST(SUM(CAST(p.value AS DECIMAL(38,6))) AS DOUBLE), 4)
+             AS revenue
+    FROM p JOIN c USING (user_id)
+    GROUP BY c.cohort, datediff('day', c.cohort, p.wk) // 7
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: users grouped by first-purchase
+    week, revenue tracked by cohort age in weeks — the (cohort × age)
+    matrix behind every retention/LTV curve.
+
+    Scale shape: one groupBy(user) for the cohort assignment, one
+    user-keyed join back to purchases (both sides hash-partitioned on
+    user_id — at 100 TB this is a single co-partitioned shuffle, and
+    the cohort frame is orders of magnitude smaller than the fact),
+    one (cohort, age)-keyed aggregate of calendar-bounded cardinality.
+    Revenue accumulates in DECIMAL(38,6) (functions/aggs.py contract)
+    so the matrix hash-matches the oracle bit-for-bit."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.trunc(F.to_date("ts"), "week").alias("wk"), "value"
+    )
+    c = p.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    j = p.join(c, "user_id")
+    return (
+        j.groupBy(
+            "cohort",
+            F.expr("CAST(datediff(wk, cohort) div 7 AS INT)").alias(
+                "age_weeks"
+            ),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_buyers"),
+            F.count("*").alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4
+            ).alias("revenue"),
+        )
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "age_weeks",
+            "n_buyers",
+            "n_purchases",
+            "revenue",
+        )
+    )
