@@ -945,3 +945,216 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@register(
+    "xq15_top_event_paths",
+    f"""
+    WITH p AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM {EVENTS_US}
+        GROUP BY user_id, CAST(ts AS DATE))
+    SELECT path, COUNT(*) AS n_user_days
+    FROM p GROUP BY path
+    ORDER BY n_user_days DESC, path
+    LIMIT 20
+    """,
+)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral paths: the ordered event-type sequence each user
+    produced within a day, counted across all user-days (the 'what do
+    people actually do' query behind Sankey/path-analysis views).
+
+    Scale shape: ONE shuffle keyed on (user_id, day) — high-cardinality
+    keys, no skew magnet — whose aggregate builds the path string via
+    array_sort(collect_list(struct(ts, event_id, event_type))): the
+    struct sort key makes intra-day order total (event_id breaks ts
+    ties), so the path is deterministic on both engines.  The second
+    aggregate groups by path (distinct-paths-bounded, Zipf-shaped) and
+    the top-k is TakeOrderedAndProject (per-partition heap + merge of
+    k rows, never a global sort).  The LIMIT boundary is deterministic
+    because the ordering (count DESC, path ASC) is a total order.
+    Per-user-day paths are calendar-bounded (a user's events in one
+    day), so no collect_list buffer can exceed a day of one user's
+    activity — the same boundedness argument as x05 sessionization."""
+    ev = table(spark, sf_dir, "events")
+    paths = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.struct("ts", "event_id", "event_type").alias("e"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(e)), x -> x.event_type)"),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_user_days"))
+        .orderBy(F.col("n_user_days").desc(), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "xq16_time_weighted_value",
+    f"""
+    WITH iv AS (
+        SELECT CAST(ts AS DATE) AS day,
+               (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000 AS dur_ms,
+               CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+                 AS val_micros
+        FROM {EVENTS_US}
+        WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                     ORDER BY ts, event_id))
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_ms) AS BIGINT) AS total_dur_ms,
+           ROUND(CAST(SUM(CAST(val_micros * dur_ms AS DECIMAL(38,0)))
+                      AS DOUBLE)
+                 / 1000000.0 / CAST(SUM(dur_ms) AS DOUBLE), 4) AS twav
+    FROM iv WHERE dur_ms IS NOT NULL AND dur_ms > 0
+    GROUP BY day
+    """,
+)
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean event value per day (TWAP shape): each
+    event's value is held until the user's next event that day, and the
+    daily mean weights value by that holding time — the standard fix for
+    irregular sampling, where a plain AVG over-counts burst periods.
+
+    Scale shape: the only window is partitioned by (user_id, day) — at
+    100 TB that is millions of small partitions, never a single-task
+    sort (windowing by event_type or day alone WOULD be: 5 resp. ~365
+    giant partitions).  Exactness: value enters as DECIMAL(25,6), is
+    scaled to integer micros, multiplied by an integer millisecond
+    duration (row product <= ~4e16, inside BIGINT), and accumulated in
+    DECIMAL(38,0) — the xq7 integer-cents contract — so both engines sum
+    the identical integers; doubles appear only at the final division
+    (IEEE-exact ops, ROUND_NOTES trap on libm does not apply)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    iv = ev.select(
+        F.to_date("ts").alias("day"),
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+            / F.lit(1000)
+        ).cast("long").alias("dur_ms"),
+        (F.col("value").cast("decimal(25,6)") * F.lit(1000000))
+        .cast("long")
+        .alias("val_micros"),
+    ).where(F.col("dur_ms").isNotNull() & (F.col("dur_ms") > 0))
+    return (
+        iv.groupBy("day")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_ms").alias("total_dur_ms"),
+            F.round(
+                F.sum(
+                    (F.col("val_micros") * F.col("dur_ms")).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(1000000.0)
+                / F.sum("dur_ms").cast("double"),
+                4,
+            ).alias("twav"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_intervals",
+            "total_dur_ms",
+            "twav",
+        )
+    )
+
+
+@register(
+    "xq17_cusum_changepoint",
+    f"""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               COUNT(*) AS c
+        FROM {EVENTS_US} GROUP BY event_type, CAST(ts AS DATE)),
+    s AS (
+        SELECT event_type, day, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS prefix,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                 AS k,
+               SUM(c) OVER (PARTITION BY event_type) AS total,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_days
+        FROM d),
+    z AS (
+        SELECT event_type, day,
+               CAST(n_days * prefix - k * total AS BIGINT) AS cusum_stat,
+               CAST(n_days AS BIGINT) AS n_days,
+               CAST(total AS BIGINT) AS total_events
+        FROM s)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           cusum_stat, n_days, total_events
+    FROM z
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY abs(cusum_stat) DESC, day) = 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint candidate per event type: the day where the
+    cumulative deviation of daily counts from the series' mean rate
+    peaks — the classic level-shift detector for rate monitoring.
+
+    Integer-exact: the textbook statistic max_k |prefix_k - k*mean|
+    divides by n_days; multiplying through by n_days gives
+    n_days*prefix_k - k*total, which stays in BIGINT (n_days <= calendar
+    size, prefix <= total <= row count) — both engines compare identical
+    integers, so argmax and tie-break (earliest day) are bit-stable.
+    Scale shape: the raw scan collapses to (event_type × day) rows in
+    one map-side-combined aggregate; every window after that runs over
+    calendar-bounded partitions (<= ~365 rows per event type), the same
+    boundedness pin as xq13's week histograms.  No libm anywhere."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("c"))
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("day")
+    s = d.select(
+        "event_type",
+        "day",
+        F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "prefix"
+        ),
+        F.row_number().over(wo).alias("k"),
+        F.sum("c").over(wt).alias("total"),
+        F.count("*").over(wt).alias("n_days"),
+    )
+    z = s.select(
+        "event_type",
+        "day",
+        (F.col("n_days") * F.col("prefix") - F.col("k") * F.col("total"))
+        .cast("long")
+        .alias("cusum_stat"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("total").cast("long").alias("total_events"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_stat")).desc(), "day"
+    )
+    return (
+        z.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cusum_stat",
+            "n_days",
+            "total_events",
+        )
+    )

