@@ -85,3 +85,76 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("row_idx", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def mg_candidates(
+    keys: DataFrame, capacity: int = 1024, key_col: str = "key"
+) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter candidates: a bounded-memory
+    map-only pass that returns a DataFrame(key) guaranteed to contain
+    every key whose GLOBAL count exceeds N/(capacity+1).
+
+    Why not just groupBy(key).count()?  Partial aggregation's map-side
+    hash table grows with the partition's DISTINCT count — at 100 TB of
+    n-grams that is the whole vocabulary per task and the partial agg
+    degenerates to hash-spill.  Misra-Gries caps the per-task state at
+    ``capacity`` counters, emits ≤ capacity rows per partition, and the
+    union across partitions is still a superset of the true heavy
+    hitters: if cnt(k) > N/(capacity+1) globally, then by pigeonhole
+    cnt_p(k) > n_p/(capacity+1) in at least one partition, where the MG
+    undercount bound (≤ n_p/(capacity+1)) keeps k's counter positive.
+
+    Batches merge via the mergeable-summaries rule (Agarwal et al.,
+    TODS 2013): add exact batch counts, then subtract the
+    (capacity+1)-th largest counter from all and drop the non-positive —
+    total decrement stays ≤ n_p/(capacity+1).
+
+    The stream is NOT repartitioned here: callers exploding tokens
+    should round-robin the parent rows (docs) before the explode —
+    shuffling the exploded stream itself would defeat the point."""
+
+    def gen(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for k, c in pdf[key_col].value_counts().items():
+                counters[k] = counters.get(k, 0) + int(c)
+            if len(counters) > capacity:
+                vals = sorted(counters.values(), reverse=True)
+                dec = vals[capacity]
+                counters = {
+                    k: v - dec for k, v in counters.items() if v > dec
+                }
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    return keys.mapInPandas(gen, schema=f"{key_col} string").distinct()
+
+
+def heavy_hitters(
+    keys: DataFrame,
+    threshold_denom: int,
+    capacity: int = 1024,
+    key_col: str = "key",
+) -> DataFrame:
+    """Exact heavy hitters — keys with count*threshold_denom > N — in two
+    bounded-state passes: MG candidates (map-only, ≤capacity state), then
+    an exact count of the candidate-filtered stream (broadcast semi
+    filter; the partial agg's hash table is ≤ |candidates|, and the
+    shuffle carries ≤ |candidates|×partitions rows).  Output is EXACT,
+    not an estimate: candidates ⊇ heavy hitters requires only
+    capacity+1 ≥ threshold_denom, enforced below."""
+    if capacity + 1 < threshold_denom:
+        raise ValueError(
+            f"capacity {capacity} cannot guarantee threshold 1/{threshold_denom}"
+        )
+    cands = mg_candidates(keys, capacity, key_col)
+    tot = keys.agg(F.count("*").alias("__n"))
+    return (
+        keys.join(F.broadcast(cands), key_col)
+        .groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") * F.lit(threshold_denom) > F.col("__n"))
+        .select(key_col, "cnt")
+    )

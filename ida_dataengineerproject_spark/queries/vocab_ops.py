@@ -1,0 +1,139 @@
+"""Vocabulary/frequency operators over the corpus (round 6).
+
+- x26_heavyhitter_bigrams — EXACT frequent word-bigrams found with a
+  bounded-memory Misra-Gries candidate pass + candidate-filtered exact
+  confirm (operators/sketch.py::heavy_hitters).  The classic "frequent
+  items in one pass with k counters" sketch (Misra & Gries 1982;
+  mergeable-summaries merge rule), which is how frequency mining
+  survives a vocabulary that dwarfs executor memory.
+- xt23_bpe_pair_stats — one BPE merge-step statistic: adjacent
+  character-pair frequencies, computed over the WORD-FREQUENCY table
+  rather than the raw stream (the standard tokenizer-training trick:
+  Zipf makes |vocab| ≪ corpus, so the explode that matters runs on
+  distinct words weighted by their counts).
+
+Honesty note on test scale: the synthetic corpus has a ~31-word
+vocabulary (≤961 bigrams), below the MG capacity, so the decrement
+branch never fires in the registered query — tests/test_vocab_ops.py
+drives it with a 50k-key Zipf stream and pins the superset guarantee
+there.  The registered query still exercises the full two-pass plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketch import heavy_hitters
+from ..registry import register
+from ..sources.tables import table
+
+HH_DENOM = 1000
+HH_CAPACITY = 1024
+TOP_K = 20
+
+
+def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(key) word-bigram stream: codegen explode, no window/shuffle.
+    Parent doc rows are round-robined to defaultParallelism FIRST so the
+    downstream Arrow stage isn't single-threaded (trap 9)."""
+    docs = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    return docs.where(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-1),"
+                " i -> concat(element_at(t,i), ' ', element_at(t,i+1)))"
+            )
+        ).alias("key")
+    )
+
+
+@register(
+    "x26_heavyhitter_bigrams",
+    f"""
+    WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+    p AS (
+        SELECT t[i] || ' ' || t[i+1] AS key
+        FROM d, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p)
+    SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM p, tot
+    GROUP BY key, n
+    HAVING COUNT(*) * {HH_DENOM} > n
+    """,
+)
+def q_x26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigrams with frequency > N/{HH_DENOM} via Misra-Gries
+    candidates + exact confirm.
+
+    Scale shape: pass 1 is map-only (≤{HH_CAPACITY} counters per task,
+    ≤{HH_CAPACITY} emitted rows per partition); pass 2 broadcast-filters
+    the stream to candidates so the exact count's hash state is
+    candidate-bounded, never vocabulary-bounded.  The output is exact —
+    the sketch only proposes, the confirm disposes — which is why a
+    plain SQL oracle can check it."""
+    pairs = _bigram_stream(spark, sf_dir)
+    return heavy_hitters(
+        pairs, threshold_denom=HH_DENOM, capacity=HH_CAPACITY
+    )
+
+
+@register(
+    "xt23_bpe_pair_stats",
+    f"""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    v AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM w WHERE w <> '' GROUP BY w),
+    p AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                      i -> substring(w, CAST(i AS INT), 2))) AS pair,
+               cnt
+        FROM v WHERE length(w) >= 2)
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {TOP_K}
+    """,
+)
+def q_xt23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} adjacent character pairs weighted by word frequency —
+    the statistic one BPE merge step maximizes (Sennrich et al. 2016).
+
+    Scale shape: the corpus-sized explode is avoided entirely — tokens
+    aggregate to the word-frequency table first (vocabulary-bounded,
+    Zipf ⇒ tiny vs corpus), and the char-pair explode runs over DISTINCT
+    words with counts as weights.  At 100 TB of text this is one
+    map-side-combined groupBy(word) plus work proportional to |vocab|;
+    the naive per-occurrence pair explode would be corpus × word-length
+    rows.  Top-k is TakeOrderedAndProject over the ≤ alphabet² pair
+    aggregate; ordering (n DESC, pair) is total so the LIMIT boundary
+    is deterministic."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = vocab.where(F.length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w)-1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(TOP_K)
+    )

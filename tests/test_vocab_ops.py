@@ -1,0 +1,96 @@
+"""Contract tests for the Misra-Gries heavy-hitter sketch (x26) and the
+BPE pair statistic (xt23).
+
+The registered x26 query runs on a corpus whose vocabulary fits the MG
+capacity (decrement branch never fires — see vocab_ops.py honesty note);
+these tests drive the sketch where it earns its keep: a Zipf stream with
+far more distinct keys than counters.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from ida_dataengineerproject_spark.operators.sketch import (
+    heavy_hitters,
+    mg_candidates,
+)
+from ida_dataengineerproject_spark.queries.vocab_ops import q_xt23
+from ida_dataengineerproject_spark.sources.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _zipf_keys(spark, n_rows=200_000, n_distinct=50_000):
+    """Deterministic Zipf-ish stream: key = floor(n_distinct / (1 + i mod
+    sqrt-space)) style skew via reciprocal rank — rank r appears ~ n/r
+    times. Built engine-side (no driver data)."""
+    return spark.range(n_rows).select(
+        F.concat(
+            F.lit("k"),
+            (
+                F.lit(n_distinct)
+                / (F.pmod(F.col("id") * F.lit(2654435761), F.lit(n_distinct)) + 1)
+            )
+            .cast("long")
+            .cast("string"),
+        ).alias("key")
+    )
+
+
+def test_mg_candidates_superset_guarantee(spark):
+    """Every key with global count > N/(capacity+1) must appear in the
+    candidate set — with 50k distinct keys and 128 counters, the
+    decrement branch fires constantly and the guarantee must survive."""
+    capacity = 128
+    keys = _zipf_keys(spark).repartition(8)
+    truth = Counter(r["key"] for r in keys.collect())
+    n = sum(truth.values())
+    must_have = {k for k, c in truth.items() if c > n / (capacity + 1)}
+    assert 3 <= len(must_have) <= capacity, "test stream must be skewed"
+    cands = {r["key"] for r in mg_candidates(keys, capacity).collect()}
+    missing = must_have - cands
+    assert not missing, f"MG lost guaranteed heavy hitters: {missing}"
+    # and the candidate set is genuinely bounded: at most capacity per
+    # partition, and strictly smaller than the vocabulary (the decrement
+    # branch fired — vocab 446 > capacity 128 forces it every batch)
+    assert len(cands) <= capacity * 8
+    assert len(cands) < len(truth)
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    capacity = 128
+    denom = 100
+    keys = _zipf_keys(spark).repartition(8)
+    truth = Counter(r["key"] for r in keys.collect())
+    n = sum(truth.values())
+    want = {k: c for k, c in truth.items() if c * denom > n}
+    got = {
+        r["key"]: r["cnt"]
+        for r in heavy_hitters(keys, denom, capacity).collect()
+    }
+    assert got == want
+
+
+def test_heavy_hitters_refuses_unsound_capacity(spark):
+    import pytest
+
+    keys = _zipf_keys(spark, n_rows=100)
+    with pytest.raises(ValueError):
+        heavy_hitters(keys, threshold_denom=1000, capacity=128)
+
+
+def test_xt23_matches_bruteforce_pair_counts(spark):
+    """Vocab-weighted pair counts == per-occurrence brute force: the two
+    formulations are algebraically identical; pin it on real data."""
+    docs = table(spark, SF, "documents").select("text").collect()
+    counts = Counter()
+    for r in docs:
+        for w in r["text"].split(" "):
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["pair"], r["n"]) for r in q_xt23(spark, SF).collect()]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
