@@ -406,3 +406,62 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+N_SHARDS = 8
+
+
+@register(
+    "xt24_balanced_shards",
+    f"""
+    WITH r AS (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r0
+        FROM documents),
+    s AS (
+        SELECT n_chars,
+               CASE WHEN (r0 // {N_SHARDS}) % 2 = 0
+                    THEN r0 % {N_SHARDS}
+                    ELSE {N_SHARDS} - 1 - (r0 % {N_SHARDS})
+               END AS shard
+        FROM r)
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY shard
+    """,
+)
+def q_xt24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced training shards: documents ranked by size (desc),
+    dealt to {N_SHARDS} shards in snake (boustrophedon) order — the
+    standard deterministic greedy that keeps per-shard byte totals within
+    one document of each other on sorted input, so no training shard
+    becomes the straggler.
+
+    Scale shape: the oracle's ROW_NUMBER() OVER (ORDER BY ...) is a
+    single-partition global sort — the exact cliff operators/ranking.py
+    exists to remove.  The Spark side ranks via global_rank (quantile-
+    bucketed two-level rank: the only single-partition step touches
+    <= n_buckets aggregated rows), then the snake arithmetic and the
+    per-shard rollup are pure codegen.  Ranking by (-n_chars, doc_id)
+    keeps the order total, so shard assignment is bit-deterministic."""
+    from ..operators.ranking import global_rank
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", (-F.col("n_chars")).alias("neg")
+    )
+    ranked = global_rank(docs, "neg", ["doc_id"], rank_col="rnk")
+    r0 = (F.col("rnk") - 1).cast("long")
+    block_even = (F.floor(r0 / N_SHARDS) % 2) == 0
+    pos = r0 % N_SHARDS
+    shard = F.when(block_even, pos).otherwise(N_SHARDS - 1 - pos)
+    return (
+        ranked.select(
+            shard.cast("int").alias("shard"), F.col("n_chars")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

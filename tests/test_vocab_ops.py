@@ -94,3 +94,36 @@ def test_xt23_matches_bruteforce_pair_counts(spark):
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = [(r["pair"], r["n"]) for r in q_xt23(spark, SF).collect()]
     assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
+
+
+def test_xt24_shard_balance_beats_modulo(spark):
+    """Snake dealing keeps the byte spread across shards far tighter than
+    naive rank-modulo; also every doc lands in exactly one shard."""
+    from ida_dataengineerproject_spark.queries.training_ops import q_xt24
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    out = q_xt24(spark, SF).collect()
+    docs = sorted(
+        (
+            (r["n_chars"], r["doc_id"])
+            for r in table(spark, SF, "documents")
+            .select("doc_id", "n_chars")
+            .collect()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert sum(r["n_docs"] for r in out) == len(docs)
+    # python replica of the snake deal
+    n_shards = 8
+    totals = [0] * n_shards
+    mod_totals = [0] * n_shards
+    for r0, (nc, _) in enumerate(docs):
+        pos = r0 % n_shards
+        sh = pos if (r0 // n_shards) % 2 == 0 else n_shards - 1 - pos
+        totals[sh] += nc
+        mod_totals[pos] += nc
+    got = {r["shard"]: r["total_chars"] for r in out}
+    assert got == {i: t for i, t in enumerate(totals)}
+    spread = max(totals) - min(totals)
+    mod_spread = max(mod_totals) - min(mod_totals)
+    assert spread <= mod_spread
