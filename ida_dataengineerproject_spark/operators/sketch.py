@@ -20,7 +20,7 @@ makes it work across partitions/days/streams.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEPTH = 4
@@ -157,4 +157,69 @@ def heavy_hitters(
         .crossJoin(F.broadcast(tot))
         .where(F.col("cnt") * F.lit(threshold_denom) > F.col("__n"))
         .select(key_col, "cnt")
+    )
+
+
+def kmv_sketch(df: DataFrame, group_col: str, key_col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values (bottom-k) distinct sketch per group:
+    DataFrame(group, sk array<bigint> sorted asc, sk_n int).
+
+    The theta-sketch family member Spark's HLL cannot replace: KMV
+    sketches support set INTERSECTION estimation (Beyer et al. 2007;
+    DataSketches theta), not just union — the union of two bottom-k
+    samples is a bottom-k sample of the union, and membership of those
+    sampled hashes in both input sketches estimates the Jaccard.
+
+    Scale shape: one distinct on (group, hash(key)) — map-side combined —
+    then a rank-filter row_number()<=k that Spark executes as
+    WindowGroupLimit (per-partition top-k heaps BEFORE the shuffle), so
+    no group ever materializes its full distinct set in one task.  The
+    sketch rows are (groups × k) — bounded state, mergeable by
+    re-sorting concatenated arrays."""
+    h = F.xxhash64(F.col(key_col))
+    pairs = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("g")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("sk"),
+            F.count("*").cast("int").alias("sk_n"),
+        )
+    )
+
+
+def _kmv_frac(col: Column) -> Column:
+    """Map a signed-64 hash to its (0,1] uniform fraction: signed order
+    == fraction order, so bottom-k by signed value is bottom-k by u."""
+    return (col.cast("double") + F.lit(2.0**63) + F.lit(1.0)) / F.lit(2.0**64)
+
+
+def kmv_overlap(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Pairwise distinct-intersection estimates from KMV sketches:
+    (g_a, g_b, est_inter double).  When both sketches are complete
+    (sk_n < k) the 'estimate' is exact set arithmetic; otherwise the
+    bottom-k of the merged sample gives theta, union_est = (k-1)/u(theta),
+    and the fraction of merged-sample hashes present in BOTH sketches
+    scales it down to the intersection."""
+    a = sketches.select(
+        F.col("g").alias("g_a"), F.col("sk").alias("sk_a"), F.col("sk_n").alias("n_a")
+    )
+    b = sketches.select(
+        F.col("g").alias("g_b"), F.col("sk").alias("sk_b"), F.col("sk_n").alias("n_b")
+    )
+    j = a.join(b, F.col("g_a") < F.col("g_b"))
+    merged = F.expr(f"slice(array_sort(array_distinct(concat(sk_a, sk_b))), 1, {k})")
+    j = j.withColumn("m", merged)
+    both = F.size(F.array_intersect(F.col("m"), F.array_intersect("sk_a", "sk_b")))
+    complete = (F.col("n_a") < k) & (F.col("n_b") < k)
+    exact_inter = F.size(F.array_intersect("sk_a", "sk_b")).cast("double")
+    theta = F.element_at(F.col("m"), F.size("m"))
+    union_est = F.lit(float(k - 1)) / _kmv_frac(theta)
+    est = (both.cast("double") / F.lit(float(k))) * union_est
+    return j.select(
+        "g_a",
+        "g_b",
+        F.when(complete, exact_inter).otherwise(est).alias("est_inter"),
     )

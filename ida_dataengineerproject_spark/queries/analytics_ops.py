@@ -1158,3 +1158,54 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_events",
         )
     )
+
+
+@register(
+    "x29_kmv_set_overlap",
+    """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS et_a, b.event_type AS et_b,
+           CAST(COUNT(*) AS BIGINT) AS exact_inter,
+           TRUE AS kmv_ok
+    FROM tu a JOIN tu b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between every event-type pair, estimated
+    from KMV bottom-k sketches (operators/sketch.py::kmv_sketch) and
+    verified against the exact intersection — the set operation HLL
+    cannot answer (HLL unions; KMV/theta intersects).
+
+    Contract arm (this registration): both the sketch estimate and the
+    exact self-join run; kmv_ok asserts relative error < 0.35 (k=256 ⇒
+    rse ≈ 1/√(k−1) ≈ 6.3% on the union, inflated by the Jaccard factor
+    on intersections).  The exact arm is distinct-pairs-bounded here;
+    at 100 TB only the sketch side runs — (groups × k) state, built with
+    WindowGroupLimit partial top-k, merged with array ops on 5 rows."""
+    from ..operators.sketch import kmv_overlap, kmv_sketch
+
+    K = 256
+    ev = table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "event_type", "user_id", k=K)
+    est = kmv_overlap(sk, k=K)
+    tu = ev.select("event_type", "user_id").distinct()
+    a = tu.select(F.col("event_type").alias("et_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("et_b"), "user_id")
+    exact = (
+        a.join(b, "user_id")
+        .where(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    joined = exact.join(
+        est,
+        (F.col("et_a") == F.col("g_a")) & (F.col("et_b") == F.col("g_b")),
+    )
+    rel_err = F.abs(
+        F.col("est_inter") - F.col("exact_inter").cast("double")
+    ) / F.greatest(F.col("exact_inter").cast("double"), F.lit(1.0))
+    return joined.select(
+        "et_a", "et_b", "exact_inter", (rel_err < 0.35).alias("kmv_ok")
+    )

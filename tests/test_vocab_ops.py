@@ -127,3 +127,25 @@ def test_xt24_shard_balance_beats_modulo(spark):
     spread = max(totals) - min(totals)
     mod_spread = max(mod_totals) - min(mod_totals)
     assert spread <= mod_spread
+
+
+def test_kmv_overlap_estimation_regime(spark):
+    """Two 30k-key sets with 1/3 overlap, k=256 — far past the exact
+    regime; the intersection estimate must land within the contract
+    tolerance, and the sketches must actually be truncated (sk_n == k)."""
+    from ida_dataengineerproject_spark.operators.sketch import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    n, ov = 30_000, 10_000
+    a = spark.range(n).select(F.lit("A").alias("g"), F.col("id").alias("k"))
+    # B = last `ov` of A plus (n-ov) fresh keys
+    b = spark.range(n - ov, 2 * n - 2 * ov).select(
+        F.lit("B").alias("g"), F.col("id").alias("k")
+    )
+    sk = kmv_sketch(a.unionByName(b), "g", "k", k=256)
+    rows = {r["g"]: r["sk_n"] for r in sk.select("g", "sk_n").collect()}
+    assert rows == {"A": 256, "B": 256}
+    est = kmv_overlap(sk, k=256).collect()[0]["est_inter"]
+    assert abs(est - ov) / ov < 0.35
