@@ -423,3 +423,60 @@ def test_cumulative_distinct_window_is_post_aggregate(spark):
         r"Window \(\d+\)\n\s+\+- Sort \(\d+\)\n\s+\+- Exchange \(\d+\)\n\s+\+- HashAggregate",
         tree,
     ), tree
+
+
+def test_top_paths_uses_takeordered_not_global_sort(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xq15_top_event_paths"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_twav_window_partitioned_by_user_day(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xq16_time_weighted_value"](spark, SF_SMOKE))
+    # the lead() window must key on (user_id, day) — never event_type/day
+    # alone (5 resp. ~365 giant partitions at scale)
+    assert "PartitionBy: [user_id" in plan.replace("#", " #").split(
+        "Window"
+    )[1][:400] or "user_id" in plan.split("Arguments: [")[1][:300]
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_heavy_hitters_single_python_stage_and_broadcast_confirm(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["x26_heavyhitter_bigrams"](spark, SF_SMOKE)
+    # executedPlan string lists each node once (formatted mode repeats
+    # nodes in the details section)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one Arrow stage (the MG candidate pass)
+    assert plan.count("MapInPandas") == 1
+    # the confirm pass filters via broadcast join, not a shuffle join
+    assert "BroadcastHashJoin" in plan
+    # the only single-partition exchange allowed is the 1-row global
+    # count(*) merge (partial_count per partition, 32 rows in)
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_balanced_shards_window_is_bucketed(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xt24_balanced_shards"](spark, SF_SMOKE))
+    # global_rank's row_number partitions by the quantile bucket — the
+    # oracle's single-partition ROW_NUMBER must NOT appear
+    assert "__bucket" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_scd2_merge_joins_on_natural_key_once(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["x28_scd2_merge_history"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one full-outer join on the natural key; dim-history windows are
+    # user-partitioned (no single-task sort)
+    assert plan.count("FullOuter") == 1
+    assert "Exchange SinglePartition" not in plan
