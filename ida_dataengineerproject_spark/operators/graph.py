@@ -84,13 +84,21 @@ def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
 
     Degree-ordered orientation (Cohen's MapReduce scheme): orient every
     edge from its lower-(degree, id) endpoint to the higher, making the
-    orientation acyclic with out-degrees bounded by ~sqrt(m); the wedge
-    self-join then enumerates sum(outdeg^2) <= m^1.5 candidates
-    regardless of degree skew — a celebrity node no longer contributes
-    deg^2 wedges.  Each triangle has exactly one apex with out-edges to
-    the other two, and ordering the wedge (v, w) by the same rank
-    counts it exactly once.  All joins are shuffle equi-joins on node
-    keys; nothing data-sized is broadcast or collected.
+    orientation acyclic with out-degrees bounded by ~sqrt(m) regardless
+    of degree skew — a celebrity node no longer contributes deg^2 work.
+
+    Counting uses the edge-adjacency-intersection form rather than wedge
+    enumeration: for each oriented edge (u→v), triangles whose lowest-
+    ranked vertex is u close through |N+(u) ∩ N+(v)| (the third vertex
+    is out-of u AND out-of v; the other two edges of the triangle point
+    rank-upward so they count it nowhere else).  Total work is the same
+    Σ outdeg² <= m^1.5, but it flows through m rows carrying bounded
+    (<= ~sqrt(2m)-entry) adjacency arrays with a codegen array_intersect
+    per row, instead of materializing Σ outdeg² wedge ROWS into a
+    shuffle join — on the dense co-order graph at sf0.1 that is ~1M
+    array rows vs ~30M wedge rows (24 s → ~2 s measured).  All joins
+    are shuffle equi-joins on node keys; nothing data-sized is broadcast
+    or collected.
     """
     und = edges.select(
         F.col(src).alias("p1"), F.col(dst).alias("p2")
@@ -110,25 +118,15 @@ def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     oriented = ed.select(
         F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("u"),
         F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("v"),
-        F.when(lower_first, F.col("deg2")).otherwise(F.col("deg1")).alias(
-            "v_deg"
-        ),
     )
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(
-        o2,
-        (F.col("o1.u") == F.col("o2.u"))
-        & (
-            (F.col("o1.v_deg") < F.col("o2.v_deg"))
-            | (
-                (F.col("o1.v_deg") == F.col("o2.v_deg"))
-                & (F.col("o1.v") < F.col("o2.v"))
-            )
-        ),
-    ).select(F.col("o1.v").alias("a"), F.col("o2.v").alias("b"))
-    closing = oriented.select(
-        F.col("u").alias("a"), F.col("v").alias("b")
+    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    a_u = adj.select(F.col("u").alias("u"), F.col("nbrs").alias("nbrs_u"))
+    a_v = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    per_edge = (
+        oriented.join(a_u, "u")
+        .join(a_v, "v")  # inner: v without out-edges closes nothing
+        .select(
+            F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("c")
+        )
     )
-    return wedges.join(closing, ["a", "b"]).agg(
-        F.count("*").alias("n_triangles")
-    )
+    return per_edge.agg(F.sum("c").cast("long").alias("n_triangles"))
