@@ -1209,3 +1209,55 @@ def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "et_a", "et_b", "exact_inter", (rel_err < 0.35).alias("kmv_ok")
     )
+
+
+@register(
+    "xq18_ohlc_bars",
+    f"""
+    SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           first(value ORDER BY ts, event_id) AS open,
+           first(value ORDER BY ts DESC, event_id DESC) AS close,
+           MIN(value) AS low, MAX(value) AS high,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND((first(value ORDER BY ts DESC, event_id DESC)
+                  - first(value ORDER BY ts, event_id))
+                 / first(value ORDER BY ts, event_id), 6) AS day_return
+    FROM {EVENTS_US}
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling bars per (series, day) — the canonical financial
+    downsample, here over event values: open/close are the first/last
+    observation by (ts, event_id), high/low the extremes.
+
+    Scale shape: ONE map-side-combined aggregate — min_by/max_by over a
+    (ts, event_id) struct key are ordinary partial-mergeable aggregates,
+    so no window, no sort, no per-group buffering (the naive
+    row_number()-per-group form would window over every raw event).
+    The struct tie-break makes first/last total-ordered, so both engines
+    pick identical rows; open/close/low/high are the SAME float64s bit-
+    for-bit (no arithmetic), and day_return is one IEEE-exact division."""
+    ev = table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    agg = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max_by("value", key).alias("close"),
+        F.min("value").alias("low"),
+        F.max("value").alias("high"),
+        F.count("*").alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "open",
+        "close",
+        "low",
+        "high",
+        "n",
+        F.round(
+            (F.col("close") - F.col("open")) / F.col("open"), 6
+        ).alias("day_return"),
+    )

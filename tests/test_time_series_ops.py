@@ -135,3 +135,29 @@ def test_xq17_last_day_stat_is_zero_identity(spark):
         n = len(days)
         # identity: at k == n, prefix == total
         assert n * total - n * total == 0
+
+
+def test_xq18_ohlc_matches_bruteforce(spark):
+    from ida_dataengineerproject_spark.queries.analytics_ops import (
+        q_ohlc_bars,
+    )
+
+    rows = _events(spark)
+    groups = defaultdict(list)
+    for r in rows:
+        groups[(r["event_type"], r["ts"].date())].append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    got = {
+        (r["event_type"], r["day"]): r
+        for r in q_ohlc_bars(spark, SF).collect()
+    }
+    assert len(got) == len(groups)
+    for (et, day), evs in groups.items():
+        evs.sort()
+        r = got[(et, day.strftime("%Y-%m-%d"))]
+        assert r["open"] == evs[0][2]
+        assert r["close"] == evs[-1][2]
+        assert r["low"] == min(v for _, _, v in evs)
+        assert r["high"] == max(v for _, _, v in evs)
+        assert r["n"] == len(evs)
