@@ -297,3 +297,64 @@ def q_xt20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= 0.8)
     )
+
+
+@register(
+    "xt25_canonical_survivorship",
+    """
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               md5(array_to_string(
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               t -> t <> '')[1:8], ' ')) AS ch
+        FROM documents)
+    SELECT ch AS cluster_hash, doc_id AS canonical_doc,
+           n_members, total_chars,
+           CAST(n_chars AS BIGINT) AS kept_chars
+    FROM (SELECT ch, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY ch
+                                    ORDER BY n_chars DESC, doc_id) AS rn,
+                 CAST(count(*) OVER (PARTITION BY ch) AS BIGINT)
+                   AS n_members,
+                 CAST(SUM(n_chars) OVER (PARTITION BY ch) AS BIGINT)
+                   AS total_chars
+          FROM h)
+    WHERE rn = 1 AND n_members >= 2
+    """,
+)
+def q_xt25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship rule after exact dedup: for every normalized-text
+    duplicate cluster (>= 2 members), keep ONE canonical document — the
+    longest, ties to the lowest doc_id (CCNet keeps the longest copy;
+    deterministic tie-break makes the choice reproducible).
+
+    Cluster key: md5 of the first 8 normalized tokens — the lead/title
+    fingerprint (news-style dedup: same opening, different boilerplate
+    tails), coarser than x01b's full-text hash so real clusters exist at
+    every test SF.  Scale shape: the oracle's window-per-cluster form is
+    replaced by ONE map-side-combined aggregate — max_by over a
+    (n_chars, -doc_id) struct key picks the canonical row, count/sum
+    ride along in the same pass — so no cluster ever sorts or buffers
+    its members.  Composes with x02d connected components for near-dup
+    survivorship (swap the cluster key for the component label)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    ch = F.md5(F.array_join(F.slice(toks, 1, 8), " "))
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", ch.alias("ch")
+    )
+    key = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+    agg = d.groupBy("ch").agg(
+        F.max_by("doc_id", key).alias("canonical_doc"),
+        F.max_by("n_chars", key).alias("kept_chars"),
+        F.count("*").alias("n_members"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return agg.where(F.col("n_members") >= 2).select(
+        F.col("ch").alias("cluster_hash"),
+        "canonical_doc",
+        "n_members",
+        "total_chars",
+        F.col("kept_chars").cast("long").alias("kept_chars"),
+    )

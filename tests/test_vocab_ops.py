@@ -149,3 +149,45 @@ def test_kmv_overlap_estimation_regime(spark):
     assert rows == {"A": 256, "B": 256}
     est = kmv_overlap(sk, k=256).collect()[0]["est_inter"]
     assert abs(est - ov) / ov < 0.35
+
+
+def test_xt25_survivorship_keeps_longest(spark):
+    from collections import defaultdict
+
+    import hashlib
+
+    from ida_dataengineerproject_spark.queries.dedup_ops import q_xt25
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    docs = (
+        table(spark, SF, "documents")
+        .select("doc_id", "n_chars", "text")
+        .collect()
+    )
+    clusters = defaultdict(list)
+    for r in docs:
+        toks = [t for t in r["text"].strip().lower().split() if t][:8]
+        ch = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        clusters[ch].append((r["n_chars"], r["doc_id"]))
+    want = {}
+    for ch, members in clusters.items():
+        if len(members) < 2:
+            continue
+        members.sort(key=lambda t: (-t[0], t[1]))
+        want[ch] = (
+            members[0][1],
+            len(members),
+            sum(m[0] for m in members),
+            members[0][0],
+        )
+    got = {
+        r["cluster_hash"]: (
+            r["canonical_doc"],
+            r["n_members"],
+            r["total_chars"],
+            r["kept_chars"],
+        )
+        for r in q_xt25(spark, SF).collect()
+    }
+    assert got == want
+    assert want, "test corpus must contain duplicate clusters"
