@@ -187,20 +187,34 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     a<b<c way, so the equality is itself the correctness proof of the
     orientation argument.
 
-    Plan shape: two distinct-aggregates (pair dedup), one bounded
-    per-order self-join (order line counts are bounded, so pair fan-out
-    per order is bounded), a node-keyed degree join, then the wedge
-    self-join + one closing equi-join on (v, w) — all shuffle joins on
-    graph keys, no broadcast of anything data-sized, no iteration."""
+    Plan shape: one bounded per-order self-join (order line counts are
+    bounded, so pair fan-out per order is bounded) + pair-level distinct
+    builds the edge list ONCE (localCheckpoint — three consumer arms
+    would otherwise re-run it, trap 14), a node-keyed degree join
+    (AQE-broadcast: degrees are node-bounded), then the edge-adjacency
+    intersection count (operators/graph.py::count_triangles) — m rows
+    with <= ~sqrt(2m)-entry arrays through one join, never Σoutdeg²
+    wedge rows.  No iteration, nothing data-sized broadcast by hint."""
     li = table(spark, sf_dir, "lineitem")
+    # no (o, p) pre-distinct: duplicate lines of the same part in one
+    # order only duplicate PAIRS, and the pair-level distinct below
+    # subsumes that dedup — dropping the pre-distinct removes one full
+    # shuffle of the fact projection (measured 8.5 -> 7.4 s at sf0.1)
     pr = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    )
     a, b = pr.alias("a"), pr.alias("b")
     und = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
         .distinct()
+        # three consumers (node count, edge count, triangle pipeline)
+        # would otherwise re-run the pair self-join + distinct per arm —
+        # Spark 4 re-collapses the shared subplan (ROUND_NOTES trap 14).
+        # The edge list is 2 longs/row (~1.8% of the fact scan here);
+        # materializing it once is the cheap side of the trade at any
+        # scale where the graph fits the cluster at all.
+        .localCheckpoint()
     )
     from ..operators.graph import count_triangles
 
