@@ -1,0 +1,79 @@
+"""Streaming KMV maintenance == batch build: mergeability, measured.
+
+The KMV bottom-k sample is a mergeable summary, so the sketch maintained
+incrementally across micro-batches must equal (bit-for-bit, per group)
+the sketch built over all data in one batch job — however the stream was
+chopped.  Also pins replay idempotency (a re-run batch must not
+double-merge)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ida_dataengineerproject_spark.operators.sketch import kmv_sketch
+from ida_dataengineerproject_spark.sources.tables import table
+from ida_dataengineerproject_spark.streaming.sketches import (
+    kmv_stream_sink,
+    merge_kmv,
+    read_kmv_state,
+)
+
+SF = "/root/testdata/sf0.001"
+K = 64
+
+
+def _norm(df):
+    return sorted(
+        (r["g"], tuple(r["sk"])) for r in df.select("g", "sk").collect()
+    )
+
+
+def test_stream_sketch_equals_batch_sketch(spark, tmp_path):
+    from ida_dataengineerproject_spark.streaming.events import (
+        read_events_stream,
+    )
+
+    state = str(tmp_path / "kmv_state")
+    ev = read_events_stream(spark, SF).select("event_type", "user_id")
+    q = (
+        ev.writeStream.outputMode("append")
+        .foreachBatch(kmv_stream_sink(state, "event_type", "user_id", k=K))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = read_kmv_state(spark, state)
+    want = kmv_sketch(
+        table(spark, SF, "events").select("event_type", "user_id"),
+        "event_type",
+        "user_id",
+        k=K,
+    ).withColumnRenamed("g", "g")
+    assert _norm(got) == _norm(want)
+
+
+def test_merge_is_order_and_chop_invariant(spark):
+    ev = table(spark, SF, "events").select("event_type", "user_id")
+    full = kmv_sketch(ev, "event_type", "user_id", k=K)
+    a = ev.where(F.col("user_id") % 3 == 0)
+    b = ev.where(F.col("user_id") % 3 == 1)
+    c = ev.where(F.col("user_id") % 3 == 2)
+    sks = [kmv_sketch(x, "event_type", "user_id", k=K) for x in (a, b, c)]
+    left = merge_kmv(merge_kmv(sks[0], sks[1], k=K), sks[2], k=K)
+    right = merge_kmv(sks[2], merge_kmv(sks[1], sks[0], k=K), k=K)
+    assert _norm(left) == _norm(right) == _norm(full)
+
+
+def test_replayed_batch_never_double_merges(spark, tmp_path):
+    state = str(tmp_path / "kmv_state")
+    ev = table(spark, SF, "events").select("event_type", "user_id")
+    sink = kmv_stream_sink(state, "event_type", "user_id", k=K)
+    half = ev.where(F.col("user_id") % 2 == 0)
+    rest = ev.where(F.col("user_id") % 2 == 1)
+    sink(half, 0)
+    sink(rest, 1)
+    once = _norm(read_kmv_state(spark, state))
+    sink(rest, 1)  # replay of batch 1
+    twice = _norm(read_kmv_state(spark, state))
+    assert once == twice
