@@ -120,13 +120,15 @@ def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("v"),
     )
     adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
-    a_u = adj.select(F.col("u").alias("u"), F.col("nbrs").alias("nbrs_u"))
-    a_v = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v"))
-    per_edge = (
-        oriented.join(a_u, "u")
-        .join(a_v, "v")  # inner: v without out-edges closes nothing
-        .select(
-            F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("c")
-        )
+    # recover each oriented edge (u→v) WITH u's adjacency attached by
+    # exploding the adjacency itself — one join saved vs joining the
+    # edge list back to adj on u
+    per_edge = adj.select(
+        F.col("nbrs").alias("nbrs_u"), F.explode("nbrs").alias("v")
     )
-    return per_edge.agg(F.sum("c").cast("long").alias("n_triangles"))
+    a_v = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    counted = (
+        per_edge.join(a_v, "v")  # inner: v without out-edges closes nothing
+        .select(F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("c"))
+    )
+    return counted.agg(F.sum("c").cast("long").alias("n_triangles"))
