@@ -87,3 +87,70 @@ def read_kmv_state(spark: SparkSession, state_dir: str) -> DataFrame:
     if v is None:
         raise FileNotFoundError(f"no sketch state under {state_dir}")
     return spark.read.parquet(f"{state_dir}/v{v}")
+
+
+def merge_mg(
+    state: DataFrame | None, batch_counts: DataFrame, capacity: int
+) -> DataFrame:
+    """Mergeable-summaries MG merge (Agarwal et al., TODS 2013): add
+    counters, then if more than ``capacity`` survive, subtract the
+    (capacity+1)-th largest counter from all and drop the non-positive.
+    Total undercount stays <= N/(capacity+1) across any merge tree, so
+    the streaming state keeps the same superset guarantee as the batch
+    sketch (operators/sketch.py::mg_candidates)."""
+    if state is not None:
+        s = state.select("key", F.col("cnt").alias("c_a"))
+        b = batch_counts.select("key", F.col("cnt").alias("c_b"))
+        merged = s.join(b, "key", "full_outer").select(
+            "key",
+            (
+                F.coalesce(F.col("c_a"), F.lit(0))
+                + F.coalesce(F.col("c_b"), F.lit(0))
+            ).alias("cnt"),
+        )
+    else:
+        merged = batch_counts.select("key", "cnt")
+    n = merged.count()  # bounded: <= capacity + batch-distinct rows
+    if n > capacity:
+        cut = (
+            merged.orderBy(F.col("cnt").desc())
+            .limit(capacity + 1)
+            .orderBy("cnt")
+            .limit(1)
+            .collect()[0]["cnt"]
+        )  # (capacity+1)-th largest — one number off a bounded frame
+        merged = merged.select(
+            "key", (F.col("cnt") - F.lit(cut)).alias("cnt")
+        ).where(F.col("cnt") > 0)
+    return merged
+
+
+def mg_stream_sink(state_dir: str, key_col: str, capacity: int = 1024):
+    """foreachBatch callback maintaining Misra-Gries heavy-hitter
+    candidates over a stream — batchId-versioned snapshots, replay-safe
+    like kmv_stream_sink.  State never exceeds ``capacity`` rows; any
+    key whose TOTAL stream count exceeds N/(capacity+1) is guaranteed
+    present.  Pair with a candidate-filtered exact count over the at-
+    rest data (operators/sketch.py::heavy_hitters confirm pass) when
+    exact frequencies are needed."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = (
+            batch_df.select(F.col(key_col).alias("key"))
+            .groupBy("key")
+            .agg(F.count("*").alias("cnt"))
+        )
+        prev_v = _latest_version(state_dir)
+        prev_v = min(prev_v, batch_id - 1) if prev_v is not None else None
+        prev = (
+            spark.read.parquet(f"{state_dir}/v{prev_v}")
+            if prev_v is not None and prev_v >= 0
+            else None
+        )
+        merge_mg(prev, counts, capacity).write.mode("overwrite").parquet(
+            f"{state_dir}/v{batch_id}"
+        )
+        spark.catalog.refreshByPath(state_dir)
+
+    return write_batch

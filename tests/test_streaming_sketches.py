@@ -77,3 +77,46 @@ def test_replayed_batch_never_double_merges(spark, tmp_path):
     sink(rest, 1)  # replay of batch 1
     twice = _norm(read_kmv_state(spark, state))
     assert once == twice
+
+
+def test_mg_stream_state_keeps_guarantee(spark, tmp_path):
+    """Chop a skewed stream into 3 batches; the maintained MG state must
+    stay capacity-bounded and contain every key whose TOTAL count
+    exceeds N/(capacity+1)."""
+    from collections import Counter
+
+    from ida_dataengineerproject_spark.streaming.sketches import (
+        mg_stream_sink,
+    )
+
+    capacity = 128
+    n_rows, n_distinct = 60_000, 50_000
+    keys = spark.range(n_rows).select(
+        F.concat(
+            F.lit("k"),
+            (
+                F.lit(n_distinct)
+                / (F.pmod(F.col("id") * F.lit(2654435761), F.lit(n_distinct)) + 1)
+            )
+            .cast("long")
+            .cast("string"),
+        ).alias("key"),
+        (F.col("id") % 3).alias("b"),
+    )
+    truth = Counter(r["key"] for r in keys.collect())
+    n = sum(truth.values())
+    must_have = {k for k, c in truth.items() if c > n / (capacity + 1)}
+    assert must_have
+
+    state = str(tmp_path / "mg_state")
+    sink = mg_stream_sink(state, "key", capacity)
+    for i in range(3):
+        sink(keys.where(F.col("b") == i).select("key"), i)
+    rows = spark.read.parquet(f"{state}/v2").collect()
+    cands = {r["key"] for r in rows}
+    assert len(cands) <= capacity
+    assert must_have <= cands
+    # replay safety: re-running the last batch changes nothing
+    sink(keys.where(F.col("b") == 2).select("key"), 2)
+    again = {r["key"] for r in spark.read.parquet(f"{state}/v2").collect()}
+    assert again == cands
