@@ -420,3 +420,78 @@ def decode_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         "doc_id long, n_samples long, sample_rate int, n_channels int, "
         "duration_ms double",
     )
+
+
+def _wav_pcm_samples(data: bytes):
+    """int16 numpy array of the PCM 'data' chunk (mono assumed by the
+    synthetic payloads; a real multi-channel reader would reshape)."""
+    import numpy as np
+
+    pos = 12
+    while pos + 8 <= len(data):
+        cid, clen = struct.unpack_from("<4sI", data, pos)
+        if cid == b"data":
+            return np.frombuffer(data, dtype="<i2", count=clen // 2, offset=pos + 8)
+        pos += 8 + clen + (clen & 1)
+    raise ValueError("no data chunk")
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame: int = 100,
+    silence_rms: float = 100.0,
+) -> DataFrame:
+    """Frame-level RMS energy over the PCM payload — the silence-
+    detection / VAD-prefilter kernel: split samples into ``frame``-sized
+    windows, RMS per window, report per-doc window count, min/max RMS
+    and whether every window is silent.
+
+    Same Arrow-batched mapInPandas shape as decode_wav: payload bytes
+    reach numpy as one buffer per row, never Python-per-sample; at
+    100 TB the stage is embarrassingly parallel over payload rows and
+    emits one fixed-width row per document."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                s = _wav_pcm_samples(payload).astype("float64")
+                n = len(s)
+                nw = (n + frame - 1) // frame
+                pad = np.zeros(nw * frame)
+                pad[:n] = s
+                w = pad.reshape(nw, frame)
+                # RMS over the REAL samples in each window (last window
+                # divides by its true length, not the padded one)
+                lens = np.full(nw, frame, dtype="float64")
+                if n % frame:
+                    lens[-1] = n % frame
+                rms = np.sqrt((w * w).sum(axis=1) / lens)
+                rows.append(
+                    (
+                        did,
+                        int(nw),
+                        float(rms.min()),
+                        float(rms.max()),
+                        bool((rms < silence_rms).all()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_windows",
+                    "rms_min",
+                    "rms_max",
+                    "all_silent",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        op,
+        "doc_id long, n_windows long, rms_min double, rms_max double, "
+        "all_silent boolean",
+    )

@@ -133,3 +133,28 @@ def q_xmm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_wav_payload(table(spark, sf_dir, "documents"))
     return decode_wav(d)
+
+
+@register(
+    "xmm_audio_energy",
+    """
+    SELECT doc_id,
+           CAST((n % 400 + 1 + 99) // 100 AS BIGINT) AS n_windows,
+           CAST(n % 1000 AS DOUBLE) AS rms_min,
+           CAST(n % 1000 AS DOUBLE) AS rms_max,
+           (n % 1000) < 100 AS all_silent
+    FROM (SELECT doc_id, strlen(text) AS n FROM documents)
+    """,
+)
+def q_xmm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-RMS energy / silence detection over REAL PCM payloads: the
+    synthetic WAVs carry constant-amplitude samples (amp = strlen % 1000),
+    so every 100-sample window's RMS is EXACTLY |amp| — IEEE sqrt of a
+    perfect square is exact — and the oracle predicts the whole output
+    from strlen arithmetic while the Spark side genuinely decodes bytes,
+    frames samples, and reduces per window in numpy (the VAD-prefilter
+    kernel shape; a real energy model slots into the same stage)."""
+    from ..multimodal.binary_ops import attach_wav_payload, audio_frame_energy
+
+    d = attach_wav_payload(table(spark, sf_dir, "documents"))
+    return audio_frame_energy(d)

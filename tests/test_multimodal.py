@@ -154,3 +154,37 @@ def test_wav_codec_roundtrip_params():
         assert dur == n * 1000.0 / rate
     with pytest.raises(ValueError):
         _wav_decode(b"BM not audio")
+
+
+def test_audio_frame_energy_nonconstant_signal(spark):
+    """The oracle only exercises constant-amplitude payloads; pin the
+    kernel against numpy on a hand-built NON-constant WAV (ramp), where
+    the last short window must divide by its true length."""
+    import numpy as np
+
+    from ida_dataengineerproject_spark.multimodal.binary_ops import (
+        _wav_pcm_samples,
+        audio_frame_energy,
+    )
+    import struct as _struct
+
+    samples = np.arange(-120, 130, dtype="<i2")  # 250 samples, ramp
+    data = samples.tobytes()
+    wav = (
+        _struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + _struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+        + _struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+    assert (_wav_pcm_samples(wav) == samples).all()
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    row = audio_frame_energy(df, frame=100).collect()[0]
+    s = samples.astype("float64")
+    rms = [
+        float(np.sqrt((s[i : i + 100] ** 2).mean()))
+        for i in range(0, 250, 100)
+    ]
+    assert row["n_windows"] == 3
+    assert abs(row["rms_min"] - min(rms)) < 1e-9
+    assert abs(row["rms_max"] - max(rms)) < 1e-9
+    assert not row["all_silent"]
