@@ -1261,3 +1261,57 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("close") - F.col("open")) / F.col("open"), 6
         ).alias("day_return"),
     )
+
+
+@register(
+    "xq19_forecast_backtest",
+    f"""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM {EVENTS_US} GROUP BY event_type, CAST(ts AS DATE)),
+    j AS (
+        SELECT a.event_type, a.day, a.c, b.c AS pred
+        FROM d a JOIN d b
+          ON b.event_type = a.event_type AND b.day = a.day - 7)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(abs(c - pred)) AS BIGINT) AS total_abs_err,
+           CAST(SUM(c) AS BIGINT) AS total_actual,
+           ROUND(CAST(SUM(abs(c - pred)) AS DOUBLE)
+                 / CAST(SUM(c) AS DOUBLE), 6) AS wape
+    FROM j GROUP BY event_type
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict today = same
+    weekday last week) with WAPE — the standard baseline every real
+    forecasting pipeline must beat, and the standard robust error metric
+    (weighted absolute percentage error: Σ|err| / Σactual, no per-day
+    division blowups on small counts).
+
+    Integer-exact: both the error mass and the actual mass accumulate as
+    BIGINTs; the single final division is IEEE-exact, so WAPE matches
+    DuckDB bit-for-bit.  Scale shape: the raw scan collapses to
+    (type × day) rows in one map-side-combined aggregate; the lag-7 join
+    is an equi-join on (type, day-7) over calendar-bounded rows — no
+    window, no sort, no self-join over raw events."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("c"))
+    b = d.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("c").alias("pred"),
+    )
+    j = d.join(b, ["event_type", "day"])
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_days_scored"),
+        F.sum(F.abs(F.col("c") - F.col("pred"))).alias("total_abs_err"),
+        F.sum("c").alias("total_actual"),
+        F.round(
+            F.sum(F.abs(F.col("c") - F.col("pred"))).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("wape"),
+    )

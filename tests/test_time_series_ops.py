@@ -161,3 +161,35 @@ def test_xq18_ohlc_matches_bruteforce(spark):
         assert r["low"] == min(v for _, _, v in evs)
         assert r["high"] == max(v for _, _, v in evs)
         assert r["n"] == len(evs)
+
+
+def test_xq19_wape_matches_bruteforce(spark):
+    from ida_dataengineerproject_spark.queries.analytics_ops import (
+        q_forecast_backtest,
+    )
+
+    rows = _events(spark)
+    daily = Counter((r["event_type"], r["ts"].date()) for r in rows)
+    from datetime import timedelta
+
+    want = {}
+    for et in {k[0] for k in daily}:
+        days = {d: c for (t, d), c in daily.items() if t == et}
+        scored = [
+            (c, days[d - timedelta(days=7)])
+            for d, c in days.items()
+            if d - timedelta(days=7) in days
+        ]
+        tae = sum(abs(c - p) for c, p in scored)
+        ta = sum(c for c, _ in scored)
+        want[et] = (len(scored), tae, ta, round(tae / ta, 6))
+    got = {
+        r["event_type"]: (
+            r["n_days_scored"],
+            r["total_abs_err"],
+            r["total_actual"],
+            r["wape"],
+        )
+        for r in q_forecast_backtest(spark, SF).collect()
+    }
+    assert got == want
