@@ -240,3 +240,82 @@ def inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_mass"),
         F.coalesce(F.min("doc_id"), F.lit(-1)).alias("first_doc"),
     )
+
+
+_QUALITY_SQL = f"""ROUND((
+             (CASE WHEN length(text) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)
+             + (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}))
+             + least((CAST(len(list_filter({_TOKS},
+                    t -> list_contains(['the','a','of','and','to','in','is','that'],
+                                       lower(t)))) AS DOUBLE)
+                      / len({_TOKS})) * 5, 1.0)
+           ) / 3.0, 6)"""
+
+
+@register(
+    "x30_rrf_fusion",
+    f"""
+    WITH q AS (
+        SELECT doc_id, n_chars, {_QUALITY_SQL} AS quality FROM documents),
+    r AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS r_q,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r_len
+        FROM q)
+    SELECT doc_id, CAST(r_q AS BIGINT) AS r_q, CAST(r_len AS BIGINT) AS r_len,
+           ROUND(1.0 / (60 + r_q) + 1.0 / (60 + r_len), 8) AS rrf
+    FROM r
+    ORDER BY 1.0 / (60 + r_q) + 1.0 / (60 + r_len) DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q_x30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two document orderings (quality score
+    and length) — THE standard way to combine heterogeneous rankers
+    (Cormack et al. 2009): score = Σ 1/(k + rank_i), k = 60, no score
+    calibration needed because only ranks enter.
+
+    Scale shape: each ranking comes from global_rank (quantile-bucketed
+    two-level rank — the oracle's ROW_NUMBER() OVER (ORDER BY …) is the
+    single-partition cliff it replaces); the fusion join keys on doc_id
+    (co-partitioned, high-cardinality) and the top-50 is
+    TakeOrderedAndProject.  RRF arithmetic is two IEEE-exact divisions
+    plus one add, so scores hash-match bit-for-bit; both rank orders are
+    total (tie-break doc_id), so the LIMIT boundary is deterministic."""
+    from ..operators.ranking import global_rank
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        quality_score("text").alias("quality"),
+    )
+    rq = global_rank(
+        d.select("doc_id", (-F.col("quality")).alias("nq")),
+        "nq",
+        ["doc_id"],
+        rank_col="r_q",
+    ).select("doc_id", "r_q")
+    rl = global_rank(
+        d.select("doc_id", (-F.col("n_chars")).alias("nl")),
+        "nl",
+        ["doc_id"],
+        rank_col="r_len",
+    ).select("doc_id", "r_len")
+    j = rq.join(rl, "doc_id")
+    rrf = F.lit(1.0) / (F.lit(60) + F.col("r_q")) + F.lit(1.0) / (
+        F.lit(60) + F.col("r_len")
+    )
+    return (
+        j.select(
+            "doc_id",
+            F.col("r_q").cast("long").alias("r_q"),
+            F.col("r_len").cast("long").alias("r_len"),
+            F.round(rrf, 8).alias("rrf"),
+            rrf.alias("__exact"),
+        )
+        # order by the UNROUNDED score (as the oracle does) so the LIMIT
+        # boundary never depends on a rounding collision
+        .orderBy(F.col("__exact").desc(), "doc_id")
+        .limit(50)
+        .drop("__exact")
+    )

@@ -193,3 +193,66 @@ def test_xq19_wape_matches_bruteforce(spark):
         for r in q_forecast_backtest(spark, SF).collect()
     }
     assert got == want
+
+
+def test_xq20_fifo_matches_bruteforce(spark):
+    """Python FIFO replay over collected sf0.001 lineitems == operator."""
+    from ida_dataengineerproject_spark.queries.allocation_ops import (
+        q_fifo_allocation,
+    )
+    from ida_dataengineerproject_spark.queries.tpch_partsupp import (
+        synth_partsupp,
+    )
+
+    li = (
+        table(spark, SF, "lineitem")
+        .select(
+            "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber",
+            "l_quantity",
+        )
+        .collect()
+    )
+    part = {
+        r["p_partkey"]: r["p_brand"]
+        for r in table(spark, SF, "part").select("p_partkey", "p_brand").collect()
+    }
+    sup = {}
+    for r in synth_partsupp(spark, SF).collect():
+        sup[r["ps_partkey"]] = sup.get(r["ps_partkey"], 0) + r["ps_availqty"]
+    sup = {k: v % 1000 for k, v in sup.items()}
+    per_part = defaultdict(list)
+    for r in li:
+        per_part[r["l_partkey"]].append(
+            (r["l_shipdate"], r["l_orderkey"], r["l_linenumber"],
+             int(r["l_quantity"]))
+        )
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # lines,f,p,s,filled,qty
+    for pk, lines in per_part.items():
+        lines.sort()
+        budget = sup[pk]
+        b = agg[part[pk]]
+        for _, _, _, qty in lines:
+            take = max(0, min(qty, budget))
+            budget -= take
+            b[0] += 1
+            b[1] += take == qty
+            b[2] += 0 < take < qty
+            b[3] += take == 0
+            b[4] += take
+            b[5] += qty
+    got = {
+        r["p_brand"]: (
+            r["n_lines"], r["n_filled"], r["n_partial"], r["n_stockout"],
+            r["fill_rate"],
+        )
+        for r in q_fifo_allocation(spark, SF).collect()
+    }
+    want = {
+        br: (b[0], b[1], b[2], b[3], round(b[4] / b[5], 6))
+        for br, b in agg.items()
+    }
+    assert got == want
+    # all three outcomes must actually occur somewhere
+    assert sum(v[2] for v in want.values()) > 0
+    assert sum(v[3] for v in want.values()) > 0
+    assert sum(v[1] for v in want.values()) > 0
