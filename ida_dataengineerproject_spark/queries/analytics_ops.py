@@ -1315,3 +1315,123 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wape"),
     )
+
+
+@register(
+    "xq21_survival_km",
+    """
+    WITH j AS (
+        SELECT datediff('day', o.o_orderdate, l.l_shipdate) // 7 AS tw,
+               datediff('day', o.o_orderdate, DATE '1998-06-01') // 7
+                 AS cw,
+               l.l_shipdate <= DATE '1998-06-01' AS shipped
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate <= DATE '1998-06-01'
+          AND l.l_shipdate >= o.o_orderdate),
+    lif AS (
+        SELECT CASE WHEN shipped THEN tw ELSE cw END AS t, shipped
+        FROM j),
+    dur AS (
+        SELECT t, CAST(COUNT(*) FILTER (WHERE shipped) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS ending
+        FROM lif GROUP BY t),
+    risk AS (
+        SELECT t, d,
+               CAST(SUM(ending) OVER (ORDER BY t DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+        FROM dur),
+    ev AS (SELECT t, d, n_at_risk FROM risk WHERE d > 0),
+    rs AS (
+        SELECT list(CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE)
+                    / CAST(n_at_risk AS DOUBLE) ORDER BY t) AS r
+        FROM ev),
+    ranked AS (
+        SELECT t, d, n_at_risk,
+               CAST(ROW_NUMBER() OVER (ORDER BY t) AS INT) AS i
+        FROM ev)
+    SELECT CAST(ranked.t AS BIGINT) AS t_weeks, ranked.d AS n_shipped,
+           ranked.n_at_risk,
+           ROUND(list_reduce(list_slice(rs.r, 1, ranked.i),
+                             (a, b) -> a * b), 8) AS survival
+    FROM ranked, rs
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve of order-fulfillment time, snapshotted at
+    1998-06-01: a lineitem whose ship date falls after the snapshot is
+    RIGHT-CENSORED at its order's age (we only know it took longer than
+    that) — the estimator the naive 'percent shipped by week w' gets
+    wrong whenever recent orders haven't had time to ship.  ~half the
+    in-scope lines are censored here, so the correction is live.
+    Durations are weeks; negative synthetic durations (this testdata's
+    ship dates are independent of order dates) are filtered and
+    documented rather than clamped.
+
+    Exactness without libm: the cumulative survival PRODUCT is usually
+    exp(Σ log) — banned (libm drift).  The KM table is bounded (≤ ~360
+    week rows), so both engines multiply the SAME IEEE doubles in the
+    SAME ascending order — Spark via aggregate(slice(sorted ratios)),
+    DuckDB via list_reduce(list_slice(...)) — bit-identical curves.
+    Scale shape: one order-keyed join (co-partitioned at 100 TB), one
+    map-side-combined duration rollup; every window/product runs on the
+    calendar-bounded KM frame."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    snap = F.lit("1998-06-01").cast("date")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            (F.col("o_orderdate") <= snap)
+            & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        )
+        .select(
+            F.expr(
+                "CAST(datediff(l_shipdate, o_orderdate) div 7 AS BIGINT)"
+            ).alias("tw"),
+            F.expr(
+                "CAST(datediff(DATE'1998-06-01', o_orderdate) div 7"
+                " AS BIGINT)"
+            ).alias("cw"),
+            (F.col("l_shipdate") <= snap).alias("shipped"),
+        )
+    )
+    lif = j.select(
+        F.when(F.col("shipped"), F.col("tw")).otherwise(F.col("cw")).alias(
+            "t"
+        ),
+        "shipped",
+    )
+    dur = lif.groupBy("t").agg(
+        F.sum(F.col("shipped").cast("long")).alias("d"),
+        F.count("*").alias("ending"),
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = dur.select(
+        "t", "d", F.sum("ending").over(w).alias("n_at_risk")
+    ).where(F.col("d") > 0)
+    ratio = F.lit(1.0) - F.col("d").cast("double") / F.col(
+        "n_at_risk"
+    ).cast("double")
+    packed = risk.select("t", "d", "n_at_risk", ratio.alias("r")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "d", "n_at_risk", "r"))
+        ).alias("arr")
+    )
+    return packed.select(
+        F.posexplode("arr").alias("i0", "s"), F.col("arr")
+    ).select(
+        F.col("s.t").alias("t_weeks"),
+        F.col("s.d").alias("n_shipped"),
+        F.col("s.n_at_risk").alias("n_at_risk"),
+        F.round(
+            F.expr(
+                "aggregate(slice(transform(arr, x -> x.r), 1, i0 + 1),"
+                " CAST(1.0 AS DOUBLE), (a, x) -> a * x)"
+            ),
+            8,
+        ).alias("survival"),
+    )

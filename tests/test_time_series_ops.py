@@ -256,3 +256,57 @@ def test_xq20_fifo_matches_bruteforce(spark):
     assert sum(v[2] for v in want.values()) > 0
     assert sum(v[3] for v in want.values()) > 0
     assert sum(v[1] for v in want.values()) > 0
+
+
+def test_xq21_km_matches_lifelines_style_bruteforce(spark):
+    """Pure-Python KM recompute (event/censor bookkeeping included) must
+    match, and censoring must actually be live in the data."""
+    from ida_dataengineerproject_spark.queries.analytics_ops import (
+        q_survival_km,
+    )
+    from datetime import date
+
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_shipdate").collect()
+    orders = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in table(spark, SF, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+    snap = date(1998, 6, 1)
+    lifetimes = []
+    n_censored = 0
+    for r in li:
+        od = orders[r["l_orderkey"]].date()
+        sd = r["l_shipdate"].date()
+        if od > snap or sd < od:
+            continue
+        if sd <= snap:
+            lifetimes.append(((sd - od).days // 7, True))
+        else:
+            lifetimes.append(((snap - od).days // 7, False))
+            n_censored += 1
+    assert n_censored > 0, "censoring must be live"
+    from collections import Counter
+
+    d = Counter(t for t, ev in lifetimes if ev)
+    ending = Counter(t for t, _ in lifetimes)
+    total = len(lifetimes)
+    want = []
+    surv = 1.0
+    cum_ended = 0
+    for t in sorted(ending):
+        n_at_risk = total - cum_ended
+        cum_ended += ending[t]
+        if d.get(t, 0) > 0:
+            surv *= 1.0 - d[t] / n_at_risk
+            want.append((t, d[t], n_at_risk, round(surv, 8)))
+    got = [
+        (r["t_weeks"], r["n_shipped"], r["n_at_risk"], r["survival"])
+        for r in q_survival_km(spark, SF).orderBy("t_weeks").collect()
+    ]
+    assert got == want
+    # survival is monotone non-increasing and in (0, 1]
+    ss = [s for _, _, _, s in got]
+    assert all(a >= b for a, b in zip(ss, ss[1:]))
+    assert 0 < ss[-1] <= 1
