@@ -113,3 +113,92 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("filled").cast("double") / F.sum("qty").cast("double"), 6
         ).alias("fill_rate"),
     )
+
+
+MIN_SUPPORT = 2
+TOP_K_RULES = 20
+
+
+@register(
+    "xq23_basket_lift",
+    f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM b),
+    item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p FROM b GROUP BY p),
+    pair AS (
+        SELECT a.p AS p1, c.p AS p2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+        GROUP BY a.p, c.p HAVING COUNT(*) >= {MIN_SUPPORT})
+    SELECT p1, p2, n_ab, i1.n_p AS n_p1, i2.n_p AS n_p2,
+           ROUND(CAST(n_ab AS DOUBLE) / CAST(i1.n_p AS DOUBLE), 6)
+             AS confidence,
+           ROUND(CAST(n_ab AS DOUBLE) * CAST(n.n_baskets AS DOUBLE)
+                 / (CAST(i1.n_p AS DOUBLE) * CAST(i2.n_p AS DOUBLE)), 6)
+             AS lift
+    FROM pair JOIN item i1 ON i1.p = pair.p1
+              JOIN item i2 ON i2.p = pair.p2, n
+    ORDER BY CAST(n_ab AS DOUBLE) * CAST(n.n_baskets AS DOUBLE)
+             / (CAST(i1.n_p AS DOUBLE) * CAST(i2.n_p AS DOUBLE)) DESC,
+             p1, p2
+    LIMIT {TOP_K_RULES}
+    """,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at the ORDER grain: top part
+    pairs by lift (observed co-purchase rate over the independence
+    expectation), with support floor and confidence — the Apriori
+    2-itemset step every recommender baseline starts from.  Differs
+    from x21 (user-grain co-occurrence with a per-user cap) and xt22
+    (token bigrams): baskets are orders, and the score is lift.
+
+    Scale shape: the pair join is per-order (bounded basket sizes ⇒
+    bounded fan-out per order, the x24 edge-build argument), pair counts
+    are map-side combined with a support-floor HAVING that shrinks the
+    frame before the two item-frequency joins (item counts broadcast),
+    and the top-k orders by the UNROUNDED lift expression on both
+    engines (deterministic boundary, x30's lesson) via
+    TakeOrderedAndProject.  All counts BIGINT; confidence and lift are
+    single IEEE expressions."""
+    b = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n = b.agg(F.countDistinct("o").alias("n_baskets"))
+    item = b.groupBy("p").agg(F.count("*").alias("n_p"))
+    a, c = b.alias("a"), b.alias("c")
+    pair = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("c.p").alias("p2"))
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= MIN_SUPPORT)
+    )
+    i1 = item.select(F.col("p").alias("p1"), F.col("n_p").alias("n_p1"))
+    i2 = item.select(F.col("p").alias("p2"), F.col("n_p").alias("n_p2"))
+    j = (
+        pair.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(n))
+    )
+    lift = (
+        F.col("n_ab").cast("double") * F.col("n_baskets").cast("double")
+    ) / (F.col("n_p1").cast("double") * F.col("n_p2").cast("double"))
+    return (
+        j.select(
+            "p1",
+            "p2",
+            "n_ab",
+            "n_p1",
+            "n_p2",
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_p1").cast("double"),
+                6,
+            ).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+            lift.alias("__exact"),
+        )
+        .orderBy(F.col("__exact").desc(), "p1", "p2")
+        .limit(TOP_K_RULES)
+        .drop("__exact")
+    )

@@ -1435,3 +1435,62 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("survival"),
     )
+
+
+@register(
+    "xq22_dau_mau_stickiness",
+    f"""
+    WITH a AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM {EVENTS_US}),
+    d AS (SELECT DISTINCT day FROM a),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM a GROUP BY day),
+    m AS (
+        SELECT a.user_id, d.day AS window_day
+        FROM a JOIN d ON d.day BETWEEN a.day AND a.day + 27),
+    mau AS (
+        SELECT window_day AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+          AS mau
+        FROM m GROUP BY window_day)
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+           ROUND(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 6)
+             AS stickiness
+    FROM dau JOIN mau ON dau.day = mau.day
+    """,
+)
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the growth-team staple ('what share
+    of the monthly audience shows up daily').  MAU is a trailing-28-day
+    distinct count, the same unsupported-window problem as x17b's WAU,
+    rewritten the same way: each (user, active-day) pair fans out to the
+    ≤28 window days it contributes to (fixed fan-out, never a range
+    join), then an ordinary two-phase distinct count per window day.
+    DAU is a plain per-day distinct; the ratio is one IEEE division.
+    Shuffles: the (user, day) dedup and two keyed counts — all linear,
+    all key-uniform; the day spine is calendar-sized and broadcast."""
+    ev = table(spark, sf_dir, "events")
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = active.groupBy("day").agg(F.count("*").alias("dau"))
+    spine = active.select("day").distinct().withColumnRenamed(
+        "day", "window_day"
+    )
+    fanned = active.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 27))).alias(
+            "window_day"
+        ),
+    )
+    mau = (
+        fanned.join(F.broadcast(spine), "window_day")
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+        .withColumnRenamed("window_day", "day")
+    )
+    return dau.join(mau, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "mau",
+        F.round(
+            F.col("dau").cast("double") / F.col("mau").cast("double"), 6
+        ).alias("stickiness"),
+    )

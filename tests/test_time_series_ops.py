@@ -310,3 +310,26 @@ def test_xq21_km_matches_lifelines_style_bruteforce(spark):
     ss = [s for _, _, _, s in got]
     assert all(a >= b for a, b in zip(ss, ss[1:]))
     assert 0 < ss[-1] <= 1
+
+
+def test_xq22_stickiness_bruteforce(spark):
+    from datetime import timedelta
+
+    from ida_dataengineerproject_spark.queries.analytics_ops import (
+        q_dau_mau_stickiness,
+    )
+
+    rows = _events(spark)
+    active = {(r["user_id"], r["ts"].date()) for r in rows}
+    days = sorted({d for _, d in active})
+    got = {r["day"]: r for r in q_dau_mau_stickiness(spark, SF).collect()}
+    assert set(got) == {d.strftime("%Y-%m-%d") for d in days}
+    for d in days:
+        dau = sum(1 for u, dd in active if dd == d)
+        mau = len(
+            {u for u, dd in active if d - timedelta(days=27) <= dd <= d}
+        )
+        r = got[d.strftime("%Y-%m-%d")]
+        assert (r["dau"], r["mau"]) == (dau, mau)
+        assert r["stickiness"] == round(dau / mau, 6)
+        assert r["mau"] >= r["dau"]
