@@ -202,3 +202,98 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K_RULES)
         .drop("__exact")
     )
+
+
+@register(
+    "xq24_revenue_bridge",
+    """
+    WITH y AS (
+        SELECT p.p_brand,
+               CAST(SUM(CASE WHEN year(l_shipdate) = 1996
+                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS q0,
+               CAST(SUM(CASE WHEN year(l_shipdate) = 1997
+                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS q1,
+               SUM(CASE WHEN year(l_shipdate) = 1996
+                   THEN CAST(l_extendedprice AS DECIMAL(38,6))
+                   ELSE CAST(0 AS DECIMAL(38,6)) END) AS r0,
+               SUM(CASE WHEN year(l_shipdate) = 1997
+                   THEN CAST(l_extendedprice AS DECIMAL(38,6))
+                   ELSE CAST(0 AS DECIMAL(38,6)) END) AS r1
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE year(l_shipdate) IN (1996, 1997)
+        GROUP BY p.p_brand)
+    SELECT p_brand, q0, q1,
+           ROUND(CAST(r0 AS DOUBLE), 2) AS r0,
+           ROUND(CAST(r1 AS DOUBLE), 2) AS r1,
+           ROUND((CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
+                 * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)), 4)
+             AS volume_effect,
+           ROUND(CAST(q1 AS DOUBLE)
+                 * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                    - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)), 4)
+             AS price_effect,
+           ROUND(CAST(r1 AS DOUBLE) - CAST(r0 AS DOUBLE), 4) AS delta
+    FROM y WHERE q0 > 0 AND q1 > 0
+    """,
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge per brand (1996 → 1997): the FP&A
+    waterfall splitting ΔR into a volume effect (quantity change at old
+    average price) and a price effect (new quantity at the price-point
+    shift) — an exact identity, volume + price = ΔR in the reals.
+
+    Exactness: quantities and revenues accumulate as BIGINT /
+    DECIMAL(38,6) (both years in ONE conditional aggregate — a single
+    scan, no self-join); the effects are short identical IEEE
+    expression trees over those exact sums, so both engines round the
+    same doubles.  Scale shape: one map-side-combined aggregate keyed
+    on brand (part dim broadcast), output brand-bounded."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate").isin(1996, 1997)
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    y = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.when(
+                    F.year("l_shipdate") == 1996,
+                    F.col("l_quantity").cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("q0"),
+            F.sum(
+                F.when(
+                    F.year("l_shipdate") == 1997,
+                    F.col("l_quantity").cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("q1"),
+            F.sum(
+                F.when(
+                    F.year("l_shipdate") == 1996,
+                    F.col("l_extendedprice").cast("decimal(38,6)"),
+                ).otherwise(F.lit(0).cast("decimal(38,6)"))
+            ).alias("r0"),
+            F.sum(
+                F.when(
+                    F.year("l_shipdate") == 1997,
+                    F.col("l_extendedprice").cast("decimal(38,6)"),
+                ).otherwise(F.lit(0).cast("decimal(38,6)"))
+            ).alias("r1"),
+        )
+        .where((F.col("q0") > 0) & (F.col("q1") > 0))
+    )
+    q0d, q1d = F.col("q0").cast("double"), F.col("q1").cast("double")
+    r0d, r1d = F.col("r0").cast("double"), F.col("r1").cast("double")
+    return y.select(
+        "p_brand",
+        "q0",
+        "q1",
+        F.round(r0d, 2).alias("r0"),
+        F.round(r1d, 2).alias("r1"),
+        F.round((q1d - q0d) * (r0d / q0d), 4).alias("volume_effect"),
+        F.round(q1d * (r1d / q1d - r0d / q0d), 4).alias("price_effect"),
+        F.round(r1d - r0d, 4).alias("delta"),
+    )

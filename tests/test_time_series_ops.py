@@ -333,3 +333,17 @@ def test_xq22_stickiness_bruteforce(spark):
         assert (r["dau"], r["mau"]) == (dau, mau)
         assert r["stickiness"] == round(dau / mau, 6)
         assert r["mau"] >= r["dau"]
+
+
+def test_xq24_bridge_identity(spark):
+    """volume_effect + price_effect == delta (the decomposition is an
+    exact identity; rounding gives <= 1e-3 slack on the sum)."""
+    from ida_dataengineerproject_spark.queries.allocation_ops import (
+        q_revenue_bridge,
+    )
+
+    rows = q_revenue_bridge(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["volume_effect"] + r["price_effect"] - r["delta"]) < 1e-3
+        assert abs(r["delta"] - round(r["r1"] - r["r0"], 4)) < 1e-2
