@@ -288,7 +288,10 @@ def q_x30(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         quality_score("text").alias("quality"),
-    )
+        # two rank pipelines each run bound-sampling + bucket-count jobs
+        # over this projection; materialize the 3-column frame once so
+        # the text scan + quality expression run a single time
+    ).localCheckpoint()
     rq = global_rank(
         d.select("doc_id", (-F.col("quality")).alias("nq")),
         "nq",
