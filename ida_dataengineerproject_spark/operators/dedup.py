@@ -468,3 +468,71 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (PPJoin family,
+    Xiao et al. WWW'08 / Chaudhuri et al. ICDE'06): all pairs with
+    shingle-Jaccard >= threshold, with recall 1 GUARANTEED — the
+    deterministic complement to minhash_lsh_pairs (whose recall is only
+    probabilistically ~1).
+
+    The filter: order every document's shingles by a single global rank
+    (ascending document frequency, rarest first — maximizes pruning);
+    if J(A,B) >= t then |A∩B| >= ceil(t·|A|), and an intersection that
+    avoids A's first |A| − ceil(t·|A|) + 1 tokens fits inside the
+    remaining ceil(t·|A|) − 1 — contradiction.  So every qualifying
+    pair shares a token within BOTH prefixes, and the candidate join
+    only needs the prefix postings: cost Σ_token prefix-df², driven by
+    RARE tokens (tiny df) instead of the full posting mass.  Candidates
+    then verify with the exact Jaccard on full shingle arrays.
+
+    Scale shape: one token-keyed df aggregate, one doc-bounded window
+    (rank within document), the prefix self-equi-join, and an id-keyed
+    verify join — nothing quadratic in the corpus, no probabilistic
+    knob to tune."""
+    sh = df.select(
+        F.col(id_col).alias("id"), ngram_shingles(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    tok = sh.select(
+        "id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    )
+    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "s")
+    pref_len = (
+        F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz")).cast("int")
+        + F.lit(1)
+    )
+    pref = (
+        tok.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= pref_len)
+        .select("id", "s")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cands = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

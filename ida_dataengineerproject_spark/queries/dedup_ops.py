@@ -358,3 +358,18 @@ def q_xt25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         F.col("kept_chars").cast("long").alias("kept_chars"),
     )
+
+
+@register("x31_ppjoin_pairs", _jaccard_pairs_oracle())
+def q_x31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join by prefix filtering (PPJoin family) —
+    same output contract as x02b's MinHash-LSH path but with recall 1
+    GUARANTEED, not probabilistic: the oracle is the full O(n²) exact
+    ground truth and equality is unconditional (the prefix filter is
+    lossless by the pigeonhole argument in operators/dedup.py).  The
+    candidate join runs over prefix postings only — rarest tokens first,
+    cost Σ prefix-df² — so the Spark side never goes quadratic."""
+    d = table(spark, sf_dir, "documents")
+    from ..operators.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(d, "doc_id", "text", n=3, threshold=0.5)

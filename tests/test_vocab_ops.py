@@ -191,3 +191,52 @@ def test_xt25_survivorship_keeps_longest(spark):
     }
     assert got == want
     assert want, "test corpus must contain duplicate clusters"
+
+
+def test_ppjoin_equals_bruteforce_and_prunes(spark):
+    """Prefix-filter join == O(n^2) brute force (recall 1, in-Spark), and
+    the candidate set is materially smaller than all-pairs."""
+    from ida_dataengineerproject_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ppjoin_pairs,
+    )
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    d = table(spark, SF, "documents")
+    got = sorted(
+        map(tuple, ppjoin_pairs(d, "doc_id", "text", 3, 0.5).collect())
+    )
+    want = sorted(
+        map(tuple, ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5).collect())
+    )
+    assert got == want and len(got) > 0
+    # pruning evidence: count candidate pairs the prefix join admits
+    from pyspark.sql import Window
+    from ida_dataengineerproject_spark.functions.textstats import (
+        ngram_shingles,
+    )
+
+    sh = d.select(
+        F.col("doc_id").alias("id"), ngram_shingles("text", 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    n = sh.count()
+    tok = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
+    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "s")
+    pref = (
+        tok.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .where(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(0.5) * F.col("sz")).cast("int") + 1
+        )
+        .select("id", "s")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    n_cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select("a.id", "b.id")
+        .distinct()
+        .count()
+    )
+    assert n_cand < n * (n - 1) / 2 / 4, (n_cand, n)
