@@ -522,3 +522,52 @@ def global_prefix_sum(
         )
         .drop("__bucket", "__offset")
     )
+
+
+def global_prefix_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    tiebreak_cols: list[str] | None = None,
+    n_buckets: int = 32,
+    out_col: str = "prev_max",
+) -> DataFrame:
+    """Attach the running MAX of ``value_col`` over all rows STRICTLY
+    BEFORE each row in global (order_col, *tiebreak_cols) order — NULL
+    for the first row.  The naive ``MAX(v) OVER (ORDER BY o ROWS
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` is a single-partition sort;
+    this is the same bucket decomposition as global_prefix_sum with a
+    MAX carry: per-bucket maxima, an exclusive running max over the
+    bounded bucket frame, and an intra-bucket exclusive-max window
+    partitioned by bucket.
+
+    The exclusive frame is what 2D skyline/Pareto pruning needs: a
+    point survives iff its second dimension exceeds every strictly
+    earlier point's."""
+    with_bucket = _with_buckets(df, order_col, n_buckets)
+    totals = with_bucket.groupBy("__bucket").agg(
+        F.max(value_col).alias("__m")
+    )
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__bucket", F.max("__m").over(w_off).alias("__carry")
+    )
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_col, *(tiebreak_cols or []))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = F.max(value_col).over(w_in)
+    return (
+        with_bucket.join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, F.greatest(F.col("__carry"), intra))
+        .withColumn(
+            out_col,
+            F.coalesce(
+                F.col(out_col), F.col("__carry"), intra
+            ),
+        )
+        .drop("__bucket", "__carry")
+    )

@@ -297,3 +297,64 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q1d * (r1d / q1d - r0d / q0d), 4).alias("price_effect"),
         F.round(r1d - r0d, 4).alias("delta"),
     )
+
+
+@register(
+    "xq25_pareto_skyline",
+    f"""
+    {_PS_SQL},
+    pp AS (
+        SELECT ps_partkey, MIN(ps_supplycost) AS cost,
+               CAST(SUM(ps_availqty) AS BIGINT) AS avail
+        FROM partsupp GROUP BY ps_partkey),
+    pts AS (
+        SELECT cost, avail, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM pp GROUP BY cost, avail),
+    s AS (
+        SELECT cost, avail, n_parts,
+               MAX(avail) OVER (ORDER BY cost ASC, avail DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pm
+        FROM pts)
+    SELECT ROUND(cost, 2) AS cost, avail, n_parts
+    FROM s WHERE pm IS NULL OR avail > pm
+    """,
+)
+def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of parts on (supply cost ↓, availability ↑): the
+    points no other point beats on both dimensions — the
+    multi-objective shortlist query (skyline operator, Börzsönyi et al.
+    ICDE'01).  Duplicate (cost, avail) points collapse first (carrying
+    a part count), which makes dominance strict and the answer
+    well-defined.
+
+    Scale shape: the 2D skyline reduces to ONE pass once points are
+    ordered by cost — a point survives iff its availability exceeds
+    every strictly-earlier point's maximum.  That running max is the
+    naive single-partition window in the oracle, and
+    operators/ranking.py::global_prefix_max on the Spark side (bucket
+    maxima + bounded carry window + bucket-partitioned exclusive max) —
+    the prefix-SUM primitive family extended with a MAX carry.  Point
+    aggregation is map-side combined; nothing sorts globally."""
+    from ..operators.ranking import global_prefix_max
+
+    pp = (
+        synth_partsupp(spark, sf_dir)
+        .groupBy("ps_partkey")
+        .agg(
+            F.min("ps_supplycost").alias("cost"),
+            F.sum("ps_availqty").alias("avail"),
+        )
+    )
+    pts = pp.groupBy("cost", "avail").agg(F.count("*").alias("n_parts"))
+    pts = pts.withColumn("negavail", -F.col("avail"))
+    s = global_prefix_max(
+        pts, "cost", "avail", ["negavail"], out_col="pm"
+    )
+    return s.where(
+        F.col("pm").isNull() | (F.col("avail") > F.col("pm"))
+    ).select(
+        F.round("cost", 2).alias("cost"),
+        "avail",
+        "n_parts",
+    )

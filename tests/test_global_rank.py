@@ -289,3 +289,77 @@ def test_weighted_quantile_crossing_matches_naive_and_handles_ties(spark):
             break
     assert got["weighted_median"] == naive_m
     assert got["w_total"] == total
+
+
+def test_global_prefix_max_equals_naive_window(spark):
+    """Bucketed exclusive prefix max == the single-partition window it
+    replaces, including NULL for the global first row and descending
+    tiebreaks."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.operators.ranking import (
+        global_prefix_max,
+    )
+
+    rows = [
+        (i, random.Random(i).randint(0, 40), random.Random(i * 13).randint(0, 999))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "id long, o long, v long").withColumn(
+        "negv", -F.col("v")
+    )
+    got = {
+        r["id"]: r["pm"]
+        for r in global_prefix_max(
+            df, "o", "v", ["negv", "id"], n_buckets=16, out_col="pm"
+        ).collect()
+    }
+    w = Window.orderBy("o", "negv", "id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = {
+        r["id"]: r["pm"]
+        for r in df.withColumn("pm", F.max("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_skyline_is_pareto_optimal(spark):
+    """Every skyline point is undominated, and every non-skyline point
+    IS dominated — checked against the full point set in Python."""
+    from ida_dataengineerproject_spark.queries.allocation_ops import (
+        q_pareto_skyline,
+    )
+    from ida_dataengineerproject_spark.queries.tpch_partsupp import (
+        synth_partsupp,
+    )
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.001"
+    pp = (
+        synth_partsupp(spark, SF)
+        .groupBy("ps_partkey")
+        .agg(
+            F.min("ps_supplycost").alias("cost"),
+            F.sum("ps_availqty").alias("avail"),
+        )
+    )
+    pts = {
+        (round(r["cost"], 2), r["avail"])
+        for r in pp.select("cost", "avail").distinct().collect()
+    }
+    sky = {
+        (r["cost"], r["avail"])
+        for r in q_pareto_skyline(spark, SF).collect()
+    }
+    def dominated(p, qs):
+        return any(
+            q[0] <= p[0] and q[1] >= p[1] and q != p for q in qs
+        )
+    for p in sky:
+        assert not dominated(p, pts), p
+    for p in pts - sky:
+        assert dominated(p, pts), p
