@@ -358,3 +358,75 @@ def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avail",
         "n_parts",
     )
+
+
+@register(
+    "xq26_abc_classification",
+    """
+    WITH b AS (
+        SELECT p.p_brand,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand),
+    tot AS (SELECT SUM(rev) AS t FROM b),
+    s AS (
+        SELECT p_brand, rev,
+               SUM(rev) OVER (ORDER BY rev DESC, p_brand
+                    ROWS UNBOUNDED PRECEDING) AS cum
+        FROM b)
+    SELECT p_brand,
+           ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(cum AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+             AS cum_share,
+           CASE WHEN CAST(cum AS DOUBLE) / CAST(tot.t AS DOUBLE) <= 0.8
+                THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / CAST(tot.t AS DOUBLE) <= 0.95
+                THEN 'B' ELSE 'C' END AS abc_class
+    FROM s, tot
+    """,
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto contribution classification of brands by revenue:
+    rank by revenue, take the cumulative revenue share, and bucket into
+    A (first 80% of revenue), B (to 95%), C (tail) — the inventory-
+    management staple behind 'which 20% of SKUs carry 80% of revenue'.
+
+    Exactness: revenue and the cumulative sum accumulate in
+    DECIMAL(38,6) (ordered identically on both engines — revenue DESC
+    with brand tie-break), and doubles appear only in the share
+    division and the class thresholds, the same expression tree on both
+    sides.  Scale shape: one map-side-combined brand aggregate (part
+    dim broadcast); the ordered cumulative window runs over the
+    dimension-bounded brand frame (25 rows — the bounded-window pin
+    every xq13-family query documents).  For a high-cardinality
+    grouping the window swaps for global_prefix_sum."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias(
+                "rev"
+            )
+        )
+    )
+    tot = b.agg(F.sum("rev").alias("t"))
+    w = Window.orderBy(F.col("rev").desc(), "p_brand").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = b.withColumn("cum", F.sum("rev").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    share = F.col("cum").cast("double") / F.col("t").cast("double")
+    return s.select(
+        "p_brand",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
