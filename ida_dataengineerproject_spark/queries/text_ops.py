@@ -322,3 +322,90 @@ def q_x30(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("__exact")
     )
+
+
+@register(
+    "xt27_dataset_datasheet",
+    f"""
+    WITH q AS (
+        SELECT doc_id, source, lang, n_chars,
+               {_QUALITY_SQL} AS quality,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                 AS fp
+        FROM documents),
+    per_lang AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM q GROUP BY source, lang),
+    top_lang AS (
+        SELECT source,
+               first(lang ORDER BY c DESC, lang) AS top_lang,
+               first(c ORDER BY c DESC, lang) AS top_c
+        FROM per_lang GROUP BY source),
+    agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               SUM(CAST(quality AS DECIMAL(18,6))) AS qsum,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_uniq
+        FROM q GROUP BY source)
+    SELECT agg.source, n_docs, total_chars,
+           ROUND(CAST(qsum AS DOUBLE) / n_docs, 6) AS avg_quality,
+           top_lang.top_lang,
+           ROUND(CAST(top_c AS DOUBLE) / n_docs, 6) AS top_lang_share,
+           ROUND(1.0 - CAST(n_uniq AS DOUBLE) / n_docs, 6) AS dup_rate
+    FROM agg JOIN top_lang ON top_lang.source = agg.source
+    """,
+)
+def q_xt27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset datasheet — the governance summary a training-
+    data pipeline publishes per corpus slice (Gebru et al., 'Datasheets
+    for Datasets'): document and character volumes, mean quality score,
+    dominant language with its share, and the exact-duplicate rate
+    (1 − distinct fingerprints / docs).
+
+    Exactness: per-doc quality doubles are engine-identical (x04c's
+    contract); their mean accumulates in DECIMAL(18,6) so ordering
+    cannot drift the sum; every share is a single IEEE division over
+    exact counts.  The dominant language picks deterministically —
+    min_by over a (−count, lang) struct key in Spark, an ordered-first
+    aggregate in DuckDB.  Scale shape: one source-keyed aggregate with
+    a distinct-count (map-side combined), one (source × lang) rollup
+    (both dimension-bounded outputs), one broadcast join — the whole
+    datasheet is two linear passes."""
+    from ..functions.hashing import text_fingerprint
+
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        quality_score("text").alias("quality"),
+        text_fingerprint("text").alias("fp"),
+    )
+    per_lang = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    top_lang = per_lang.groupBy("source").agg(
+        F.min_by("lang", F.struct(-F.col("c"), F.col("lang"))).alias(
+            "top_lang"
+        ),
+        F.min_by("c", F.struct(-F.col("c"), F.col("lang"))).alias("top_c"),
+    )
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.col("quality").cast("decimal(18,6)")).alias("qsum"),
+        F.countDistinct("fp").alias("n_uniq"),
+    )
+    return agg.join(F.broadcast(top_lang), "source").select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(
+            F.col("qsum").cast("double") / F.col("n_docs"), 6
+        ).alias("avg_quality"),
+        "top_lang",
+        F.round(
+            F.col("top_c").cast("double") / F.col("n_docs"), 6
+        ).alias("top_lang_share"),
+        F.round(
+            F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n_docs"),
+            6,
+        ).alias("dup_rate"),
+    )
