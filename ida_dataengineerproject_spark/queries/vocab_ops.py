@@ -137,3 +137,69 @@ def q_xt23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(TOP_K)
     )
+
+
+@register(
+    "xt28_chao1_vocab_coverage",
+    """
+    WITH w AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+    v AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM w WHERE w <> '' GROUP BY source, w),
+    f AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS d_obs,
+               CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS f1,
+               CAST(COUNT(*) FILTER (WHERE c = 2) AS BIGINT) AS f2,
+               CAST(SUM(c) AS BIGINT) AS n_tokens
+        FROM v GROUP BY source)
+    SELECT source, n_tokens, d_obs, f1, f2,
+           ROUND(CAST(d_obs AS DOUBLE)
+                 + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)
+                   / (2.0 * CAST(GREATEST(f2, 1) AS DOUBLE)), 4)
+             AS chao1_richness
+    FROM f
+    """,
+)
+def q_xt28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate per source: observed distinct
+    tokens plus the capture-recapture correction f1²/(2·f2) for the
+    vocabulary the sample HASN'T seen yet (Chao 1984) — the standard
+    answer to 'how much more vocabulary would more data from this
+    source add', which drives corpus-mixing decisions.
+
+    Exactness: singleton/doubleton counts are exact BIGINTs off one
+    (source, token) rollup; the estimator is a short identical IEEE
+    expression (GREATEST(f2,1) guards the f2=0 degenerate case on both
+    engines the same way).  Scale shape: one vocabulary-bounded
+    groupBy(source, token) with map-side combine, then a source-bounded
+    frequency-of-frequencies aggregate — the same two-level shape as
+    xt14's vocab estimate, no shuffle beyond the token rollup."""
+    docs = table(spark, sf_dir, "documents")
+    v = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    f = v.groupBy("source").agg(
+        F.count("*").alias("d_obs"),
+        F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("f2"),
+        F.sum("c").alias("n_tokens"),
+    )
+    chao1 = F.col("d_obs").cast("double") + (
+        F.col("f1").cast("double") * F.col("f1").cast("double")
+    ) / (F.lit(2.0) * F.greatest(F.col("f2"), F.lit(1)).cast("double"))
+    return f.select(
+        "source",
+        "n_tokens",
+        "d_obs",
+        "f1",
+        "f2",
+        F.round(chao1, 4).alias("chao1_richness"),
+    )
