@@ -1494,3 +1494,100 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dau").cast("double") / F.col("mau").cast("double"), 6
         ).alias("stickiness"),
     )
+
+
+@register(
+    "xq27_growth_accounting",
+    f"""
+    WITH a AS (
+        SELECT DISTINCT user_id,
+               date_trunc('week', CAST(ts AS DATE)) AS wk
+        FROM {EVENTS_US}),
+    fw AS (SELECT user_id, MIN(wk) AS first_wk FROM a GROUP BY user_id),
+    cur AS (
+        SELECT a.user_id, a.wk, fw.first_wk,
+               p.user_id IS NOT NULL AS active_prev
+        FROM a JOIN fw USING (user_id)
+        LEFT JOIN a p ON p.user_id = a.user_id
+                     AND p.wk = a.wk - INTERVAL 7 DAY),
+    churn AS (
+        SELECT a.wk + INTERVAL 7 DAY AS wk,
+               CAST(COUNT(*) AS BIGINT) AS n_churned
+        FROM a LEFT JOIN a n ON n.user_id = a.user_id
+                            AND n.wk = a.wk + INTERVAL 7 DAY
+        WHERE n.user_id IS NULL
+        GROUP BY a.wk + INTERVAL 7 DAY),
+    agg AS (
+        SELECT wk,
+               CAST(COUNT(*) FILTER (WHERE first_wk = wk) AS BIGINT)
+                 AS n_new,
+               CAST(COUNT(*) FILTER (WHERE active_prev) AS BIGINT)
+                 AS n_retained,
+               CAST(COUNT(*) FILTER (WHERE first_wk < wk
+                                       AND NOT active_prev) AS BIGINT)
+                 AS n_resurrected,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM cur GROUP BY wk)
+    SELECT strftime(CAST(agg.wk AS DATE), '%Y-%m-%d') AS week,
+           n_active, n_new, n_retained, n_resurrected,
+           CAST(COALESCE(churn.n_churned, 0) AS BIGINT) AS n_churned
+    FROM agg LEFT JOIN churn ON churn.wk = agg.wk
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user classified as NEW
+    (first week), RETAINED (also active last week) or RESURRECTED
+    (returning after a gap), plus the users CHURNED out of the previous
+    week — the standard MAU-decomposition framework behind 'where did
+    growth come from'.  Identity: new + retained + resurrected =
+    actives (pinned in test).
+
+    Scale shape: the (user, week) activity frame dedups once; prior-
+    week membership and churn are self equi-joins on (user_id, shifted
+    week) — co-partitioned on the high-cardinality user key, never a
+    window over the calendar; first-week is one groupBy(user).  All
+    outputs are exact BIGINT counts over calendar-bounded weeks."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id", F.trunc(F.to_date("ts"), "week").alias("wk")
+    ).distinct()
+    fw = a.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    prev = a.select(
+        "user_id", F.date_add("wk", 7).alias("wk"), F.lit(True).alias("ap")
+    )
+    cur = (
+        a.join(fw, "user_id")
+        .join(prev, ["user_id", "wk"], "left")
+        .withColumn("active_prev", F.coalesce(F.col("ap"), F.lit(False)))
+    )
+    nxt = a.select(
+        "user_id", F.date_sub("wk", 7).alias("wk"), F.lit(True).alias("an")
+    )
+    churn = (
+        a.join(nxt, ["user_id", "wk"], "left")
+        .where(F.col("an").isNull())
+        .groupBy(F.date_add("wk", 7).alias("wk"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    agg = cur.groupBy("wk").agg(
+        F.sum((F.col("first_wk") == F.col("wk")).cast("long")).alias(
+            "n_new"
+        ),
+        F.sum(F.col("active_prev").cast("long")).alias("n_retained"),
+        F.sum(
+            (
+                (F.col("first_wk") < F.col("wk")) & ~F.col("active_prev")
+            ).cast("long")
+        ).alias("n_resurrected"),
+        F.count("*").alias("n_active"),
+    )
+    return agg.join(churn, "wk", "left").select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(F.col("n_churned"), F.lit(0)).cast("long").alias(
+            "n_churned"
+        ),
+    )

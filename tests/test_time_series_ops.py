@@ -347,3 +347,21 @@ def test_xq24_bridge_identity(spark):
     for r in rows:
         assert abs(r["volume_effect"] + r["price_effect"] - r["delta"]) < 1e-3
         assert abs(r["delta"] - round(r["r1"] - r["r0"], 4)) < 1e-2
+
+
+def test_xq27_growth_identity(spark):
+    """new + retained + resurrected == actives, and churned(w) ==
+    actives(w-1) - retained(w) — the growth-accounting identities."""
+    from ida_dataengineerproject_spark.queries.analytics_ops import (
+        q_growth_accounting,
+    )
+
+    rows = sorted(
+        q_growth_accounting(spark, SF).collect(), key=lambda r: r["week"]
+    )
+    assert rows
+    for r in rows:
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == r["n_active"]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_churned"] == prev["n_active"] - cur["n_retained"]
+    assert rows[0]["n_new"] == rows[0]["n_active"]  # week 1: everyone new
