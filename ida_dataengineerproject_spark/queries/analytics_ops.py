@@ -1591,3 +1591,101 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_churned"
         ),
     )
+
+
+@register(
+    "xq28_seasonality_strength",
+    f"""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM {EVENTS_US} GROUP BY event_type, CAST(ts AS DATE)),
+    dw AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', day) % 7 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_d,
+               CAST(SUM(c) AS BIGINT) AS s_d
+        FROM d GROUP BY event_type, datediff('day', DATE '2024-01-01', day) % 7),
+    tot AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS ss
+        FROM d GROUP BY event_type),
+    folded AS (
+        SELECT event_type,
+               list_reduce(
+                   list(CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)
+                        / CAST(n_d AS DOUBLE) ORDER BY dow),
+                   (a, b) -> a + b) AS between_raw
+        FROM dw GROUP BY event_type)
+    SELECT tot.event_type,
+           tot.n AS n_days,
+           ROUND((folded.between_raw
+                  - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+                    / CAST(tot.n AS DOUBLE))
+                 / (CAST(tot.ss AS DOUBLE)
+                    - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+                      / CAST(tot.n AS DOUBLE)), 6) AS seasonality_strength
+    FROM tot JOIN folded ON folded.event_type = tot.event_type
+    """,
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength per series: the share of daily-
+    count variance explained by the weekday profile (between-group sum
+    of squares over total — the eta-squared forecastability score that
+    says whether a weekly-seasonal model is worth fitting).
+
+    Dialect-free weekday: dow = datediff(day, fixed anchor) % 7 — both
+    engines' native dayofweek() disagree on the week start (ROUND_NOTES
+    trap 6), date arithmetic doesn't.  Exactness: all sums-of-squares
+    accumulate as BIGINTs; the one order-sensitive float reduction
+    (Σ s_d²/n_d over the 7 weekday terms) folds over a dow-SORTED array
+    on both engines (Spark aggregate() over sort_array, DuckDB
+    list_reduce over an ordered list — the xq21 product trick, applied
+    to a sum), so the statistic is bit-identical.  Scale shape: raw
+    events collapse to (type, day) in one map-side-combined aggregate;
+    everything after runs on calendar-bounded frames."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("c"))
+    anchor = F.lit("2024-01-01").cast("date")
+    dw = d.groupBy(
+        "event_type",
+        (F.datediff(F.col("day"), anchor) % 7).alias("dow"),
+    ).agg(F.count("*").alias("n_d"), F.sum("c").alias("s_d"))
+    folded = (
+        dw.select(
+            "event_type",
+            F.struct(
+                "dow",
+                (
+                    F.col("s_d").cast("double")
+                    * F.col("s_d").cast("double")
+                    / F.col("n_d").cast("double")
+                ).alias("term"),
+            ).alias("e"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(e)),"
+                " x -> x.term), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            ).alias("between_raw")
+        )
+    )
+    tot = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    sd, nd = F.col("s").cast("double"), F.col("n").cast("double")
+    ssd = F.col("ss").cast("double")
+    return tot.join(folded, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(
+            (F.col("between_raw") - sd * sd / nd) / (ssd - sd * sd / nd),
+            6,
+        ).alias("seasonality_strength"),
+    )

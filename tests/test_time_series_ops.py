@@ -365,3 +365,33 @@ def test_xq27_growth_identity(spark):
     for prev, cur in zip(rows, rows[1:]):
         assert cur["n_churned"] == prev["n_active"] - cur["n_retained"]
     assert rows[0]["n_new"] == rows[0]["n_active"]  # week 1: everyone new
+
+
+def test_xq28_matches_numpy_eta_squared(spark):
+    import numpy as np
+
+    from ida_dataengineerproject_spark.queries.analytics_ops import (
+        q_seasonality_strength,
+    )
+    from datetime import date
+
+    rows = _events(spark)
+    daily = Counter((r["event_type"], r["ts"].date()) for r in rows)
+    anchor = date(2024, 1, 1)
+    got = {
+        r["event_type"]: (r["n_days"], r["seasonality_strength"])
+        for r in q_seasonality_strength(spark, SF).collect()
+    }
+    for et in {k[0] for k in daily}:
+        cs = {d: c for (t, d), c in daily.items() if t == et}
+        x = np.array(list(cs.values()), dtype=float)
+        dows = np.array([(d - anchor).days % 7 for d in cs], dtype=int)
+        total_ss = ((x - x.mean()) ** 2).sum()
+        between = sum(
+            len(x[dows == w]) * (x[dows == w].mean() - x.mean()) ** 2
+            for w in set(dows)
+        )
+        n, s = got[et]
+        assert n == len(x)
+        assert abs(s - between / total_ss) < 1e-6
+        assert 0.0 <= s <= 1.0
