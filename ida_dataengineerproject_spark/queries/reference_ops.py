@@ -122,6 +122,35 @@ def q_op19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select("n_nationkey", recode("n_name", _NATION_RECODE).alias("n_code"))
 
 
+_PRIORITY_RECODE = {"1-URGENT": "URG", "2-HIGH": "HIGH", "3-MEDIUM": "MED"}
+
+@register(
+    "op20_variable_recode",
+    r"""
+    SELECT o_orderkey,
+           CASE regexp_replace(TRIM(raw_label), '\s+', ' ', 'g')
+                WHEN '1-URGENT' THEN 'URG' WHEN '2-HIGH' THEN 'HIGH'
+                WHEN '3-MEDIUM' THEN 'MED'
+                ELSE regexp_replace(TRIM(raw_label), '\s+', ' ', 'g') END AS var_code
+    FROM (SELECT o_orderkey, CONCAT('  ', o_orderpriority, ' ') AS raw_label
+          FROM orders)
+    """,
+)
+def q_op20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-label recode with pass-through on miss (etl/etl_ida.py:178-192):
+    the reference maps long ANATEL variable labels to stable codes and leaves
+    unknown labels untouched.  Labels here carry the reference's padding
+    (leading/trailing whitespace) so the clean-then-recode order is exercised;
+    '4-NOT SPECIFIED'/'5-LOW' are deliberate misses that must pass through.
+    Same literal create_map + coalesce plan as op19 — constant-folded,
+    zero-join, zero-UDF."""
+    o = table(spark, sf_dir, "orders")
+    raw = F.concat(F.lit("  "), F.col("o_orderpriority"), F.lit(" "))
+    return o.select(
+        "o_orderkey", recode(raw, _PRIORITY_RECODE).alias("var_code")
+    )
+
+
 # -------------------------------------------------------------------- op21
 _DIRTY_SQL = """
     CASE CAST(doc_id % 7 AS INTEGER)
