@@ -188,45 +188,41 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation argument.
 
     Plan shape: one bounded per-order self-join (order line counts are
-    bounded, so pair fan-out per order is bounded) + pair-level distinct
-    builds the edge list ONCE (localCheckpoint — three consumer arms
-    would otherwise re-run it, trap 14), a node-keyed degree join
-    (AQE-broadcast: degrees are node-bounded), then the edge-adjacency
-    intersection count (operators/graph.py::count_triangles) — m rows
-    with <= ~sqrt(2m)-entry arrays through one join, never Σoutdeg²
-    wedge rows.  No iteration, nothing data-sized broadcast by hint."""
+    bounded, so pair fan-out per order is bounded) feeds RAW pairs
+    straight into operators/graph.py::count_triangles with
+    ``edges_unique=False`` — pair dedup rides the collect_set shuffle
+    that builds the oriented adjacency anyway (one full distinct pass
+    saved), orientation ranks by multigraph degree (still a consistent
+    total order → exact count; bound sqrt(2m') for m' = raw pair count,
+    1.8x m in this data), and the intersect join is size-adaptive
+    (broadcast under 256 MB of materialized adjacency, Cohen's Σoutdeg²
+    shuffle join above).  n_nodes/n_edges free-ride the internal degree
+    table and adjacency instead of a third pass over an edge snapshot.
+
+    This query's per-row compute density (array_intersect over ~70-entry
+    arrays) is ~100x its byte density, so it opts into parallelism-first
+    AQE coalescing for its own execution (byte-sized coalesce — the
+    repo-wide default, measured better everywhere else — squashes the
+    2.2M-pair distinct/agg stages onto 3 of 32 cores here; measured
+    6.0 -> 4.0 s at sf0.1).  The conf is runtime-scoped: the next
+    query's harden() resets it."""
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"
+    )
     li = table(spark, sf_dir, "lineitem")
     # no (o, p) pre-distinct: duplicate lines of the same part in one
-    # order only duplicate PAIRS, and the pair-level distinct below
-    # subsumes that dedup — dropping the pre-distinct removes one full
-    # shuffle of the fact projection (measured 8.5 -> 7.4 s at sf0.1)
+    # order only duplicate PAIRS, and count_triangles' fused dedup
+    # subsumes that — the pre-distinct would add a full shuffle of the
+    # fact projection (measured 8.5 -> 7.4 s at sf0.1)
     pr = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
     a, b = pr.alias("a"), pr.alias("b")
-    und = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
-        .distinct()
-        # three consumers (node count, edge count, triangle pipeline)
-        # would otherwise re-run the pair self-join + distinct per arm —
-        # Spark 4 re-collapses the shared subplan (ROUND_NOTES trap 14).
-        # The edge list is 2 longs/row (~1.8% of the fact scan here);
-        # materializing it once is the cheap side of the trade at any
-        # scale where the graph fits the cluster at all.
-        .localCheckpoint()
-    )
+    pairs = a.join(
+        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+    ).select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
     from ..operators.graph import count_triangles
 
-    tri = count_triangles(und, "p1", "p2")
-    n_nodes = (
-        und.select(F.col("p1").alias("n"))
-        .unionByName(und.select(F.col("p2").alias("n")))
-        .agg(F.countDistinct("n").alias("n_nodes"))
-    )
-    n_edges = und.agg(F.count("*").alias("n_edges"))
-    return (
-        n_nodes.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(tri))
-        .select("n_nodes", "n_edges", "n_triangles")
+    return count_triangles(
+        pairs, "p1", "p2", edges_unique=False, with_graph_stats=True
     )
