@@ -116,17 +116,28 @@ def pruned_read(
     for c, (lo, hi) in predicates.items():
         df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
 
-    totals = manifest.agg(
-        F.count("*").alias("b"), F.sum("n_files").alias("f")
-    ).collect()[0]
-    kept = keep.agg(
-        F.count("*").alias("b"), F.sum("n_files").alias("f")
+    # total + kept counts in ONE bounded job: the keep predicate becomes
+    # a flag column and both sides aggregate conditionally (was two
+    # sequential collects over the manifest — pure job-overhead at any
+    # scale, since the manifest is already materialized)
+    kept_flag = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        mn, mx = F.col(f"min_{c}"), F.col(f"max_{c}")
+        kept_flag = kept_flag & (
+            mn.isNotNull() & mx.isNotNull()
+            & (mx >= F.lit(lo)) & (mn <= F.lit(hi))
+        )
+    row = manifest.agg(
+        F.count("*").alias("bt"),
+        F.sum("n_files").alias("ft"),
+        F.count_if(kept_flag).alias("bk"),
+        F.sum(F.when(kept_flag, F.col("n_files"))).alias("fk"),
     ).collect()[0]
     stats = {
-        "buckets_total": int(totals.b),
-        "buckets_read": int(kept.b),
-        "files_total": int(totals.f or 0),
-        "files_read": int(kept.f or 0),
+        "buckets_total": int(row.bt),
+        "buckets_read": int(row.bk),
+        "files_total": int(row.ft or 0),
+        "files_read": int(row.fk or 0),
     }
     return df.drop(BUCKET_COL), stats
 
