@@ -254,6 +254,13 @@ def grouped_robust_stats(
     (matching aggregate semantics).  ``bounds`` lets the caller reuse
     one approxQuantile boundary probe across primitives on the same
     column (boundaries only balance work, never affect the result)."""
+    if not 0 <= trim_frac < 0.5:
+        # the divisor n - 2k is positive iff trim_frac < 0.5 (k = floor
+        # (n·tf) ≤ n·tf < n/2); at 0.5+ the trimmed mean is undefined
+        # and would silently yield NULL/garbage (ADVICE r6)
+        raise ValueError(
+            f"trim_frac must be in [0, 0.5), got {trim_frac}"
+        )
     g = list(group_cols)
     q = dict(quantiles or {})
     dec = f"decimal(38,{sum_scale})"

@@ -128,7 +128,13 @@ def mg_candidates(
                 }
         yield pd.DataFrame({key_col: list(counters.keys())})
 
-    return keys.mapInPandas(gen, schema=f"{key_col} string").distinct()
+    from pyspark.sql.types import StructType
+
+    # schema derives from the INPUT key column type: hard-coding string
+    # would silently stringify e.g. bigint keys, and heavy_hitters' join
+    # then compares mismatched types via implicit cast (ADVICE r6)
+    out_schema = StructType([keys.schema[key_col]])
+    return keys.mapInPandas(gen, schema=out_schema).distinct()
 
 
 def heavy_hitters(

@@ -43,6 +43,15 @@ def merge_kmv(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
 
 
 def _latest_version(state_dir: str) -> int | None:
+    # driver-LOCAL filesystem only (see sink docstrings): on an HDFS/S3
+    # URI os.path.isdir is always False and state would silently restart
+    # from scratch every batch — refuse loudly instead (ADVICE r6)
+    if "://" in state_dir:
+        raise ValueError(
+            "state_dir must be a driver-local filesystem path; got URI "
+            f"{state_dir!r} — resolve versions via the Hadoop FileSystem "
+            "API before using object-store state dirs"
+        )
     if not os.path.isdir(state_dir):
         return None
     vs = [
@@ -62,7 +71,11 @@ def kmv_stream_sink(
     to ``state_dir/v{n}``; a replay of batch n re-reads v{n-1} and
     rewrites v{n} — idempotent, never double-merged.  Per batch this
     touches (groups × k) state rows + the batch's own rows; the raw
-    stream is never retained."""
+    stream is never retained.
+
+    ``state_dir`` must be a DRIVER-LOCAL filesystem path (version
+    discovery walks it with os.listdir); HDFS/S3 URIs are rejected with
+    a ValueError rather than silently restarting state every batch."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -132,7 +145,8 @@ def mg_stream_sink(state_dir: str, key_col: str, capacity: int = 1024):
     key whose TOTAL stream count exceeds N/(capacity+1) is guaranteed
     present.  Pair with a candidate-filtered exact count over the at-
     rest data (operators/sketch.py::heavy_hitters confirm pass) when
-    exact frequencies are needed."""
+    exact frequencies are needed.  ``state_dir`` must be driver-local
+    (see kmv_stream_sink)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -363,3 +363,19 @@ def test_skyline_is_pareto_optimal(spark):
         assert not dominated(p, pts), p
     for p in pts - sky:
         assert dominated(p, pts), p
+
+
+def test_robust_stats_rejects_degenerate_trim_frac(spark):
+    """ADVICE r6: trim_frac >= 0.5 makes the divisor n - 2k zero or
+    negative — must raise, not return NULL/garbage."""
+    import pytest
+
+    from ida_dataengineerproject_spark.operators.ranking import (
+        grouped_robust_stats,
+    )
+
+    df = spark.range(10).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    with pytest.raises(ValueError, match="trim_frac"):
+        grouped_robust_stats(df, "v", ["g"], trim_frac=0.5)

@@ -120,3 +120,16 @@ def test_mg_stream_state_keeps_guarantee(spark, tmp_path):
     sink(keys.where(F.col("b") == 2).select("key"), 2)
     again = {r["key"] for r in spark.read.parquet(f"{state}/v2").collect()}
     assert again == cands
+
+
+def test_state_dir_uri_rejected_loudly(spark, tmp_path):
+    """ADVICE r6: an object-store URI would make os.listdir-based
+    version discovery silently restart state every batch — refuse."""
+    import pytest
+
+    from ida_dataengineerproject_spark.streaming.sketches import (
+        _latest_version,
+    )
+
+    with pytest.raises(ValueError, match="driver-local"):
+        _latest_version("s3a://bucket/state")

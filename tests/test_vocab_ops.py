@@ -240,3 +240,22 @@ def test_ppjoin_equals_bruteforce_and_prunes(spark):
         .count()
     )
     assert n_cand < n * (n - 1) / 2 / 4, (n_cand, n)
+
+
+def test_mg_candidates_preserves_bigint_key_type(spark):
+    """ADVICE r6: the candidate schema must derive from the input key
+    type — bigint keys used to be silently stringified, and the
+    heavy_hitters confirm join then compared mismatched types."""
+    keys = spark.range(10_000).select(
+        (F.pmod(F.col("id") * F.lit(2654435761), F.lit(50)) + 1)
+        .cast("long")
+        .alias("key")
+    )
+    cands = mg_candidates(keys.repartition(4), 16)
+    assert dict(cands.dtypes)["key"] == "bigint"
+    # and the superset guarantee still holds on the typed stream
+    truth = Counter(r["key"] for r in keys.collect())
+    n = sum(truth.values())
+    must_have = {k for k, c in truth.items() if c > n / 17}
+    got = {r["key"] for r in cands.collect()}
+    assert must_have <= got
