@@ -1705,3 +1705,61 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonality_strength"),
     )
+
+
+@register(
+    "x32_log2_histogram",
+    f"""
+    WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM {EVENTS_US} WHERE value > 0),
+    b AS (
+        SELECT event_type,
+               CAST(length(bin(cents)) - 1 AS INTEGER) AS bin_id,
+               cents
+        FROM c)
+    SELECT event_type, bin_id,
+           CAST(1 << bin_id AS BIGINT) AS lo_cents,
+           CAST((1 << (bin_id + 1)) - 1 AS BIGINT) AS hi_cents,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents_mass
+    FROM b GROUP BY event_type, bin_id
+    """,
+)
+def q_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-spaced (power-of-two) histogram of event values per type —
+    the latency/size-distribution workhorse (hdr-histogram shape):
+    exponentially wider bins give constant relative resolution, and the
+    per-bin partials are mergeable (SUM/COUNT), so day→month rollups
+    re-aggregate like xq13's fixed-bin sketch but cover a huge dynamic
+    range with ~60 bins.
+
+    Integer-exact binning without libm: value becomes exact cents
+    (DECIMAL(18,2)·100 → BIGINT), and floor(log2(x)) for a positive
+    integer is length(bin(x)) − 1 — the minimal binary-string length,
+    identical on both engines — never a floating log.  Bin bounds are
+    shiftleft arithmetic.  Scale shape: ONE map-side-combined aggregate;
+    output is (types × ~16) rows."""
+    ev = table(spark, sf_dir, "events").where(F.col("value") > 0)
+    c = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    b = c.select(
+        "event_type",
+        (F.length(F.bin("cents")) - 1).cast("int").alias("bin_id"),
+        "cents",
+    )
+    return b.groupBy("event_type", "bin_id").agg(
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), bin_id) AS BIGINT)").alias(
+            "lo_cents"
+        ),
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), bin_id + 1) - 1 AS BIGINT)"
+        ).alias("hi_cents"),
+        F.count("*").alias("n"),
+        F.sum("cents").alias("cents_mass"),
+    )

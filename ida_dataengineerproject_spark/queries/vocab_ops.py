@@ -203,3 +203,80 @@ def q_xt28(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f2",
         F.round(chao1, 4).alias("chao1_richness"),
     )
+
+
+_HEAPS_BUCKETS = 20
+
+
+@register(
+    "xt29_heaps_vocab_growth",
+    f"""
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    tokc AS (
+        SELECT CAST(doc_id * {_HEAPS_BUCKETS} // t.n AS INTEGER) AS bucket,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents, t GROUP BY 1),
+    first AS (
+        SELECT w, MIN(doc_id) AS fd FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+        GROUP BY w),
+    newt AS (
+        SELECT CAST(fd * {_HEAPS_BUCKETS} // t.n AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS types
+        FROM first, t GROUP BY 1)
+    SELECT tokc.bucket,
+           CAST(SUM(tokc.toks) OVER (ORDER BY tokc.bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(newt.types, 0)) OVER (ORDER BY tokc.bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+    FROM tokc LEFT JOIN newt ON newt.bucket = tokc.bucket
+    """,
+)
+def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative token count vs
+    cumulative distinct-type count over the corpus in doc_id order,
+    sampled at 20 corpus-fraction checkpoints — the diagnostic behind
+    "how much NEW vocabulary does more data buy" (tokenizer sizing,
+    dedup-effectiveness monitoring: a flattening type curve on a
+    supposedly-fresh crawl slice means duplicated content).
+
+    Exact prefix-distinct without quadratic rescans: the x17 identity —
+    a type contributes to the cumulative count at exactly its FIRST
+    occurrence — turns COUNT(DISTINCT) over every prefix into one
+    groupBy(token) MIN(doc_id) plus a 20-row prefix sum.  Token totals
+    per bucket use size(split(...)) with no explode.  Scale shape: one
+    vocabulary-keyed aggregate (linear, Zipf-skew tolerated by partial
+    aggregation), one doc-bucket aggregate, windows only over the
+    20-row checkpoint frame."""
+    d = table(spark, sf_dir, "documents")
+    tot = d.agg(F.count("*").alias("n"))
+    db = d.crossJoin(F.broadcast(tot))
+    bucket = F.expr(f"CAST(doc_id * {_HEAPS_BUCKETS} div n AS INT)")
+    tokc = db.groupBy(bucket.alias("bucket")).agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks")
+    )
+    first = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    newt = (
+        first.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr(f"CAST(fd * {_HEAPS_BUCKETS} div n AS INT)").alias("bucket")
+        )
+        .agg(F.count("*").alias("types"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    j = tokc.join(newt, "bucket", "left")
+    return j.select(
+        "bucket",
+        F.sum("toks").over(w).cast("long").alias("cum_tokens"),
+        F.sum(F.coalesce(F.col("types"), F.lit(0)))
+        .over(w)
+        .cast("long")
+        .alias("cum_types"),
+    )
