@@ -430,3 +430,79 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+_PROMO_N = 60
+_PROMO_BASE = "datediff('day', DATE '1970-01-01', DATE '1995-02-01')"
+
+
+@register(
+    "xq34_promo_window_rollup",
+    f"""
+    WITH promos AS (
+        SELECT i AS promo_id,
+               {_PROMO_BASE} + i * 41 AS start_d,
+               {_PROMO_BASE} + i * 41 + 4 + i % 9 AS end_d
+        FROM range({_PROMO_N}) t(i)),
+    pts AS (
+        SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                 AS pd,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(l_extendedprice AS DECIMAL(38,6)) AS pr
+        FROM lineitem)
+    SELECT CAST(promo_id AS BIGINT) AS promo_id,
+           CAST(start_d AS BIGINT) AS start_d,
+           CAST(end_d AS BIGINT) AS end_d,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(qty) AS BIGINT) AS total_qty,
+           ROUND(CAST(SUM(pr) AS DOUBLE), 2) AS revenue
+    FROM promos JOIN pts ON pd BETWEEN start_d AND end_d
+    GROUP BY promo_id, start_d, end_d
+    """,
+)
+def q_promo_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipment volume/revenue inside each promotional window — a
+    point-in-interval join between the lineitem fact (point =
+    ship day) and a 60-window promo calendar, rolled up per promo.
+
+    The naive BETWEEN join is a BroadcastNestedLoopJoin (no equi-key);
+    operators/interval_join.py::interval_point_join grid-buckets both
+    sides (16-day cells: each 4-12-day promo replicates to <= 2 cells,
+    each point to exactly 1) and runs an ordinary hash equi-join on the
+    cell id with the exact BETWEEN as a residual — |P| + 2|I| shuffle
+    rows instead of |P|x|I| pairs, at ANY calendar size (a year-round
+    promo table at 100 TB joins the same way; plan pinned
+    nested-loop-free in tests/test_interval_join.py).
+
+    The promo calendar is deterministic arithmetic on range(60), built
+    identically on both engines; epoch-day conversion is date
+    arithmetic (no timezone, no libm); sums are BIGINT / DECIMAL(38,6)
+    exact."""
+    from ..operators.interval_join import interval_point_join
+
+    base = F.datediff(
+        F.lit("1995-02-01").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    promos = spark.range(_PROMO_N).select(
+        F.col("id").alias("promo_id"),
+        (base + F.col("id") * 41).cast("long").alias("start_d"),
+        (base + F.col("id") * 41 + 4 + F.col("id") % 9)
+        .cast("long")
+        .alias("end_d"),
+    )
+    pts = table(spark, sf_dir, "lineitem").select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("pd"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(38,6)").alias("pr"),
+    )
+    j = interval_point_join(pts, promos, "pd", "start_d", "end_d", 16)
+    return j.groupBy("promo_id", "start_d", "end_d").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("qty").alias("total_qty"),
+        F.round(F.sum("pr").cast("double"), 2).alias("revenue"),
+    )

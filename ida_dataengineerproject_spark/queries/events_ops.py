@@ -495,3 +495,77 @@ def q_x11b_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_active"))
         .orderBy("cohort_week", "week_k")
     )
+
+
+@register(
+    "xq33_reengagement_latency",
+    f"""
+    WITH t AS (
+        SELECT user_id, ts, MAX(event_type) AS channel,
+               -epoch_us(ts) AS nts
+        FROM {EVENTS_US} WHERE event_type IN ('click', 'view')
+        GROUP BY user_id, ts),
+    p AS (
+        SELECT user_id, ts, -epoch_us(ts) AS nts FROM {EVENTS_US}
+        WHERE event_type = 'purchase'),
+    j AS (
+        SELECT COALESCE(t.channel, 'none') AS next_channel,
+               epoch_us(t.ts) - epoch_us(p.ts) AS lat_us
+        FROM p ASOF LEFT JOIN t
+          ON p.user_id = t.user_id AND t.nts <= p.nts)
+    SELECT next_channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(CAST(SUM(CAST(lat_us AS DECIMAL(38,0))) AS DOUBLE)
+                 / COUNT(lat_us) / 1000000.0, 4) AS mean_latency_sec,
+           CAST(MAX(lat_us) AS BIGINT) AS max_latency_us
+    FROM j GROUP BY next_channel
+    """,
+)
+def q_reengagement_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-engagement latency: for each purchase, the user's NEXT
+    click/view at-or-after it (forward as-of join) — how long until a
+    buyer comes back, broken down by the returning channel ('none' =
+    never returned).  The forward twin of xq6's last-touch attribution,
+    via the generic operators/asof.py::asof_join — one union + one
+    user-keyed window, no range join, no per-group pandas.
+
+    Oracle: DuckDB native ASOF on NEGATED epoch micros (ASOF picks the
+    max reference key <= probe key; max(-t) = min(t) = earliest
+    at-or-after).  Touches dedupe to one deterministic row per
+    (user, ts) (MAX(event_type), the xq6 rule) so the matched channel
+    is engine-identical.  Latency sums accumulate in DECIMAL(38,0)
+    micros; the mean divides once in double."""
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    touches = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("channel"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    j = asof_join(
+        purchases,
+        touches,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        values=["channel"],
+        direction="forward",
+    )
+    lat = j.select(
+        F.coalesce(F.col("channel"), F.lit("none")).alias("next_channel"),
+        (F.unix_micros("__match_ts") - F.unix_micros("ts")).alias("lat_us"),
+    )
+    return lat.groupBy("next_channel").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(
+            F.sum(F.col("lat_us").cast("decimal(38,0)")).cast("double")
+            / F.count("lat_us")
+            / F.lit(1000000.0),
+            4,
+        ).alias("mean_latency_sec"),
+        F.max("lat_us").cast("long").alias("max_latency_us"),
+    )
