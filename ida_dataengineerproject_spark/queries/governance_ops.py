@@ -224,3 +224,76 @@ def q_shard_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_fp"),
         F.bit_xor("hk").alias("xor_fp"),
     )
+
+
+@register(
+    "xq36_referential_integrity_audit",
+    """
+    WITH checks AS (
+        SELECT 'lineitem->orders' AS relation,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                 AS n_orphan
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'customer->nation',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))
+        UNION ALL
+        SELECT 'lineitem->part',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey)))
+    SELECT relation, n_child, n_orphan FROM checks
+    """,
+)
+def q_referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Referential-integrity audit across the star's four FK edges:
+    orphan counts per child→parent relation — the constraint check a
+    lake has to run explicitly because parquet enforces nothing (the
+    reference gets it from Postgres FOREIGN KEYs, schema_star.sql; this
+    is the same guarantee as a continuous audit).
+
+    Scale shape: each check is ONE left-anti join — fact keyed on its
+    FK (co-partitioned with the parent at 100 TB; small parents like
+    nation broadcast via AQE) — plus a count.  No correlated
+    subqueries execute as such: Catalyst rewrites anti-joins into
+    hash joins.  Output is one bounded row per relation."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    p = table(spark, sf_dir, "part")
+
+    def check(name, child, fk, parent, pk):
+        # fully declarative 1-row frame: total + anti-join orphan count
+        total = child.agg(F.count("*").alias("n_child"))
+        orphans = child.join(
+            parent.select(pk), child[fk] == F.col(pk), "left_anti"
+        ).agg(F.count("*").alias("n_orphan"))
+        return total.crossJoin(F.broadcast(orphans)).select(
+            F.lit(name).alias("relation"), "n_child", "n_orphan"
+        )
+
+    checks = [
+        check("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        check("orders->customer", o, "o_custkey", c, "c_custkey"),
+        check("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        check("lineitem->part", li, "l_partkey", p, "p_partkey"),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out

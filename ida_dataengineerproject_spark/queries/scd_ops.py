@@ -147,3 +147,107 @@ def q_x28(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("valid_to").alias("valid_to_us"),
         "is_current",
     )
+
+
+_PIT_CAP = "2024-03-01 00:00:00"  # beyond the testdata's Jan-2024 span
+
+
+@register(
+    "xq35_pit_feature_join",
+    f"""
+    WITH prof AS (
+        SELECT user_id, ts, MAX(event_type) AS et,
+               MAX(CAST(floor(value / 100) AS BIGINT)) AS vb
+        FROM {EVENTS_US} WHERE event_type IN ('click', 'view')
+        GROUP BY user_id, ts),
+    chg AS (
+        SELECT user_id, ts, et, vb FROM (
+            SELECT user_id, ts, et, vb,
+                   lag(et) OVER w AS pt, lag(vb) OVER w AS pv
+            FROM prof WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        WHERE pt IS NULL OR pt <> et OR pv <> vb),
+    v AS (
+        SELECT user_id, et, vb,
+               epoch_us(ts) AS vf,
+               COALESCE(epoch_us(lead(ts) OVER w2),
+                        epoch_us(TIMESTAMP '{_PIT_CAP}')) - 1 AS vte
+        FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)),
+    p AS (
+        SELECT user_id, epoch_us(ts) AS pus,
+               CAST(value AS DECIMAL(38,6)) AS rev
+        FROM {EVENTS_US} WHERE event_type = 'purchase')
+    SELECT v.et AS profile_type, v.vb AS profile_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(CAST(SUM(p.rev) AS DOUBLE), 2) AS revenue
+    FROM p JOIN v ON v.user_id = p.user_id
+                 AND p.pus BETWEEN v.vf AND v.vte
+    GROUP BY v.et, v.vb
+    """,
+)
+def q_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join (the feature-store staple):
+    each purchase is enriched with the profile version IN EFFECT at its
+    timestamp — never a later one, the leakage rule every training-data
+    pipeline must enforce.  Profile versions are SCD2-style validity
+    intervals (change compression over click/view events, half-open
+    [from, next_from) realized as inclusive [from, next_from − 1 µs]);
+    the enrichment is operators/interval_join.py::interval_point_join
+    with ``by=['user_id']`` — cell-gridded per user (1-day cells), an
+    ordinary hash equi-join on (user, cell) plus the exact BETWEEN
+    residual, never a nested loop.  Purchases before a user's first
+    profile version drop (inner semantics), identically in the oracle's
+    plain range join.
+
+    Versus xq33/xq6's as-of composition: this consumes the INTERVAL
+    form of the dimension (what an SCD2 warehouse actually stores), so
+    the same operator serves any validity-range enrichment —
+    prices-in-effect, contract terms, consent windows."""
+    from ..operators.interval_join import interval_point_join
+
+    ev = table(spark, sf_dir, "events")
+    prof = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_type").alias("et"),
+            F.max(F.floor(F.col("value") / 100).cast("long")).alias("vb"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    chg = (
+        prof.select(
+            "user_id", "ts", "et", "vb",
+            F.lag("et").over(w).alias("pt"),
+            F.lag("vb").over(w).alias("pv"),
+        )
+        .where(
+            F.col("pt").isNull()
+            | (F.col("pt") != F.col("et"))
+            | (F.col("pv") != F.col("vb"))
+        )
+        .drop("pt", "pv")
+    )
+    cap = F.unix_micros(F.lit(_PIT_CAP).cast("timestamp"))
+    v = chg.select(
+        "user_id",
+        "et",
+        "vb",
+        F.unix_micros("ts").alias("vf"),
+        (
+            F.coalesce(F.unix_micros(F.lead("ts").over(w)), cap) - 1
+        ).alias("vte"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("pus"),
+        F.col("value").cast("decimal(38,6)").alias("rev"),
+    )
+    j = interval_point_join(
+        p, v, "pus", "vf", "vte", width=86_400_000_000, by=["user_id"]
+    )
+    return j.groupBy(
+        F.col("et").alias("profile_type"), F.col("vb").alias("profile_bucket")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+    )
