@@ -1763,3 +1763,94 @@ def q_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("cents").alias("cents_mass"),
     )
+
+
+@register(
+    "xq37_holt_trend_forecast",
+    f"""
+    WITH RECURSIVE d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM {EVENTS_US} GROUP BY event_type, CAST(ts AS DATE)),
+    r AS (
+        SELECT event_type, c,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY day) AS INTEGER) AS t,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS INTEGER)
+                 AS n
+        FROM d),
+    h AS (
+        SELECT a.event_type, 1 AS t,
+               CAST(a.c AS DOUBLE) AS l,
+               CAST(b.c AS DOUBLE) - CAST(a.c AS DOUBLE) AS tr,
+               a.n
+        FROM r a JOIN r b ON b.event_type = a.event_type AND b.t = 2
+        WHERE a.t = 1 AND a.n >= 2
+        UNION ALL
+        SELECT h.event_type, h.t + 1,
+               0.5 * CAST(r.c AS DOUBLE) + 0.5 * (h.l + h.tr),
+               0.25 * ((0.5 * CAST(r.c AS DOUBLE) + 0.5 * (h.l + h.tr))
+                       - h.l) + 0.75 * h.tr,
+               h.n
+        FROM h JOIN r ON r.event_type = h.event_type AND r.t = h.t + 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND(l, 6) AS level, ROUND(tr, 6) AS trend,
+           ROUND(l + tr, 6) AS forecast_next
+    FROM h WHERE t = n
+    """,
+)
+def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) over each
+    series' daily counts, with the one-step-ahead forecast — the
+    standard next rung above xq19's seasonal-naive baseline.
+    alpha = 0.5, beta = 0.25 (binary-exact literals).
+
+    An inherently SEQUENTIAL recurrence, bit-exact on both engines via
+    the bounded-fold contract (the xq21/xq28 family): the day series
+    per type is calendar-bounded, so Spark folds a day-sorted array
+    with aggregate() carrying a (level, trend) struct accumulator,
+    while the oracle runs the identical recurrence as a RECURSIVE CTE
+    — both evaluate the SAME IEEE expression tree in the SAME order,
+    so the hash-match needs no tolerance.  (l_t appears twice in the
+    b_t update; both engines repeat the identical subexpression.)
+
+    Scale shape: the raw scan collapses to (type, day) in one
+    map-side-combined aggregate; the fold runs per type over <= ~365
+    elements — never over raw events.  Types with < 2 days are
+    excluded (the trend needs two points)."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("c"))
+    arr = (
+        d.groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("day", "c"))).alias("s")
+        )
+        .where(F.size("s") >= 2)
+    )
+    folded = arr.select(
+        "event_type",
+        F.size("s").cast("long").alias("n_days"),
+        F.expr(
+            """
+            aggregate(
+              slice(s, 2, size(s) - 1),
+              named_struct(
+                'l', CAST(s[0].c AS DOUBLE),
+                'tr', CAST(s[1].c AS DOUBLE) - CAST(s[0].c AS DOUBLE)),
+              (acc, e) -> named_struct(
+                'l', 0.5D * CAST(e.c AS DOUBLE) + 0.5D * (acc.l + acc.tr),
+                'tr', 0.25D * ((0.5D * CAST(e.c AS DOUBLE)
+                                + 0.5D * (acc.l + acc.tr)) - acc.l)
+                      + 0.75D * acc.tr))
+            """
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.tr"), 6).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.tr"), 6).alias("forecast_next"),
+    )

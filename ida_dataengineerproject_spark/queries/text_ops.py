@@ -414,3 +414,77 @@ def q_xt27(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "xt31_length_token_correlation",
+    r"""
+    WITH s AS (
+        SELECT source,
+               CAST(n_chars AS BIGINT) AS x,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS y
+        FROM documents),
+    agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+        FROM s GROUP BY source)
+    SELECT source, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS pearson_r
+    FROM agg
+    """,
+)
+def q_length_token_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between document length (chars) and BPE-ish
+    token count, per source — the data-profiling statistic behind "is
+    char length a usable proxy for token budget in this corpus".
+
+    Bit-exact WITHOUT a tolerance: the sufficient statistics (n, Σx,
+    Σy, Σxy, Σx², Σy²) accumulate as exact DECIMAL(38,0) integers
+    (order-independent), and the closing formula uses only +, −, ×, /
+    and sqrt — ALL of which IEEE 754 requires to be correctly rounded
+    (sqrt is NOT a libm transcendental; the xt22 trap applies to
+    log/exp only).  Both engines therefore compute the identical
+    double, and the oracle hash-matches with zero slack.
+
+    Scale shape: ONE map-side-combined aggregate per source (the
+    pre-tokenizer regex runs in codegen); output is source-bounded."""
+    from ..functions.textstats import token_count_bpe_ish
+
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        token_count_bpe_ish("text").cast("long").alias("y"),
+    )
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return agg.select(
+        "source",
+        "n",
+        F.round(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+            6,
+        ).alias("pearson_r"),
+    )
