@@ -1854,3 +1854,64 @@ def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.tr"), 6).alias("trend"),
         F.round(F.col("st.l") + F.col("st.tr"), 6).alias("forecast_next"),
     )
+
+
+@register(
+    "xq38_activity_streaks",
+    f"""
+    WITH a AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM {EVENTS_US}),
+    g AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS INTEGER)
+                 AS grp
+        FROM a),
+    runs AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_len
+        FROM g GROUP BY user_id, grp),
+    per_user AS (
+        SELECT user_id, CAST(MAX(streak_len) AS BIGINT) AS longest,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks
+        FROM runs GROUP BY user_id)
+    SELECT longest AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_streaks) AS BIGINT) AS total_streaks
+    FROM per_user GROUP BY longest
+    """,
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks (gaps-and-islands): per user,
+    maximal runs of consecutive active days; output is the distribution
+    of longest-streak lengths — the engagement metric behind "N-day
+    streak" product features.
+
+    The classic islands trick, distributed: within a user, day minus
+    the day's per-user row_number is CONSTANT exactly along a
+    consecutive run (both advance by 1/day), so one window partitioned
+    by user + two keyed aggregates find every island — no self-join, no
+    iteration.  The window partitions on the high-cardinality user key
+    (millions of small partitions at 100 TB, never a global sort);
+    both rollups are map-side combined; the output is bounded by the
+    calendar (max streak <= observed days)."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = a.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("grp"),
+    )
+    runs = g.groupBy("user_id", "grp").agg(
+        F.count("*").alias("streak_len")
+    )
+    per_user = runs.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest"),
+        F.count("*").alias("n_streaks"),
+    )
+    return per_user.groupBy(
+        F.col("longest").alias("streak_days")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_streaks").alias("total_streaks"),
+    )

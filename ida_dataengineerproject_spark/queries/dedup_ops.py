@@ -373,3 +373,57 @@ def q_x31(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ppjoin_pairs
 
     return ppjoin_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "x35_golden_record_merge",
+    """
+    WITH h AS (
+        SELECT doc_id, n_chars, source, lang,
+               md5(array_to_string(
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               t -> t <> '')[1:8], ' ')) AS ch
+        FROM documents)
+    SELECT ch AS cluster_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(doc_id) AS BIGINT) AS golden_id,
+           CAST(MAX(n_chars) AS BIGINT) AS best_chars,
+           MIN(source) AS best_source,
+           first(lang ORDER BY n_chars DESC, doc_id) AS best_lang
+    FROM h GROUP BY ch HAVING COUNT(*) >= 2
+    """,
+)
+def q_golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level golden-record construction (MDM survivorship): for
+    every duplicate cluster, each attribute of the merged record is
+    resolved by ITS OWN rule — stable id = MIN(doc_id), completeness =
+    MAX(n_chars), source = lexicographic MIN, language = the longest
+    member's value (max_by-style, deterministic tie-break) — unlike
+    xt25, which keeps one whole winning row.  This is the merge step of
+    every master-data pipeline: per-field trust rules over a cluster.
+
+    Scale shape: ONE map-side-combined aggregate over the cluster key
+    (min/max/min_by are all partial-mergeable — no cluster ever sorts
+    or buffers its members, no window).  Cluster key = lead fingerprint
+    (first 8 normalized tokens, the xt25 key — full-text hashes have
+    zero dup clusters below sf0.1 in this corpus, ROUND_NOTES r6
+    trap 14a)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    ch = F.md5(F.array_join(F.slice(toks, 1, 8), " "))
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "source", "lang", ch.alias("ch")
+    )
+    key = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+    return (
+        d.groupBy(F.col("ch").alias("cluster_hash"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("doc_id").alias("golden_id"),
+            F.max("n_chars").alias("best_chars"),
+            F.min("source").alias("best_source"),
+            F.max_by("lang", key).alias("best_lang"),
+        )
+        .where(F.col("n_members") >= 2)
+    )

@@ -240,3 +240,55 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(keep)
         .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@register(
+    "x34_class_rebalance",
+    f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               {cw_bucket_sql("doc_id", 2, CW_PRIME)} AS hk
+        FROM documents),
+    r AS (
+        SELECT doc_id, lang, hk,
+               row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+                 AS rk
+        FROM h),
+    m AS (
+        SELECT CAST(MIN(n) AS BIGINT) AS n_min FROM (
+            SELECT COUNT(*) AS n FROM documents GROUP BY lang))
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM r, m WHERE rk <= m.n_min
+    """,
+)
+def q_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing: downsample every language class
+    to EXACTLY the minority class's size — the standard fix for skewed
+    training labels, reproducible across engines and reruns (hash-rank,
+    not RNG; a different CW seed than x33 so the two samples are
+    independent).
+
+    Same scale shape as x33: per-class rank via grouped global_rank (no
+    per-class sort buffer — the majority class at 100 TB never sits in
+    one task), the class-size floor is one bounded aggregate broadcast
+    back, and the keep rule is integer comparison.  Output classes are
+    exactly balanced: |kept per class| == min class size (pinned in
+    tests/test_feature_ops.py)."""
+    from ..operators.ranking import global_rank
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", cw_bucket(F.col("doc_id"), 2, CW_PRIME).alias("hk")
+    )
+    ranked = global_rank(
+        d, "hk", ["doc_id"], rank_col="rk", group_cols=["lang"]
+    )
+    n_min = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n").alias("n_min"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_min))
+        .where(F.col("rk") <= F.col("n_min"))
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )

@@ -95,3 +95,28 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     ids1 = sorted(r["doc_id"] for r in s1.collect())
     ids2 = sorted(r["doc_id"] for r in q_stratified_sample(spark, SF).collect())
     assert ids1 == ids2
+
+
+def test_class_rebalance_exactly_balanced_and_deterministic(spark):
+    from ida_dataengineerproject_spark.queries.feature_ops import (
+        q_class_rebalance,
+    )
+
+    s = q_class_rebalance(spark, SF)
+    counts = {
+        r["lang"]: r["k"]
+        for r in s.groupBy("lang").agg(F.count("*").alias("k")).collect()
+    }
+    truth = {
+        r["lang"]: r["n"]
+        for r in table(spark, SF, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_min = min(truth.values())
+    assert set(counts) == set(truth)
+    assert all(k == n_min for k in counts.values()), counts
+    ids1 = sorted(r["doc_id"] for r in s.collect())
+    ids2 = sorted(r["doc_id"] for r in q_class_rebalance(spark, SF).collect())
+    assert ids1 == ids2
