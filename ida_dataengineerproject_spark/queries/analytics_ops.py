@@ -753,11 +753,17 @@ def q_robust_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = ["o_orderpriority"]
     o = table(spark, sf_dir, "orders").select(*g, "o_totalprice")
-    probs = [i / 32 for i in range(1, 32)]
+    # 16 buckets, not the 32 default: boundaries only balance work
+    # (results bit-identical — verified), and halving the balanced
+    # comparison tree halves the dominant toy-scale cost — Catalyst
+    # planning of the bucket expression inside every consumer (measured
+    # 5.1 -> 4.2 s same-session; at real per-group volumes raise it)
+    nb = 16
+    probs = [i / nb for i in range(1, nb)]
     bounds = o.approxQuantile("o_totalprice", probs, 0.001)
     stats = grouped_robust_stats(
         o, "o_totalprice", g, 0.05, {"__med": 0.5},
-        bounds=bounds, trimmed_col="__tm",
+        n_buckets=nb, bounds=bounds, trimmed_col="__tm",
     ).localCheckpoint()  # one row per group (bounded); truncates the
     # sub-DAG so the MAD branch and final join don't re-plan it
     med_vals = [r["__med"] for r in stats.select("__med").collect()]
@@ -765,13 +771,13 @@ def q_robust_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deduped and thinned to n_buckets−1 — boundaries only balance
     # work, so any ascending set is correct for the deviation column
     dev_cand = sorted({abs(b - m) for b in bounds for m in med_vals})
-    step = max(1, len(dev_cand) // 31)
-    dev_bounds = dev_cand[::step][:31]
+    step = max(1, len(dev_cand) // (nb - 1))
+    dev_bounds = dev_cand[::step][: nb - 1]
     dev = o.join(F.broadcast(stats.select(*g, "__med")), g).withColumn(
         "__adev", F.abs(F.col("o_totalprice") - F.col("__med"))
     )
     mad = grouped_quantiles(
-        dev, "__adev", g, {"__mad": 0.5}, bounds=dev_bounds
+        dev, "__adev", g, {"__mad": 0.5}, n_buckets=nb, bounds=dev_bounds
     )
     return stats.join(mad, g).select(
         *g,
