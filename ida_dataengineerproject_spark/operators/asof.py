@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def asof_join(
@@ -57,9 +58,10 @@ def asof_join(
         *by,
         F.col(right_ts).alias("__ts"),
         payload.alias("__p"),
-        F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
-        ).alias("__l"),
+        # real DataType, not a DDL string: names needing escaping (dots,
+        # spaces) and types whose simpleString doesn't round-trip would
+        # break a string-built schema
+        F.lit(None).cast(StructType(left.schema.fields)).alias("__l"),
     )
     l = left.select(
         *by,

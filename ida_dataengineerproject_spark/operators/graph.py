@@ -119,8 +119,10 @@ def count_triangles(
     core count — byte-based AQE coalesce would squash these compute-
     heavy, byte-light array rows onto ~3 tasks), then
 
-    - adjacency under ``broadcast_limit_bytes`` (per checkpoint plan
-      stats): broadcast-hash-join the v-side adjacency.  The Σ outdeg²
+    - adjacency under ``broadcast_limit_bytes`` (per a MEASURED
+      rows+entries aggregate over the checkpointed adjacency, not
+      Catalyst size estimates): broadcast-hash-join the v-side
+      adjacency.  The Σ outdeg²
       array duplication then never crosses a shuffle — explode, probe
       and intersect pipeline in ONE stage.  Measured at sf0.1 (m=1.2M,
       Σoutdeg²=83M): 0.4 s vs 3.4 s for the sort-merge form.
@@ -165,7 +167,19 @@ def count_triangles(
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
-    adj_bytes = adj._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    # Gate on a MEASURED size, not Catalyst stats: size-only plan stats
+    # carried over a checkpoint badly underestimate variable-length
+    # adjacency arrays (~70 entries avg here), so an estimate-based gate
+    # could force-broadcast a multi-GB adjacency (driver OOM at scale).
+    # One cheap 2-number aggregate over the already-checkpointed frame:
+    # rows + total neighbor entries → conservative bytes (8 B/long id
+    # ×2 for the BroadcastHashedRelation's boxing/hash overhead, plus
+    # per-row array+key overhead).
+    _m = adj.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.size("nbrs")), F.lit(0)).alias("entries"),
+    ).collect()[0]
+    adj_bytes = int(_m["entries"]) * 16 + int(_m["n"]) * 64
     # recover each oriented edge (u→v) WITH u's adjacency attached by
     # exploding the adjacency itself — one join saved vs joining the
     # edge list back to adj on u

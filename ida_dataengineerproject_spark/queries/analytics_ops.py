@@ -1726,8 +1726,8 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
                cents
         FROM c)
     SELECT event_type, bin_id,
-           CAST(1 << bin_id AS BIGINT) AS lo_cents,
-           CAST((1 << (bin_id + 1)) - 1 AS BIGINT) AS hi_cents,
+           (CAST(1 AS BIGINT) << bin_id) AS lo_cents,
+           ((CAST(1 AS BIGINT) << (bin_id + 1)) - 1) AS hi_cents,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(cents) AS BIGINT) AS cents_mass
     FROM b GROUP BY event_type, bin_id

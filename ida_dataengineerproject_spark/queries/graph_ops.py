@@ -204,11 +204,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE coalescing for its own execution (byte-sized coalesce — the
     repo-wide default, measured better everywhere else — squashes the
     2.2M-pair distinct/agg stages onto 3 of 32 cores here; measured
-    6.0 -> 4.0 s at sf0.1).  The conf is runtime-scoped: the next
-    query's harden() resets it."""
-    spark.conf.set(
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"
-    )
+    6.0 -> 4.0 s at sf0.1).  The conf is SCOPED (session.scoped_conf):
+    because AQE reads confs at execution time, the whole query executes
+    eagerly inside the scope — the final frame is ONE row, so the
+    localCheckpoint materialization is bounded — and the previous value
+    is restored in a finally, never leaking to other workloads on the
+    session."""
     li = table(spark, sf_dir, "lineitem")
     # no (o, p) pre-distinct: duplicate lines of the same part in one
     # order only duplicate PAIRS, and count_triangles' fused dedup
@@ -222,7 +223,13 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
     ).select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
     from ..operators.graph import count_triangles
+    from ..session import scoped_conf
 
-    return count_triangles(
-        pairs, "p1", "p2", edges_unique=False, with_graph_stats=True
-    )
+    with scoped_conf(
+        spark,
+        {"spark.sql.adaptive.coalescePartitions.parallelismFirst": "true"},
+    ):
+        out = count_triangles(
+            pairs, "p1", "p2", edges_unique=False, with_graph_stats=True
+        )
+        return out.localCheckpoint()

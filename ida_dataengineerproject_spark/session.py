@@ -10,6 +10,7 @@ coalescing) is the same one you'd want on a 1000-executor cluster — only
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -49,6 +50,38 @@ def harden(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # non-runtime conf on this build — defaults are acceptable
     return spark
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, confs: dict):
+    """Set runtime confs for the duration of the block, then restore the
+    previous values (unset if previously unset) — even on exception.
+
+    AQE reads confs at EXECUTION time, not DataFrame-build time, so a
+    query that wants a non-default conf must either execute inside this
+    scope (materializing its result, e.g. via ``localCheckpoint`` on a
+    bounded frame) or accept that a lazily-returned plan runs under
+    whatever conf is live later.  Never set a session-wide conf and rely
+    on a later ``harden()`` to reset it — the conf would leak to any
+    other workload sharing the session."""
+    old: dict = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in old.items():
+            try:
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            except Exception:
+                pass
 
 
 def get_spark(app_name: str = "ida-spark", shuffle_partitions: int | None = None) -> SparkSession:

@@ -76,20 +76,30 @@ def build_bucket_manifest(
     return df.groupBy(BUCKET_COL).agg(*aggs).localCheckpoint()
 
 
-def prune_buckets(manifest: DataFrame, predicates: dict[str, tuple]) -> DataFrame:
-    """Buckets whose [min, max] envelope overlaps EVERY predicate
-    interval — a relational filter on the manifest table (no collect, no
-    driver loop; works unchanged on a 10⁶-row manifest).
+def keep_expr(predicates: dict[str, tuple]) -> "F.Column":
+    """The bucket-keep predicate as ONE boolean Column: [min, max]
+    envelope overlaps EVERY predicate interval.  Shared by
+    ``prune_buckets`` (the actual pruning filter) and ``pruned_read``'s
+    stats aggregate, so the reported buckets_read/files_read can never
+    drift from what the read prunes.
 
     An all-NULL column envelope (min and max both NULL) cannot satisfy an
     inclusive-bounds residual filter, so those buckets are pruned."""
-    keep = manifest
+    kept = F.lit(True)
     for c, (lo, hi) in predicates.items():
         mn, mx = F.col(f"min_{c}"), F.col(f"max_{c}")
-        keep = keep.filter(
-            mn.isNotNull() & mx.isNotNull() & (mx >= F.lit(lo)) & (mn <= F.lit(hi))
+        kept = kept & (
+            mn.isNotNull() & mx.isNotNull()
+            & (mx >= F.lit(lo)) & (mn <= F.lit(hi))
         )
-    return keep
+    return kept
+
+
+def prune_buckets(manifest: DataFrame, predicates: dict[str, tuple]) -> DataFrame:
+    """Buckets satisfying ``keep_expr`` — a relational filter on the
+    manifest table (no collect, no driver loop; works unchanged on a
+    10⁶-row manifest)."""
+    return manifest.filter(keep_expr(predicates))
 
 
 def pruned_read(
@@ -116,17 +126,12 @@ def pruned_read(
     for c, (lo, hi) in predicates.items():
         df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
 
-    # total + kept counts in ONE bounded job: the keep predicate becomes
-    # a flag column and both sides aggregate conditionally (was two
-    # sequential collects over the manifest — pure job-overhead at any
-    # scale, since the manifest is already materialized)
-    kept_flag = F.lit(True)
-    for c, (lo, hi) in predicates.items():
-        mn, mx = F.col(f"min_{c}"), F.col(f"max_{c}")
-        kept_flag = kept_flag & (
-            mn.isNotNull() & mx.isNotNull()
-            & (mx >= F.lit(lo)) & (mn <= F.lit(hi))
-        )
+    # total + kept counts in ONE bounded job: the SAME keep predicate the
+    # pruning filter uses (keep_expr) becomes a flag column and both
+    # sides aggregate conditionally (was two sequential collects over the
+    # manifest — pure job-overhead at any scale, since the manifest is
+    # already materialized)
+    kept_flag = keep_expr(predicates)
     row = manifest.agg(
         F.count("*").alias("bt"),
         F.sum("n_files").alias("ft"),
