@@ -27,10 +27,12 @@ _SHEET_OF = {"SMP": "Móvel_Pessoal", "STFC": "Fixo"}
 _OFF = {"SMP": 0, "STFC": 40}
 
 
-def _ods_grid(nation_rows, off: int):
+def _ods_grid(nation_rows, off: int, invalid: tuple[int, int] = (1, 5)):
     """Reference-shaped grid: preamble rows, header at index 2, group
     names only on every 3rd data row (merged-cell style), comma-decimal
-    values, '-' invalid cells at k%5==0 in month 2."""
+    values, '-' invalid cells at k%mod==0 in the month at ``invalid``
+    = (0-based month index, modulus)."""
+    inv_idx, inv_mod = invalid
     grid = [
         ["Indicadores IDA - dados brutos", None],
         [None],
@@ -38,13 +40,18 @@ def _ods_grid(nation_rows, off: int):
     ]
     for r in nation_rows:
         k = r.n_nationkey
+        cells = [
+            f"{k + off},5",
+            f"{(k + off) * 2},0",
+            f"{(k + off) * 3},25",
+        ]
+        if k % inv_mod == 0:
+            cells[inv_idx] = "-"
         grid.append(
             [
                 r.n_name if k % 3 == 0 else None,
                 "Taxa de Respondidas em 5 dias Úteis",
-                f"{k + off},5",
-                "-" if k % 5 == 0 else f"{(k + off) * 2},0",
-                f"{(k + off) * 3},25",
+                *cells,
             ]
         )
     return grid
@@ -126,6 +133,86 @@ def q_pipeline_ods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # eager readout (handful of service×month rows) so the temp .ods files
     # can be deleted before returning
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "pipeline_ingest_binaryfile",
+    """
+    WITH months(mes, mul, frac) AS (
+        VALUES ('2017-01', 1, 0.5), ('2017-02', 2, 0.0), ('2017-03', 3, 0.25)),
+    svc(servico, off) AS (VALUES ('SMP', 5), ('STFC', 45)),
+    vals AS (
+        SELECT s.servico, m.mes,
+               CAST((n.n_nationkey + s.off) * m.mul + m.frac AS DOUBLE) AS valor
+        FROM nation n, months m, svc s
+        WHERE NOT (m.mes = '2017-03' AND n.n_nationkey % 7 = 0))
+    SELECT servico, mes,
+           CAST(SUM(CAST(valor AS DECIMAL(38,6))) AS DOUBLE) / COUNT(valor)
+             AS valor_medio,
+           COUNT(*) AS n
+    FROM vals GROUP BY servico, mes
+    """,
+)
+def q_pipeline_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op03 in its DISTRIBUTED-fetch form (upgrades the driver-side
+    stub): op01 catalog → op02 relational resource filter (decoy
+    resources — wrong year, wrong format — are filtered OUT; their URLs
+    intentionally do not exist, so a filtering bug would fail the fetch,
+    not silently pass) → ``fetch_ods_long`` (sources/ods.py): the
+    manifest hash-partitions on url and each executor task fetches its
+    own resources with urllib over ``file://`` fixtures and parses the
+    bytes in the SAME Arrow stage — matching the at-scale posture
+    SURVEY §2.1 prescribes for /root/reference/etl/etl_ida.py:714-730,
+    where the reference downloads each ODS into one process's memory.
+    Downstream is the shared transform chain, read out as per-service
+    monthly averages (all three months — no LAG, distinct from
+    ``pipeline_ingest_ods``'s month-over-month readout)."""
+    from ..sources.manifest import Resource, filter_resources, manifest_df
+    from ..sources.ods import fetch_ods_long
+
+    nation_rows = sorted(
+        table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect(),
+        key=lambda r: r.n_nationkey,
+    )
+    base = Path(tempfile.mkdtemp(prefix=f"e2e_bf_{Path(sf_dir).name}_"))
+    offs = {"SMP": 5, "STFC": 45}
+    for svc, sheet in _SHEET_OF.items():
+        write_minimal_ods(
+            str(base / f"{svc.lower()}_2017.ods"),
+            {sheet: _ods_grid(nation_rows, offs[svc], invalid=(2, 7))},
+        )
+    resources = [
+        Resource(
+            titulo=f"IDA 2017 - {svc}",
+            url=(base / f"{svc.lower()}_2017.ods").as_uri(),
+            formato="ods",
+        )
+        for svc in _SHEET_OF
+    ] + [
+        # decoys op02 must drop — the files do not exist
+        Resource("IDA 2016 - SMP", (base / "smp_2016.ods").as_uri(), "ods"),
+        Resource("Dicionário de dados", (base / "dict.pdf").as_uri(), "pdf"),
+    ]
+    man = filter_resources(
+        manifest_df(spark, resources), services=("SMP", "STFC"), years=(2017,)
+    )
+    long = fetch_ods_long(man)
+    rec = transform_wide(long_to_wide(long))
+    out = (
+        rec.select(
+            "servico", F.date_format("ano_mes", "yyyy-MM").alias("mes"), "valor"
+        )
+        .groupBy("servico", "mes")
+        .agg(
+            avg_exact(F.col("valor"), scale=6).alias("valor_medio"),
+            F.count("*").alias("n"),
+        )
+    )
     rows = out.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)

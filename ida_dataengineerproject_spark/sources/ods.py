@@ -203,6 +203,34 @@ def read_ods_long(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(gen, LONG_SCHEMA)
 
 
+def fetch_ods_long(manifest: DataFrame, timeout: float = 60.0) -> DataFrame:
+    """op03 in its DISTRIBUTED form (reference fetches each resource
+    in-process on one machine, etl/etl_ida.py:714-730): the resource
+    manifest — one row per URL, built by op01/op02
+    (sources/manifest.py) — is hash-repartitioned on ``url`` so each
+    executor task fetches ITS OWN subset (urllib: ``http(s)://`` and
+    ``file://`` alike, so the sandbox exercises the real code path
+    against local fixtures), and parses the bytes to normalized long
+    rows in the SAME Arrow stage.
+
+    Scale shape: fetch and decode are fused, so raw spreadsheet bytes
+    never cross a shuffle and never funnel through the driver — at 10⁶
+    resources the manifest is just another table and the fetch fans out
+    with the cluster.  One file per row (a zip member cannot be split),
+    the same parallelism unit as the binaryFile scan."""
+    from .manifest import fetch_to_memory
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for u in pdf["url"]:
+                out = _file_to_long(u, fetch_to_memory(u, timeout=timeout))
+                if len(out):
+                    yield out
+
+    urls = manifest.select("url").repartition(F.col("url"))
+    return urls.mapInPandas(gen, LONG_SCHEMA)
+
+
 def long_to_wide(long: DataFrame) -> DataFrame:
     """Long rows → the wide layout ``plans/etl.transform_wide`` expects.
     Month columns are dynamic per dataset, so the distinct month list is

@@ -196,3 +196,39 @@ def test_ods_python_datasource_matches_mapinpandas(spark, tmp_path):
     assert sorted(map(key, via_ds.collect())) == sorted(
         map(key, via_mip.collect())
     )
+
+
+def test_fetch_ods_long_distributed(spark, tmp_path):
+    """op03 distributed-fetch form: manifest of file:// URLs → executor-side
+    urllib fetch fused with the ODS parse in one Arrow stage.  Decoy URLs
+    (dropped by op02's filter) do not exist — if filtering regressed, the
+    fetch itself would raise, so passing proves both fetch and filter."""
+    from ida_dataengineerproject_spark.sources.manifest import (
+        Resource,
+        filter_resources,
+        manifest_df,
+    )
+    from ida_dataengineerproject_spark.sources.ods import (
+        fetch_ods_long,
+        write_minimal_ods,
+    )
+
+    p = tmp_path / "smp_2019.ods"
+    write_minimal_ods(str(p), {"Móvel_Pessoal": _grid("SMP")})
+    resources = [
+        Resource("IDA 2019 - SMP", p.as_uri(), "ods"),
+        Resource("IDA 2019 - SMP", (tmp_path / "nope.ods").as_uri(), "pdf"),
+        Resource("IDA 1999 - SMP", (tmp_path / "nope2.ods").as_uri(), "ods"),
+    ]
+    man = filter_resources(
+        manifest_df(spark, resources), services=("SMP",), years=(2019,)
+    )
+    long = fetch_ods_long(man)
+    rows = long.collect()
+    # 3 data rows x 2 months, ARQUIVO_ORIGEM = url basename
+    assert len(rows) == 6
+    assert {r.ARQUIVO_ORIGEM for r in rows} == {"smp_2019.ods"}
+    vals = {
+        (r.ano_mes, r.linha_origem): r.valor_raw for r in rows
+    }
+    assert vals[("2019-01", 1)] == "10,5" and vals[("2019-02", 2)] == "-"
