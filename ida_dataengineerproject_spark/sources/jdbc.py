@@ -6,10 +6,11 @@ maps to the reference's BATCH_SIZE=1000 (etl_ida.py:79) and
 ``numPartitions`` bounds the connection fan-out like the reference's
 SimpleConnectionPool(1,5) (etl_ida.py:450-453).
 
-No database is reachable in this container, so these helpers only build
-the reader/writer (pure plan/driver objects — testable without a
-connection); `.load()` / the returned writer's `.save()` are the live
-calls a deployment makes.
+No PostgreSQL server is reachable in this container, but the load path is
+exercised LIVE against the embedded Derby engine that ships in Spark's
+jars (tests/test_jdbc_builders.py: plain round-trip, staged MERGE upsert,
+and the full star write-then-read-back with value parity); the
+PostgreSQL-specific ``ON CONFLICT`` arm is pinned by SQL-generation tests.
 """
 
 from __future__ import annotations

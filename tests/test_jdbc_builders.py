@@ -193,3 +193,50 @@ def test_ansi_dialect_merge_unchanged_and_url_dispatch():
         'WHEN NOT MATCHED THEN INSERT ("k", "v") VALUES (s."k", s."v")'
     )
     assert stmts[1] == "DROP TABLE t_staging"
+
+
+def test_jdbc_star_roundtrip_derby(spark, tmp_path):
+    """The reference's REAL sink is a relational star (PostgreSQL,
+    etl/etl_ida.py:461-554): persist the full star through the JDBC load
+    path against embedded Derby and read every table back, asserting
+    row-count + value parity with the parquet star.  The parquet star is
+    materialized FIRST so nondeterministic columns (data_processamento =
+    current_timestamp) are frozen before both loads."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.plans.etl import ingest, write_star
+    from ida_dataengineerproject_spark.sources.jdbc import jdbc_reader, jdbc_writer
+
+    cols = (
+        "linha_origem int, GRUPO_ECONOMICO string, VARIAVEL string, "
+        "`2017-01` string, `2017-02` string, SERVICO string, ARQUIVO_ORIGEM string"
+    )
+    rows = [
+        (1, "CLARO S.A.", "Taxa de Respondidas em 5 dias Úteis", "12,34", "56,7", "SMP", "SMP_2017.ods"),
+        (2, None, "Índice de Reclamações", "89.5", "-", "SMP", "SMP_2017.ods"),
+        (3, "ACME TELECOM", "Taxa de Respondidas em 5 dias Úteis", "50", "60", "SMP", "SMP_2017.ods"),
+        (1, "OI S.A.", "Taxa de Respondidas em 5 dias Úteis", "1,5", "2,5", "STFC", "STFC_2017.ods"),
+    ]
+    wide = spark.createDataFrame(rows, cols)
+    star = ingest(spark, wide)
+    base = str(tmp_path / "star")
+    write_star(star, base)
+
+    url = "jdbc:derby:memory:jdbc_star;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def canon(df):
+        return sorted(
+            tuple(str(v) for v in row)
+            for row in df.select(*sorted(df.columns)).collect()
+        )
+
+    for name in star:
+        parquet = spark.read.parquet(f"{base}/{name}")
+        jdbc_writer(
+            parquet, url=url, table=name, batch_size=1000, num_partitions=2,
+            mode="overwrite", driver=driver,
+        ).save()
+        back = jdbc_reader(spark, url=url, table=name, driver=driver).load()
+        assert back.count() == parquet.count(), name
+        assert canon(back) == canon(parquet), name
