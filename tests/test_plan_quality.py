@@ -480,3 +480,49 @@ def test_scd2_merge_joins_on_natural_key_once(spark):
     # user-partitioned (no single-task sort)
     assert plan.count("FullOuter") == 1
     assert "Exchange SinglePartition" not in plan
+
+
+def _nodes(plan: str, op: str) -> int:
+    """Physical nodes named `op` — counted via the formatted-explain
+    detail headers '(N) Op', one per node."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {op}(?:\b|$)", plan, flags=re.M))
+
+
+def test_pit_feature_join_no_nested_loop(spark):
+    """xq35's docstring claims the point-in-time join never degrades to a
+    nested-loop/cartesian plan — pin it (the classic as-of failure mode
+    is a range-condition join Catalyst can only run as BNLJ)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xq35_pit_feature_join"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_golden_record_single_aggregate(spark):
+    """x35 survivorship must stay ONE map-side-combined aggregate over the
+    cluster key: exactly one shuffle (partial+final agg pair), and no
+    Window — no cluster ever sorts or buffers its members."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["x35_golden_record_merge"](spark, SF_SMOKE))
+    assert _nodes(plan, "Window") == 0
+    aggs = (
+        _nodes(plan, "HashAggregate")
+        + _nodes(plan, "SortAggregate")
+        + _nodes(plan, "ObjectHashAggregate")
+    )
+    assert aggs == 2  # one logical aggregate = partial + final
+    assert _nodes(plan, "Exchange") == 1  # the cluster-key shuffle only
+
+
+def test_activity_streaks_single_window(spark):
+    """xq38 gaps-and-islands must run ONE window pass (the island-id
+    assignment); everything after is aggregation — a second window would
+    mean a second full sort of the per-user timeline."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["xq38_activity_streaks"](spark, SF_SMOKE))
+    assert _nodes(plan, "Window") == 1
