@@ -133,3 +133,56 @@ def test_state_dir_uri_rejected_loudly(spark, tmp_path):
 
     with pytest.raises(ValueError, match="driver-local"):
         _latest_version("s3a://bucket/state")
+
+
+def test_kmv_filtered_equals_unfiltered_build(spark):
+    """kmv_sketch_filtered must produce the SAME sketch as kmv_sketch —
+    the threshold filter only removes hashes that could never reach the
+    bottom-k — on both a filtered (n >> margin*k) and an unfiltered
+    (n < margin*k, f=1) group, including duplicate-heavy streams."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.operators.sketch import (
+        kmv_sketch,
+        kmv_sketch_filtered,
+    )
+
+    k = 32
+    rows = (
+        # big group: 10k distinct keys, each duplicated 3x
+        [("big", f"k{i}") for i in range(10_000) for _ in range(3)]
+        # small group: 10 distinct (< k) — must stay complete (sk_n < k)
+        + [("small", f"s{i}") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "g string, key string")
+    base = {r.g: (r.sk, r.sk_n) for r in kmv_sketch(df, "g", "key", k=k).collect()}
+    filt = {
+        r.g: (r.sk, r.sk_n)
+        for r in kmv_sketch_filtered(df, "g", "key", k=k).collect()
+    }
+    assert filt == base
+    assert filt["small"][1] == 10  # completeness survives the filter
+
+
+def test_kmv_filtered_jaccard_accuracy(spark):
+    """x22's production path: jaccard from filtered sketches within 15%
+    relative of the exact jaccard on a 2-group overlap corpus."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.operators.sketch import (
+        kmv_overlap,
+        kmv_sizes,
+        kmv_sketch_filtered,
+    )
+
+    k = 256
+    # A: 0..5999, B: 3000..8999 → inter 3000, union 9000, J = 1/3
+    rows = [("A", f"k{i}") for i in range(6000)] + [
+        ("B", f"k{i}") for i in range(3000, 9000)
+    ]
+    df = spark.createDataFrame(rows, "g string, key string")
+    sk = kmv_sketch_filtered(df, "g", "key", k=k).localCheckpoint()
+    inter = kmv_overlap(sk, k=k).collect()[0]
+    sizes = {r.g: r.est_n for r in kmv_sizes(sk, k=k).collect()}
+    j = inter.est_inter / (sizes["A"] + sizes["B"] - inter.est_inter)
+    assert abs(j - 1 / 3) / (1 / 3) < 0.15
