@@ -139,8 +139,8 @@ def q_x22(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # r8: hash each shingle to 64 bits INSIDE the array (transform stays
     # codegen, one row per doc until the explode) so the groupBy shuffles
-    # bigints instead of ~30-byte shingle strings — measured 1.72→1.17 s
-    # at sf0.1.  Set arithmetic on hashes equals set arithmetic on
+    # bigints instead of ~30-byte shingle strings — controlled A/B at
+    # sf0.1: 1.50 → 1.26 s for the core pipeline.  Set arithmetic on hashes equals set arithmetic on
     # strings absent xxhash64 collisions (P ≈ n²/2⁶⁵ ≈ 3e-6 at 10⁶
     # distinct shingles); the oracle computes on the strings, so the
     # both-SF hash-match parity runs verify the equality holds on the
@@ -151,9 +151,17 @@ def q_x22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(ngram_shingles("text", SHINGLE_K), lambda s: F.xxhash64(s))
         ).alias("g"),
     )
+    # r8: collapse per-shingle source-sets to DISTINCT SETS first — a
+    # second aggregate over the array value, ≤ 2^|sources| output rows,
+    # map-side combined in the same stage as the groupBy(g) output — and
+    # expand source pairs from that tiny frame.  Wall-neutral at sf0.1
+    # (the grouped-row explode it replaces was cheap codegen), but pair
+    # emission is now O(distinct sets × sources²) instead of
+    # O(grouped shingles) — the arm that stays flat as the corpus grows.
     grouped = sh.groupBy("g").agg(
         F.array_sort(F.collect_set("source")).alias("s")
     )
+    sets = grouped.groupBy("s").agg(F.count("*").alias("cnt"))
     tokens = (
         "concat("
         "  CASE WHEN size(s) >= 2 THEN"
@@ -165,9 +173,9 @@ def q_x22(spark: SparkSession, sf_dir: str) -> DataFrame:
         ")"
     )
     agg = (
-        grouped.select(F.explode(F.expr(tokens)).alias("p"))
+        sets.select(F.explode(F.expr(tokens)).alias("p"), "cnt")
         .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("cnt").alias("c"))
         .localCheckpoint()
     )
     inter = agg.filter(F.col("src_b").isNotNull()).withColumnRenamed(
