@@ -87,6 +87,57 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def cms_join_size(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+    width: int = 8192,
+    depth: int = 3,
+) -> DataFrame:
+    """Equi-join cardinality estimate WITHOUT running the join — the CMS
+    inner-product estimator (Cormode & Muthukrishnan 2005, §4.2):
+    |A ⋈ B| = Σ_k f_A(k)·f_B(k), and the inner product of two CMS rows
+    over-estimates it one-sidedly; min over the d rows tightens.
+    Guarantee: est ≥ true always; est ≤ true + ε·|A|·|B| w.p. 1−(1/2)^d
+    with ε = e/width.
+
+    This is what a query PLANNER needs at 100 TB: each side compresses
+    to depth×width counters (map-side combined aggregate, shuffle payload
+    = sketch size, never data size), the sketches join on (d, bucket) —
+    ≤ depth×width rows — and the per-depth inner products reduce to one
+    row.  Estimating the join costs O(|A|+|B|) scan and O(sketch)
+    shuffle; running it costs a full shuffle of both sides.
+
+    Hashes are the Carter-Wegman integer family (functions/hashing.py),
+    bit-identical in DuckDB — the oracle rebuilds the sketches
+    relationally and must match the estimate EXACTLY, not just within
+    the bound (depth ≤ 3: that family ships 3 seed pairs)."""
+    from ..functions.hashing import cw_bucket
+
+    if depth > 3:
+        raise ValueError("CW family ships 3 seed pairs; depth <= 3")
+
+    def sk(df: DataFrame, key: str) -> DataFrame:
+        rows = df.select(
+            F.posexplode(
+                F.array(
+                    *[cw_bucket(F.col(key), d, width) for d in range(1, depth + 1)]
+                )
+            ).alias("d", "bkt")
+        )
+        return rows.groupBy("d", "bkt").agg(F.count("*").alias("c"))
+
+    sa = sk(a, key_a)
+    sb = sk(b, key_b).withColumnRenamed("c", "cb")
+    per_depth = (
+        sa.join(sb, ["d", "bkt"])
+        .groupBy("d")
+        .agg(F.sum(F.col("c") * F.col("cb")).alias("ip"))
+    )
+    return per_depth.agg(F.min("ip").cast("long").alias("est_join_size"))
+
+
 def mg_candidates(
     keys: DataFrame, capacity: int = 1024, key_col: str = "key"
 ) -> DataFrame:

@@ -1921,3 +1921,96 @@ def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.sum("n_streaks").alias("total_streaks"),
     )
+
+
+def _cms_sk_sql(src: str, key: str, width: int) -> str:
+    """DuckDB twin of the cms_join_size sketch build: 3 CW seeds."""
+    from ..functions.hashing import cw_bucket_sql
+
+    arms = " UNION ALL ".join(
+        f"SELECT {d} AS d, {cw_bucket_sql(key, d, width)} AS bkt FROM {src}"
+        for d in (1, 2, 3)
+    )
+    return f"SELECT d, bkt, CAST(count(*) AS BIGINT) AS c FROM ({arms}) GROUP BY d, bkt"
+
+
+_CMS_W = 8192
+
+
+@register(
+    "x38_cms_join_size",
+    f"""
+    WITH a AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'O'),
+    b AS (SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+    sa AS ({{SA}}),
+    sb AS ({{SB}}),
+    ip AS (
+        SELECT sa.d, SUM(sa.c * sb.c) AS ip
+        FROM sa JOIN sb ON sa.d = sb.d AND sa.bkt = sb.bkt
+        GROUP BY sa.d),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip),
+    ex AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_join_size,
+               (SELECT count(*) FROM a) * (SELECT count(*) FROM b) AS nn
+        FROM a JOIN b USING (k))
+    SELECT est.est_join_size, ex.exact_join_size,
+           (est.est_join_size >= ex.exact_join_size AND
+            CAST(est.est_join_size AS DOUBLE) <=
+            CAST(ex.exact_join_size AS DOUBLE)
+              + 2.718281828459045 / {_CMS_W} * CAST(ex.nn AS DOUBLE))
+             AS cms_ok
+    FROM est, ex
+    """.replace("{SA}", _cms_sk_sql("a", "k", _CMS_W))
+    .replace("{SB}", _cms_sk_sql("b", "k", _CMS_W)),
+)
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from Count-Min sketches — the query
+    PLANNER primitive: |σ(orders) ⋈ σ(lineitem)| predicted from two
+    depth×width counter tables (operators/sketch.py::cms_join_size, CMS
+    inner product, min over depths) without shuffling either side.
+
+    Contract arm (this registration): the exact join count and the
+    bound check est ≥ exact ∧ est ≤ exact + (e/width)·|A|·|B| run
+    alongside; the estimate itself must match the oracle EXACTLY (the
+    CW hash family is bit-identical across engines), so this is a
+    hash-match row, not a tolerance row.  At 100 TB only the sketch
+    side runs: two map-side-combined aggregates of ≤ 3×{_CMS_W} rows
+    each."""
+    from ..operators.sketch import cms_join_size
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    a = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("k")
+    )
+    b = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k")
+    )
+    est = cms_join_size(a, b, "k", "k", width=_CMS_W, depth=3)
+    exact = (
+        a.join(b, "k")
+        .agg(F.count("*").cast("long").alias("exact_join_size"))
+        .crossJoin(
+            F.broadcast(
+                a.agg(F.count("*").alias("na")).crossJoin(
+                    b.agg(F.count("*").alias("nb"))
+                )
+            )
+        )
+        .select("exact_join_size", (F.col("na") * F.col("nb")).alias("nn"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "est_join_size",
+            "exact_join_size",
+            (
+                (F.col("est_join_size") >= F.col("exact_join_size"))
+                & (
+                    F.col("est_join_size").cast("double")
+                    <= F.col("exact_join_size").cast("double")
+                    + 2.718281828459045 / _CMS_W * F.col("nn").cast("double")
+                )
+            ).alias("cms_ok"),
+        )
+    )

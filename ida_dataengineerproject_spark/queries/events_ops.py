@@ -569,3 +569,98 @@ def q_reengagement_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_latency_sec"),
         F.max("lat_us").cast("long").alias("max_latency_us"),
     )
+
+
+@register(
+    "xq40_funnel_conversion",
+    """
+    WITH w1 AS (
+        SELECT user_id, event_type, ts,
+               min(ts) FILTER (WHERE event_type = 'view')
+                 OVER (PARTITION BY user_id) AS t1
+        FROM events),
+    w2 AS (
+        SELECT *, min(ts) FILTER (WHERE event_type = 'click' AND ts >= t1)
+                    OVER (PARTITION BY user_id) AS t2
+        FROM w1),
+    w3 AS (
+        SELECT *, min(ts) FILTER (WHERE event_type = 'purchase' AND ts >= t2)
+                    OVER (PARTITION BY user_id) AS t3
+        FROM w2),
+    pu AS (
+        SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        FROM w3 GROUP BY user_id),
+    c AS (
+        SELECT CAST(count(*) FILTER (WHERE t1 IS NOT NULL) AS BIGINT) AS n1,
+               CAST(count(*) FILTER (WHERE t2 IS NOT NULL) AS BIGINT) AS n2,
+               CAST(count(*) FILTER (WHERE t3 IS NOT NULL) AS BIGINT) AS n3
+        FROM pu)
+    SELECT s.step, s.users,
+           CAST(s.users AS DOUBLE) / CAST(s.prev AS DOUBLE) AS conv_rate
+    FROM c, LATERAL (VALUES ('1_view', n1, CAST(NULL AS BIGINT)),
+                            ('2_click', n2, n1),
+                            ('3_purchase', n3, n2)) AS s(step, users, prev)
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ordered funnel (view → click → purchase) — the correct
+    general form of x11's first-touch approximation.  x11 counts a user
+    at step 2 only when their GLOBAL first click follows the first view
+    (one conditional-min aggregate — a user who clicked before AND
+    after their first view is wrongly dropped); here step 2 admits the
+    first click AT-OR-AFTER the first view, and step 3 the first
+    purchase at-or-after THAT click — the sequence semantics every
+    product-analytics funnel tool implements.
+
+    Scale shape: three chained whole-partition filtered window-mins on
+    the SAME user_id partitioning — ONE shuffle, three Window passes
+    over it, no self-joins (the naive form joins events to itself once
+    per funnel step).  Per-user state is three timestamps; the readout
+    aggregate is three counters unpivoted via stack.  Step semantics at
+    ties: same-timestamp qualifies (>=), matching the oracle exactly."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    d1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    d2 = d1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d3 = d2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    pu = d3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    c = pu.agg(
+        F.count_if(F.col("t1").isNotNull()).alias("n1"),
+        F.count_if(F.col("t2").isNotNull()).alias("n2"),
+        F.count_if(F.col("t3").isNotNull()).alias("n3"),
+    )
+    return c.select(
+        F.expr(
+            "stack(3, '1_view', n1, CAST(NULL AS BIGINT),"
+            " '2_click', n2, n1,"
+            " '3_purchase', n3, n2) AS (step, users, prev)"
+        )
+    ).select(
+        "step",
+        "users",
+        (F.col("users").cast("double") / F.col("prev").cast("double")).alias(
+            "conv_rate"
+        ),
+    )
