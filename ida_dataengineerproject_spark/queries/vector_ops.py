@@ -388,3 +388,104 @@ def q_x03h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle registration for ``cosine_topk_pq_query`` — VERIFY arm
     (brute-force recall contract); bench/production run PQ-only."""
     return cosine_topk_pq_query(spark, sf_dir, verify=True)
+
+
+_SIL_K = 8  # fixed centroid count (vec_id < _SIL_K are the centroids)
+
+
+@register(
+    "x39_centroid_silhouette",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id < {_SIL_K}),
+    pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pv
+            FROM embeddings WHERE vec_id >= {_SIL_K}),
+    scored AS (
+        SELECT p.vec_id, c.cid,
+               ROUND(list_cosine_similarity(p.pv, c.cv), 9) AS cos_r,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(p.pv, c.cv), 9) DESC,
+                            c.cid) AS rn
+        FROM pts p CROSS JOIN cent c),
+    per_pt AS (
+        SELECT vec_id,
+               max(CASE WHEN rn = 1 THEN cid END) AS assigned,
+               1.0 - max(CASE WHEN rn = 1 THEN cos_r END) AS a,
+               1.0 - max(CASE WHEN rn = 2 THEN cos_r END) AS b
+        FROM scored GROUP BY vec_id),
+    sil AS (
+        SELECT assigned,
+               ROUND((b - a) / GREATEST(a, b), 9) AS s
+        FROM per_pt)
+    SELECT CAST(assigned AS BIGINT) AS centroid_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+             AS avg_silhouette
+    FROM sil GROUP BY assigned
+    """,
+)
+def q_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit: SIMPLIFIED silhouette (Hruschka et al. —
+    distances to CENTROIDS, not the O(n²) all-pairs mean) of the corpus
+    under a fixed 8-centroid cosine assignment.  a = distance to the
+    assigned (nearest) centroid, b = distance to the best OTHER
+    centroid, s = (b−a)/max(a,b); per-cluster mean s is the quality
+    readout every embedding-pipeline health check wants.
+
+    Determinism: centroids are the first {_SIL_K} vectors (a fixed
+    codebook stand-in — quantizer fitting is x03d's job); cosines are
+    rounded to 9 before ranking and arithmetic (the repo's cross-engine
+    float contract); the per-cluster mean runs decimal-exact
+    (functions/aggs pattern), so the row hash-matches the oracle.
+
+    Scale shape: centroids broadcast (8 rows); each point's 8 scores
+    collapse to (assigned, a, b) through one groupBy(vec_id) over a
+    bounded 8-element sorted array — no corpus-wide window; the closing
+    per-cluster aggregate has 8 groups and map-side combines."""
+    from ..functions.vectors import as_double_array, cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _SIL_K).select(
+        F.col("vec_id").alias("cid"), as_double_array("embedding").alias("cv")
+    )
+    pts = emb.filter(F.col("vec_id") >= _SIL_K).select(
+        "vec_id", as_double_array("embedding").alias("pv")
+    )
+    scored = pts.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.round(cosine(F.col("pv"), F.col("cv")), 9).alias("cos_r"),
+    )
+    # (assigned, a, b) from a bounded 8-element sorted array — sort key
+    # (-cos, cid) ascending puts the best-cosine / lowest-id first,
+    # matching the oracle's (cos DESC, cid) row_number exactly
+    per_pt = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("cos_r")).alias("neg"), F.col("cid"))
+                )
+            ).alias("arr")
+        )
+        .select(
+            F.element_at("arr", 1).getField("cid").alias("assigned"),
+            (F.lit(1.0) + F.element_at("arr", 1).getField("neg")).alias("a"),
+            (F.lit(1.0) + F.element_at("arr", 2).getField("neg")).alias("b"),
+        )
+    )
+    sil = per_pt.select(
+        "assigned",
+        F.round(
+            (F.col("b") - F.col("a")) / F.greatest("a", "b"), 9
+        ).alias("s"),
+    )
+    from ..functions.aggs import avg_exact
+
+    return sil.groupBy(
+        F.col("assigned").cast("long").alias("centroid_id")
+    ).agg(
+        F.count("*").alias("n_members"),
+        F.round(avg_exact(F.col("s"), scale=12), 6).alias("avg_silhouette"),
+    )
