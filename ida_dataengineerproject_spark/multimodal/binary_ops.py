@@ -495,3 +495,45 @@ def audio_frame_energy(
         "doc_id long, n_windows long, rms_min double, rms_max double, "
         "all_silent boolean",
     )
+
+
+def bmp_patch_tokens(
+    df: DataFrame, id_col: str = "doc_id", patch: int = 4
+) -> DataFrame:
+    """ViT-style patch tokenization over the binary image column: decode
+    the REAL pixel grid, tile it into ``patch``×``patch`` patches (edge
+    patches partial, exactly like every vision-transformer preprocessor),
+    and emit one row per patch with its channel-mean — the (token grid,
+    per-token feature) shape an image-text training pipeline feeds to the
+    encoder.  Arrow-batched mapInPandas: pure per-row kernel, no shuffle;
+    the row explosion is the patch count, bounded by the image dims."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, prs, pcs, means = [], [], [], []
+            for i, data in zip(pdf[id_col], pdf["payload"]):
+                arr = _bmp_pixels(bytes(data))
+                h, w = arr.shape[0], arr.shape[1]
+                for pr in range((h + patch - 1) // patch):
+                    for pc in range((w + patch - 1) // patch):
+                        tile = arr[
+                            pr * patch : (pr + 1) * patch,
+                            pc * patch : (pc + 1) * patch,
+                        ]
+                        ids.append(i)
+                        prs.append(pr)
+                        pcs.append(pc)
+                        means.append(float(np.mean(tile)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "patch_row": pd.Series(prs, dtype="int32"),
+                    "patch_col": pd.Series(pcs, dtype="int32"),
+                    "mean_pixel": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        op, "doc_id long, patch_row int, patch_col int, mean_pixel double"
+    )

@@ -158,3 +158,33 @@ def q_xmm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_wav_payload(table(spark, sf_dir, "documents"))
     return audio_frame_energy(d)
+
+
+@register(
+    "xmm_patch_tokens",
+    """
+    SELECT doc_id,
+           CAST(pr.x AS INTEGER) AS patch_row,
+           CAST(pc.x AS INTEGER) AS patch_col,
+           CAST(n % 256 AS DOUBLE) AS mean_pixel
+    FROM (SELECT doc_id, strlen(text) AS n,
+                 strlen(text) % 16 + 1 AS w,
+                 strlen(text) % 8 + 1 AS h
+          FROM documents),
+         unnest(range(0, CAST(ceil(h / 4.0) AS BIGINT))) pr(x),
+         unnest(range(0, CAST(ceil(w / 4.0) AS BIGINT))) pc(x)
+    """,
+)
+def q_xmm_patch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch tokenization plumbing: every document's BMP payload is
+    decoded to its real pixel grid and tiled into 4×4 patches (edge
+    patches partial) with per-patch channel means — one token row per
+    patch.  The oracle predicts the full (doc, row, col, mean) explosion
+    from the synthesis formulas: the grid is ceil(h/4)×ceil(w/4) and a
+    uniform image's every patch mean IS the gray level (strlen%256) —
+    so a bug in the decoder, the tiling bounds, or the partial-edge
+    handling breaks either the row set or the means."""
+    from ..multimodal.binary_ops import attach_bmp_payload, bmp_patch_tokens
+
+    d = attach_bmp_payload(table(spark, sf_dir, "documents"))
+    return bmp_patch_tokens(d)
