@@ -2142,86 +2142,3 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("gini"),
     )
-
-
-@register(
-    "xq44_rfm_segmentation",
-    """
-    WITH rfm AS (
-        SELECT o_custkey,
-               max(o_orderdate) AS last_dt,
-               CAST(count(*) AS BIGINT) AS freq,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6))
-                 AS monetary
-        FROM orders GROUP BY o_custkey),
-    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rfm),
-    ranked AS (
-        SELECT o_custkey,
-               row_number() OVER (ORDER BY last_dt, o_custkey) AS rk_r,
-               row_number() OVER (ORDER BY freq, o_custkey) AS rk_f,
-               row_number() OVER (ORDER BY monetary, o_custkey) AS rk_m
-        FROM rfm),
-    scored AS (
-        SELECT ((rk_r - 1) * 5) // n + 1 AS r_score,
-               ((rk_f - 1) * 5) // n + 1 AS f_score,
-               ((rk_m - 1) * 5) // n + 1 AS m_score
-        FROM ranked, n)
-    SELECT CAST(r_score AS INTEGER) AS r_score,
-           CAST(f_score AS INTEGER) AS f_score,
-           CAST(m_score AS INTEGER) AS m_score,
-           CAST(count(*) AS BIGINT) AS n_customers
-    FROM scored GROUP BY r_score, f_score, m_score
-    """,
-)
-def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM customer segmentation — recency / frequency / monetary
-    quintile scores (1..5) and the customer count per segment cell, the
-    classic CRM cut xq26's single-dimension ABC classes don't give.
-
-    Determinism without ntile: a quintile is a pure function of the
-    rank — score = (rk−1)·5 ÷ n + 1 in integer arithmetic — and each
-    rank comes from operators/ranking.py::global_rank (bucketed
-    two-level rank, ties broken by custkey), so NO single-partition
-    ntile window over the customer universe and both engines assign
-    bit-identical scores.  Three ranks = three bounded shuffles of the
-    per-customer aggregate (not the fact table); the closing aggregate
-    has ≤125 cells."""
-    from ..operators.ranking import global_rank
-
-    orders = table(spark, sf_dir, "orders")
-    rfm = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_dt"),
-        F.count("*").alias("freq"),
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-        .cast("decimal(38,6)")
-        .alias("monetary"),
-    ).localCheckpoint()  # three rank consumers — materialize the grain once
-    n = rfm.count()  # bounded: one long (the customer count)
-
-    def score(df, col, rank_col):
-        ranked = global_rank(df, col, ["o_custkey"], rank_col=rank_col)
-        return ranked.withColumn(
-            rank_col.replace("rk", "s"),
-            ((F.col(rank_col) - 1) * 5 / F.lit(n)).cast("long") + 1,
-        )
-
-    # dates rank as epoch-comparable values; global_rank buckets on the
-    # value column directly
-    s = score(
-        rfm.withColumn(
-            "last_dt_l", F.unix_micros(F.col("last_dt").cast("timestamp"))
-        ),
-        "last_dt_l",
-        "rk_r",
-    )
-    s = score(s, "freq", "rk_f")
-    s = score(s, "monetary", "rk_m")
-    return (
-        s.select(
-            F.col("s_r").cast("int").alias("r_score"),
-            F.col("s_f").cast("int").alias("f_score"),
-            F.col("s_m").cast("int").alias("m_score"),
-        )
-        .groupBy("r_score", "f_score", "m_score")
-        .agg(F.count("*").alias("n_customers"))
-    )
