@@ -227,3 +227,86 @@ def cdc_latest_state_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage", T.IntegerType()),
+        T.StructField("t1_us", T.LongType()),
+        T.StructField("t2_us", T.LongType()),
+        T.StructField("t3_us", T.LongType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t1", T.LongType()),
+        T.StructField("t2", T.LongType()),
+        T.StructField("t3", T.LongType()),
+    ]
+)
+
+
+def _funnel_update(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Per-user ordered funnel state machine (view → click → purchase,
+    >= ties), the streaming twin of queries/events_ops.py::
+    q_funnel_conversion's per-user (t1, t2, t3) triple.
+
+    State: three epoch-micros (-1 = stage not reached).  Rows are sorted
+    by ts WITHIN the batch; across batches the update rules are monotone
+    (a stage timestamp only ever moves earlier, and moving t1 earlier
+    never invalidates t2 ≥ old-t1 ≥ new-t1), so the final state equals
+    the batch semantics whenever each user's events arrive in
+    timestamp order across batches — the in-order/watermark delivery
+    contract, same as every stateful op here."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+    frames = [pdf for pdf in batches]
+    rows = pd.concat(frames).sort_values("ts")
+    ts_us = rows["ts"].astype("int64") // 1000
+    for et, ts in zip(rows["event_type"], ts_us):
+        ts = int(ts)
+        if et == "view" and (t1 < 0 or ts < t1):
+            t1 = ts
+        elif et == "click" and t1 >= 0 and ts >= t1 and (t2 < 0 or ts < t2):
+            t2 = ts
+        elif et == "purchase" and t2 >= 0 and ts >= t2 and (t3 < 0 or ts < t3):
+            t3 = ts
+    state.update((t1, t2, t3))
+    stage = 3 if t3 >= 0 else (2 if t2 >= 0 else (1 if t1 >= 0 else 0))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "stage": pd.Series([stage], dtype="int32"),
+            "t1_us": [t1 if t1 >= 0 else None],
+            "t2_us": [t2 if t2 >= 0 else None],
+            "t3_us": [t3 if t3 >= 0 else None],
+        }
+    )
+
+
+def funnel_stage_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact ordered funnel: per-user stage + stage timestamps
+    maintained across micro-batches (applyInPandasWithState, update
+    mode).  Consumers read the LATEST row per user; because updates are
+    monotone, min-ignoring-nulls per column over all emissions equals
+    the final state (what the batch-parity test pins)."""
+    return (
+        events.select("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_update,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

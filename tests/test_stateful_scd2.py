@@ -150,3 +150,101 @@ def test_streaming_cdc_matches_batch_apply(spark):
         for r in cdc_apply_latest_state(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Streaming exact-ordered-funnel state == the batch xq40 per-user
+    (t1, t2, t3) triple, with the stream chopped into 4 time-ordered
+    files processed one per micro-batch (the in-order delivery contract
+    the operator documents)."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.sources.tables import table
+    from ida_dataengineerproject_spark.streaming.stateful import (
+        FUNNEL_OUTPUT_SCHEMA,
+        funnel_stage_stream,
+    )
+
+    ev = table(spark, SF_SMOKE, "events").select("user_id", "event_type", "ts")
+    # 4 ts-ordered files: quartile boundaries on the timestamp
+    bounds = [r.ts for r in ev.select("ts").orderBy("ts").collect()]
+    cuts = [bounds[len(bounds) * i // 4] for i in (1, 2, 3)]
+    src = str(tmp_path / "src")
+    parts = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter((F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2])),
+        ev.filter(F.col("ts") >= cuts[2]),
+    ]
+    import os, time
+    os.makedirs(src, exist_ok=True)
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+        time.sleep(1.1)  # distinct mtimes → file-source processes in order
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = funnel_stage_stream(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_funnel")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.table("t_funnel")
+    # monotone updates → min-ignoring-nulls per column == final state
+    got = {
+        r.user_id: (r.t1, r.t2, r.t3)
+        for r in emitted.groupBy("user_id")
+        .agg(
+            F.min("t1_us").alias("t1"),
+            F.min("t2_us").alias("t2"),
+            F.min("t3_us").alias("t3"),
+        )
+        .collect()
+    }
+    # batch twin: xq40's per-user chained filtered window-mins
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    d = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    pu = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    to_us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    want = {
+        r.user_id: (r.t1, r.t2, r.t3)
+        for r in pu.select(
+            "user_id",
+            to_us("t1").alias("t1"),
+            to_us("t2").alias("t2"),
+            to_us("t3").alias("t3"),
+        ).collect()
+    }
+    assert got == want
