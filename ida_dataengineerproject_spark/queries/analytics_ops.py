@@ -2014,131 +2014,3 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cms_ok"),
         )
     )
-
-
-@register(
-    "xq41_ols_quantity_price",
-    """
-    WITH s AS (
-        SELECT l_returnflag, l_linestatus,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
-        FROM lineitem GROUP BY l_returnflag, l_linestatus)
-    SELECT l_returnflag, l_linestatus, n,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
-           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
-             AS intercept,
-           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
-    FROM s
-    """,
-)
-def q_ols_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closed-form OLS (price ~ quantity) per (returnflag, linestatus):
-    slope, intercept, R² — the regression companion to xt31's
-    correlation-only readout, and the shape every feature-importance /
-    elasticity screen starts with.
-
-    Exactness: the five moment sums run decimal-exact (order-free), the
-    normal-equation arithmetic is ONE fixed double expression tree from
-    those sums, identical in both engines, rounded at the edge — no
-    libm, no iterative solver.  Scale: one map-side-combined aggregate,
-    grouped-cardinality output (|flags|×|status| rows)."""
-    li = table(spark, sf_dir, "lineitem")
-    d = lambda c: c.cast("decimal(38,6)")  # noqa: E731
-    s = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"),
-        F.sum(d(F.col("l_quantity"))).cast("double").alias("sx"),
-        F.sum(d(F.col("l_extendedprice"))).cast("double").alias("sy"),
-        F.sum(d(F.col("l_quantity") * F.col("l_quantity")))
-        .cast("double")
-        .alias("sxx"),
-        F.sum(d(F.col("l_extendedprice") * F.col("l_extendedprice")))
-        .cast("double")
-        .alias("syy"),
-        F.sum(d(F.col("l_quantity") * F.col("l_extendedprice")))
-        .cast("double")
-        .alias("sxy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    num = n * sxy - sx * sy
-    den = n * sxx - sx * sx
-    return s.select(
-        "l_returnflag",
-        "l_linestatus",
-        "n",
-        F.round(num / den, 9).alias("slope"),
-        F.round((sy - num / den * sx) / n, 9).alias("intercept"),
-        F.round(num * num / (den * (n * syy - sy * sy)), 9).alias("r2"),
-    )
-
-
-@register(
-    "xq43_gini_concentration",
-    """
-    WITH rev AS (
-        SELECT o_custkey,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6))
-                 AS rev
-        FROM orders GROUP BY o_custkey),
-    ranked AS (
-        SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS rk
-        FROM rev),
-    agg AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_customers,
-               CAST(SUM(rev) AS DOUBLE) AS total_rev,
-               CAST(SUM(rk * rev) AS DOUBLE) AS weighted
-        FROM ranked)
-    SELECT n_customers, ROUND(total_rev, 2) AS total_rev,
-           ROUND((2.0 * weighted - (n_customers + 1.0) * total_rev)
-                 / (n_customers * total_rev), 9) AS gini
-    FROM agg
-    """,
-)
-def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue-concentration audit: the exact Gini coefficient of
-    per-customer revenue — Gini = (2·Σ rank·rev − (n+1)·Σrev)/(n·Σrev)
-    over revenues ranked ascending (ties broken by custkey so the rank
-    is a total order and Σ rank·rev is engine-deterministic).  The
-    single-number inequality readout xq25/xq26's Pareto views don't
-    give.
-
-    Scale shape: per-customer revenue is one map-side-combined
-    aggregate; the ascending rank comes from operators/ranking.py::
-    global_rank (bucketed two-level rank — NO single-partition window
-    over the customer universe); the closing reduce is decimal-exact
-    sums in one row.  Everything after the rank is arithmetic on three
-    aggregates."""
-    from ..operators.ranking import global_rank
-
-    orders = table(spark, sf_dir, "orders")
-    rev = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-        .cast("decimal(38,6)")
-        .alias("rev")
-    )
-    ranked = global_rank(
-        rev, "rev", ["o_custkey"], rank_col="rk"
-    )
-    agg = ranked.agg(
-        F.count("*").alias("n_customers"),
-        F.sum("rev").cast("double").alias("total_rev"),
-        F.sum(F.col("rk").cast("decimal(38,6)") * F.col("rev"))
-        .cast("double")
-        .alias("weighted"),
-    )
-    n = F.col("n_customers")
-    return agg.select(
-        n,
-        F.round(F.col("total_rev"), 2).alias("total_rev"),
-        F.round(
-            (2.0 * F.col("weighted") - (n + F.lit(1.0)) * F.col("total_rev"))
-            / (n * F.col("total_rev")),
-            9,
-        ).alias("gini"),
-    )

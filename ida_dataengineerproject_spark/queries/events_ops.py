@@ -664,59 +664,3 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_rate"
         ),
     )
-
-
-@register(
-    "xq45_event_transition_matrix",
-    f"""
-    WITH seq AS (
-        SELECT user_id, event_type, ts, event_id,
-               lead(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-        FROM {EVENTS_US}),
-    c AS (
-        SELECT event_type AS from_type, next_type AS to_type,
-               CAST(count(*) AS BIGINT) AS n
-        FROM seq WHERE next_type IS NOT NULL
-        GROUP BY event_type, next_type),
-    tot AS (
-        SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n
-        FROM c GROUP BY from_type)
-    SELECT c.from_type, c.to_type, c.n,
-           ROUND(CAST(c.n AS DOUBLE) / CAST(t.row_n AS DOUBLE), 9) AS p
-    FROM c JOIN tot t ON t.from_type = c.from_type
-    """,
-)
-def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event
-    sequences: P(next event type | current), with exact pair counts —
-    the behavioral-model readout xq15's top-path strings don't give
-    (xq15 enumerates whole paths; this is the normalized edge model a
-    next-event predictor or anomaly scorer consumes).
-
-    Determinism: sequence order is (ts, event_id) — a total order, so
-    LEAD is engine-identical; probabilities are one double division of
-    exact counts, rounded at the edge.  Scale shape: ONE window on the
-    user partitioning (same shuffle every sessionize op pays), then a
-    |types|²-bounded aggregate that map-side combines; the row-total
-    join is broadcast-size (|types| rows)."""
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "user_id",
-        F.col("event_type").alias("from_type"),
-        F.lead("event_type").over(w).alias("to_type"),
-    ).where(F.col("to_type").isNotNull())
-    c = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
-    tot = c.groupBy("from_type").agg(F.sum("n").alias("row_n"))
-    return (
-        c.join(F.broadcast(tot), "from_type")
-        .select(
-            "from_type",
-            "to_type",
-            "n",
-            F.round(
-                F.col("n").cast("double") / F.col("row_n").cast("double"), 9
-            ).alias("p"),
-        )
-    )
