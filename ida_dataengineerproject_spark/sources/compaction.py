@@ -34,8 +34,21 @@ _ESTIMATE_CAP_BYTES = 1 << 50
 def estimated_plan_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for the optimized plan (driver-side, no
     job): for parquet scans this is the sum of file sizes adjusted for
-    pushed projections/filters."""
-    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    pushed projections/filters.
+
+    An ESTIMATE is the right tool here — it only sizes output-file
+    parallelism (too-small estimate → fewer, bigger files; the caller
+    caps the bad direction), unlike a broadcast gate where an
+    underestimate OOMs (operators/graph.py uses a measured aggregate for
+    that reason).  The JVM accessor is non-public API, so failure
+    degrades to the sentinel and the caller's plain repartition-preserving
+    pack — never an error."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # non-public API — degrade, never fail the write
+        return _ESTIMATE_CAP_BYTES + 1
 
 
 def write_compacted(

@@ -526,3 +526,14 @@ def test_activity_streaks_single_window(spark):
 
     plan = _plan(e.queries()["xq38_activity_streaks"](spark, SF_SMOKE))
     assert _nodes(plan, "Window") == 1
+
+
+def test_fuzzy_match_no_cross_join(spark):
+    """x19's docstring claims SymSpell delete-1 blocking replaces the
+    probe×catalog cross join — pin it (the oracle IS the cross join, so
+    only the plan distinguishes the blocked form from brute force)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["x19_fuzzy_entity_match"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
