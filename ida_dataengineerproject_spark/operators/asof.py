@@ -50,13 +50,21 @@ def asof_join(
     columns."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # resolve every caller-supplied name backtick-quoted (F.col and
+    # df[c] both parse dots as struct access, so a column literally
+    # named "a.b" would fail or resolve wrongly) — pinned by
+    # test_asof_join_escaped_column_names
+    def _qc(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
     payload = F.struct(
-        F.col(right_ts).alias("__mts"), *[F.col(v) for v in values]
+        _qc(right_ts).alias("__mts"),
+        *[_qc(v).alias(v) for v in values],
     )
     left_cols = [c for c in left.columns]
     r = right.select(
-        *by,
-        F.col(right_ts).alias("__ts"),
+        *[_qc(b).alias(b) for b in by],
+        _qc(right_ts).alias("__ts"),
         payload.alias("__p"),
         # real DataType, not a DDL string: names needing escaping (dots,
         # spaces) and types whose simpleString doesn't round-trip would
@@ -64,10 +72,10 @@ def asof_join(
         F.lit(None).cast(StructType(left.schema.fields)).alias("__l"),
     )
     l = left.select(
-        *by,
-        F.col(left_ts).alias("__ts"),
+        *[_qc(b).alias(b) for b in by],
+        _qc(left_ts).alias("__ts"),
         F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
-        F.struct(*[F.col(c) for c in left_cols]).alias("__l"),
+        F.struct(*[_qc(c).alias(c) for c in left_cols]).alias("__l"),
     )
     if direction == "backward":
         # reference sorts BEFORE probe at equal ts → inclusive match
@@ -76,7 +84,7 @@ def asof_join(
             l.withColumn("__side", F.lit(side_l))
         )
         w = (
-            Window.partitionBy(*by)
+            Window.partitionBy(*[_qc(b) for b in by])
             .orderBy("__ts", "__side")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
@@ -89,7 +97,7 @@ def asof_join(
             l.withColumn("__side", F.lit(side_l))
         )
         w = (
-            Window.partitionBy(*by)
+            Window.partitionBy(*[_qc(b) for b in by])
             .orderBy("__ts", "__side")
             .rowsBetween(0, Window.unboundedFollowing)
         )

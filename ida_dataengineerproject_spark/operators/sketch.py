@@ -135,7 +135,16 @@ def cms_join_size(
         .groupBy("d")
         .agg(F.sum(F.col("c") * F.col("cb")).alias("ip"))
     )
-    return per_depth.agg(F.min("ip").cast("long").alias("est_join_size"))
+    # a depth with NO overlapping buckets has inner product 0 but emits
+    # no row from the inner join — the true min is then 0, not the min
+    # over the depths that happened to collide (hypothesis-found on
+    # disjoint key sets: test_cms_join_size_one_sided)
+    return per_depth.agg(
+        F.when(F.count("*") < depth, F.lit(0))
+        .otherwise(F.min("ip"))
+        .cast("long")
+        .alias("est_join_size")
+    )
 
 
 def mg_candidates(

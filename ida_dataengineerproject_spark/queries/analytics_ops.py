@@ -1948,7 +1948,11 @@ _CMS_W = 8192
         SELECT sa.d, SUM(sa.c * sb.c) AS ip
         FROM sa JOIN sb ON sa.d = sb.d AND sa.bkt = sb.bkt
         GROUP BY sa.d),
-    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip),
+    est AS (
+        -- a depth with zero overlapping buckets emits no ip row; its
+        -- inner product is 0, so the min over ALL depths is then 0
+        SELECT CAST(CASE WHEN COUNT(*) < 3 THEN 0 ELSE MIN(ip) END
+                    AS BIGINT) AS est_join_size FROM ip),
     ex AS (
         SELECT CAST(count(*) AS BIGINT) AS exact_join_size,
                (SELECT count(*) FROM a) * (SELECT count(*) FROM b) AS nn

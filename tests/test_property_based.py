@@ -434,3 +434,75 @@ def test_bloom_hash_family_spark_and_duckdb_match_reference(spark, keys):
         ref = [_cw_ref_py(k, j) for j in range(1, _BLOOM_K + 1)]
         assert got[k] == ref, k
         assert duck[k] == ref, k
+
+
+def test_asof_join_escaped_column_names(spark):
+    """Regression (ADVICE r7): asof_join used to build the null
+    left-struct via a DDL string, which broke on column names needing
+    escaping; now it casts with StructType(left.schema.fields).  A left
+    frame with dotted / spaced column names must round-trip."""
+    from ida_dataengineerproject_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b")],
+        ["k", "t", "weird"],
+    ).withColumnRenamed("weird", "weird.col name")
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 20, 200.0)], ["k", "t", "px"]
+    )
+    out = asof_join(
+        left, right, by=["k"], left_ts="t", right_ts="t", values=["px"]
+    ).collect()
+    got = {r["weird.col name"]: r["px"] for r in out}
+    assert got == {"a": 100.0, "b": 200.0}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.integers(0, 500)),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_kmv_filtered_equals_unfiltered_property(spark, rows):
+    """kmv_sketch_filtered must equal kmv_sketch on ANY stream — the
+    threshold filter only drops hashes that cannot reach the bottom-k
+    (duplicates, skewed groups, tiny groups all drawn by hypothesis)."""
+    from ida_dataengineerproject_spark.operators.sketch import (
+        kmv_sketch,
+        kmv_sketch_filtered,
+    )
+
+    df = spark.createDataFrame(rows, "g string, key long")
+    k = 16
+    base = {
+        r.g: (tuple(r.sk), r.sk_n)
+        for r in kmv_sketch(df, "g", "key", k=k).collect()
+    }
+    filt = {
+        r.g: (tuple(r.sk), r.sk_n)
+        for r in kmv_sketch_filtered(df, "g", "key", k=k).collect()
+    }
+    assert filt == base
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 40), min_size=1, max_size=120),
+    st.lists(st.integers(0, 40), min_size=1, max_size=120),
+)
+def test_cms_join_size_one_sided(spark, a_keys, b_keys):
+    """CMS inner-product join-size estimate is ONE-SIDED: est >= the
+    exact join cardinality on any pair of key multisets (collisions only
+    ever add), and exact when no cross-key collisions occur."""
+    from collections import Counter
+
+    from ida_dataengineerproject_spark.operators.sketch import cms_join_size
+
+    a = spark.createDataFrame([(k,) for k in a_keys], "k long")
+    b = spark.createDataFrame([(k,) for k in b_keys], "k long")
+    est = cms_join_size(a, b, "k", "k", width=512, depth=3).collect()[0][0]
+    ca, cb = Counter(a_keys), Counter(b_keys)
+    exact = sum(ca[k] * cb[k] for k in ca)
+    assert est >= exact
