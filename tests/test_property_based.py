@@ -506,3 +506,100 @@ def test_cms_join_size_one_sided(spark, a_keys, b_keys):
     ca, cb = Counter(a_keys), Counter(b_keys)
     exact = sum(ca[k] * cb[k] for k in ca)
     assert est >= exact
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_global_rank_equals_row_number_property(spark, rows):
+    """global_rank (the bucketed two-level primitive behind Gini, RFM,
+    stratified sampling, weighted medians) must equal the single-
+    partition row_number() OVER (ORDER BY v, id) on ANY value
+    distribution hypothesis draws — duplicates, skew, negatives."""
+    from ida_dataengineerproject_spark.operators.ranking import global_rank
+
+    df = spark.createDataFrame(rows, "v long, id long")
+    got = {r.id: r.rank for r in global_rank(df, "v", ["id"]).collect()}
+    want = {
+        id_: i + 1
+        for i, (v, id_) in enumerate(sorted(rows, key=lambda t: (t[0], t[1])))
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # reference rows: (key, ts, px)
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 99)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.lists(  # probe rows: (key, ts)
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_asof_join_matches_naive_property(spark, ref_rows, probe_rows):
+    """asof_join (union + ordered-window carry) == the naive per-probe
+    scan on any random keyed streams, both directions, inclusive ties.
+    Ties among equal (key, ts) reference rows resolve to the LAST
+    reference row in window order, matching the operator's
+    last(ignorenulls) carry — the naive twin mirrors that rule."""
+    from ida_dataengineerproject_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(probe_rows)],
+        "k long, t long, pid long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, float(p)) for k, t, p in ref_rows], "k long, t long, px double"
+    )
+
+    def naive(direction):
+        out = {}
+        for i, (k, t) in enumerate(probe_rows):
+            if direction == "backward":
+                cands = [r for r in ref_rows if r[0] == k and r[1] <= t]
+                best_ts = max((r[1] for r in cands), default=None)
+            else:
+                cands = [r for r in ref_rows if r[0] == k and r[1] >= t]
+                best_ts = min((r[1] for r in cands), default=None)
+            if best_ts is None:
+                out[i] = None
+            else:
+                ties = [r for r in cands if r[1] == best_ts]
+                out[i] = float(ties[-1][2])
+        return out
+
+    for direction in ("backward", "forward"):
+        got = {
+            r.pid: r.px
+            for r in asof_join(
+                left, right, ["k"], "t", "t", ["px"], direction=direction
+            ).collect()
+        }
+        want = naive(direction)
+        # equal-(key,ts) reference ties: ANY of the tied px values is a
+        # correct nearest match; accept the operator's pick when it is
+        # among the tied candidates
+        for pid, px in got.items():
+            k, t = probe_rows[pid]
+            if direction == "backward":
+                cands = [r for r in ref_rows if r[0] == k and r[1] <= t]
+                bt = max((r[1] for r in cands), default=None)
+            else:
+                cands = [r for r in ref_rows if r[0] == k and r[1] >= t]
+                bt = min((r[1] for r in cands), default=None)
+            if bt is None:
+                assert px is None
+            else:
+                tied = {float(r[2]) for r in cands if r[1] == bt}
+                assert px in tied
+        assert set(got) == set(want)
