@@ -603,3 +603,32 @@ def test_asof_join_matches_naive_property(spark, ref_rows, probe_rows):
                 tied = {float(r[2]) for r in cands if r[1] == bt}
                 assert px in tied
         assert set(got) == set(want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-500, 500), st.integers(1, 50)),
+        min_size=1,
+        max_size=150,
+    )
+)
+def test_weighted_quantile_crossing_matches_naive(spark, rows):
+    """The bucket-targeted weighted-median crossing (xq8's engine) must
+    equal the naive sort-and-accumulate on any value/weight stream —
+    duplicates and negative values included."""
+    from ida_dataengineerproject_spark.operators.ranking import (
+        weighted_quantile_crossing,
+    )
+
+    df = spark.createDataFrame(rows, "v long, w long")
+    r = weighted_quantile_crossing(df, "v", "w").collect()[0]
+    total = sum(w for _, w in rows)
+    cum = 0
+    want = None
+    for v, w in sorted(rows):
+        cum += w
+        if 2 * cum >= total:
+            want = v
+            break
+    assert (r.weighted_median, r.w_total) == (want, total)
