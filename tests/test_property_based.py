@@ -632,3 +632,59 @@ def test_weighted_quantile_crossing_matches_naive(spark, rows):
             want = v
             break
     assert (r.weighted_median, r.w_total) == (want, total)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 10**6), min_size=1, max_size=100, unique=True),
+    st.lists(st.integers(0, 10**6), min_size=1, max_size=30, unique=True),
+)
+def test_bloom_membership_no_false_negatives(spark, members, probes):
+    """The CW-family Bloom index (x14 / the per-partition bloom in
+    file_pruning) must NEVER lose a member: every probe that IS in the
+    member set must have all its bit positions present — on any key
+    sets hypothesis draws."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.functions.hashing import (
+        bloom_positions,
+        cw_bucket,
+    )
+
+    n_hashes, m = 3, 512
+    df = spark.createDataFrame([(k,) for k in members], "key long")
+    index = {r.pos for r in bloom_positions(df, "key", n_hashes, m).collect()}
+    probe_df = spark.createDataFrame([(k,) for k in probes], "key long")
+    pos = probe_df.select(
+        "key",
+        *[cw_bucket(F.col("key"), j, m).alias(f"p{j}") for j in range(1, n_hashes + 1)],
+    ).collect()
+    for r in pos:
+        admitted = all(r[f"p{j}"] in index for j in range(1, n_hashes + 1))
+        if r.key in set(members):
+            assert admitted  # a false negative would silently drop data
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.sets(st.integers(0, 30), min_size=0, max_size=20),
+    st.sets(st.integers(0, 30), min_size=0, max_size=20),
+)
+def test_kmv_overlap_complete_sketches_exact(spark, sa, sb):
+    """When both KMV sketches are COMPLETE (distinct count < k), the
+    'estimate' must be EXACT set intersection — the completeness arm
+    kmv_sketch_filtered preserves (see its docstring) — on any pair of
+    small sets."""
+    from ida_dataengineerproject_spark.operators.sketch import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    rows = [("a", f"k{v}") for v in sa] + [("b", f"k{v}") for v in sb]
+    if not sa or not sb:
+        return  # kmv_overlap pairs need both groups present
+    df = spark.createDataFrame(rows, "g string, key string")
+    sk = kmv_sketch(df, "g", "key", k=64)
+    out = kmv_overlap(sk, k=64).collect()
+    assert len(out) == 1
+    assert out[0].est_inter == float(len(sa & sb))
