@@ -11,7 +11,10 @@ SAME variable names resolve here, mapped to their Spark-side meanings:
   consumed by sources/jdbc.py (the reference builds a psycopg2 DSN from the
   same five variables, etl_ida.py:85-89);
 - BATCH_SIZE → JDBC writer ``batchsize`` (reference BATCH_SIZE, :79);
-- MAX_RETRIES → fetch retry budget for sources/manifest.py (:80);
+- MAX_RETRIES → fetch retry budget (:80), consumed as the
+  ``max_retries`` argument of ``sources/manifest.fetch_to_memory`` /
+  ``sources/ods.fetch_ods_long`` (same default, 3 attempts with
+  exponential backoff);
 - API_KEY → the dados.gov.br auth header (:81, sent at :667/:677);
 - LOG_LEVEL → SparkContext log level (reference applies it to the root
   logger at :60-61).
@@ -61,7 +64,22 @@ class EngineConfig:
         """The Spark-JDBC form of the reference's psycopg2 DSN
         (etl_ida.py:85-89).  Credentials ride ``jdbc_properties``, not the
         URL — Spark logs URLs, and the reference's inline-password DSN is
-        a shape worth not reproducing."""
+        a shape worth not reproducing.  Raises immediately when the three
+        address parts are unset instead of deferring to an opaque
+        'jdbc:postgresql://None:None/None' driver error at connect time."""
+        missing = [
+            n
+            for n, v in (
+                ("DB_HOST", self.db_host),
+                ("DB_PORT", self.db_port),
+                ("DB_NAME", self.db_name),
+            )
+            if not v
+        ]
+        if missing:
+            raise ValueError(
+                f"jdbc_url requires {', '.join(missing)} to be set"
+            )
         return f"jdbc:postgresql://{self.db_host}:{self.db_port}/{self.db_name}"
 
     @property

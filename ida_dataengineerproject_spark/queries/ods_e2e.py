@@ -201,7 +201,7 @@ def q_pipeline_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     man = filter_resources(
         manifest_df(spark, resources), services=("SMP", "STFC"), years=(2017,)
     )
-    long = fetch_ods_long(man)
+    long = fetch_ods_long(man, allow_file=True)  # fixture files we wrote
     rec = transform_wide(long_to_wide(long))
     out = (
         rec.select(

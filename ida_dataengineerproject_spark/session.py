@@ -74,14 +74,43 @@ def scoped_conf(spark: SparkSession, confs: dict):
     try:
         yield spark
     finally:
-        for k, v in old.items():
+        # Restore by unsetting first: if the value that then surfaces (the
+        # conf's built-in default) already equals the captured one, the conf
+        # was never explicitly set — leave it unset rather than pinning the
+        # default.  Failures are COLLECTED and re-raised (not swallowed —
+        # a silent leak here is the exact bug this helper exists to
+        # prevent), unless an exception is already propagating, in which
+        # case they are logged so the original error is not masked.
+        import logging
+        import sys
+
+        errors: list[tuple[str, Exception]] = []
+        for k, prev in old.items():
             try:
-                if v is None:
-                    spark.conf.unset(k)
-                else:
-                    spark.conf.set(k, v)
-            except Exception:
-                pass
+                spark.conf.unset(k)
+                if prev is not None:
+                    try:
+                        default = spark.conf.get(k)
+                    except Exception:
+                        default = None
+                    if default != prev:
+                        spark.conf.set(k, prev)
+            except Exception as exc:  # noqa: PERF203 (per-key isolation)
+                try:
+                    if prev is not None:
+                        spark.conf.set(k, prev)
+                        continue
+                except Exception:
+                    pass
+                errors.append((k, exc))
+        if errors:
+            msg = "scoped_conf restore failed for: " + ", ".join(
+                f"{k} ({e})" for k, e in errors
+            )
+            if sys.exc_info()[0] is not None:
+                logging.getLogger(__name__).warning(msg)
+            else:
+                raise RuntimeError(msg) from errors[0][1]
 
 
 def get_spark(app_name: str = "ida-spark", shuffle_partitions: int | None = None) -> SparkSession:

@@ -10,7 +10,10 @@ manifest (millions of files at 100 TB) distributes.
 from __future__ import annotations
 
 import json
+import time
 from dataclasses import dataclass
+from urllib.error import URLError
+from urllib.parse import urlsplit
 from urllib.request import Request, urlopen
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,31 +59,61 @@ def fetch_to_memory(
     timeout: float = 60.0,
     api_key: str | None = None,
     headers: dict[str, str] | None = None,
+    allow_file: bool = False,
+    max_retries: int = 3,
+    backoff: float = 0.5,
 ) -> bytes:
     """op03 (etl_ida.py:714-730): fetch one resource into memory.
 
-    Driver-side control-plane I/O (the data plane ingests the fetched
-    bytes via sources/ods.py or parquet afterwards).  urllib handles
-    ``http(s)://`` and ``file://`` alike, so tests exercise the real
-    code path against local fixtures; the sandbox has no network, which
-    is an environment property, not a stub."""
+    Scheme allowlist: the URL ultimately comes from an UNTRUSTED
+    external catalog (op01's JSON), so only ``http(s)://`` is accepted
+    by default — a malicious catalog entry like ``file:///etc/...``
+    must not read executor-local files into the pipeline.  Tests and
+    sandbox fixtures opt in with ``allow_file=True`` (the caller, not
+    the catalog, makes that decision).
+
+    Retries: transient failures get ``max_retries`` attempts with
+    exponential backoff (the reference's MAX_RETRIES contract,
+    etl_ida.py:80 — wired from EngineConfig.max_retries); the last
+    error propagates.  urllib handles ``http(s)://`` and ``file://``
+    alike, so fixtures exercise the real code path; the sandbox has no
+    network, which is an environment property, not a stub."""
+    scheme = urlsplit(url).scheme.lower()
+    allowed = {"http", "https"} | ({"file"} if allow_file else set())
+    if scheme not in allowed:
+        raise ValueError(
+            f"fetch_to_memory: scheme {scheme!r} not allowed for {url!r} "
+            "(http/https only; pass allow_file=True for local fixtures)"
+        )
     req = build_request(url, api_key=api_key, headers=headers)
-    with urlopen(req, timeout=timeout) as resp:  # noqa: S310 (catalog URLs)
-        return resp.read()
+    last: Exception | None = None
+    for attempt in range(max(1, max_retries)):
+        try:
+            with urlopen(req, timeout=timeout) as resp:  # noqa: S310
+                return resp.read()
+        except (URLError, OSError) as exc:
+            last = exc
+            if attempt + 1 < max(1, max_retries):
+                time.sleep(backoff * (2**attempt))
+    raise last  # type: ignore[misc]
 
 
 def fetch_catalog(
     dataset_id: str,
     api_base: str = DEFAULT_API,
     api_key: str | None = None,
+    allow_file: bool = False,
 ) -> list[Resource]:
     """op01 (etl_ida.py:653-657, 672-682): GET the dataset catalog and
-    map its ``recursos`` entries to Resources.  Accepts any URL scheme
-    urllib supports (tests use file:// fixtures shaped like the
-    dados.gov.br payload); ``api_key`` rides the same auth header the
+    map its ``recursos`` entries to Resources.  ``api_base`` is
+    caller-supplied (not catalog-derived), so tests pass
+    ``allow_file=True`` with file:// fixtures shaped like the
+    dados.gov.br payload; ``api_key`` rides the same auth header the
     reference sends."""
     payload = json.loads(
-        fetch_to_memory(f"{api_base}/{dataset_id}", api_key=api_key)
+        fetch_to_memory(
+            f"{api_base}/{dataset_id}", api_key=api_key, allow_file=allow_file
+        )
     )
     return [
         Resource(

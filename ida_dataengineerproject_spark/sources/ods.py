@@ -203,7 +203,12 @@ def read_ods_long(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(gen, LONG_SCHEMA)
 
 
-def fetch_ods_long(manifest: DataFrame, timeout: float = 60.0) -> DataFrame:
+def fetch_ods_long(
+    manifest: DataFrame,
+    timeout: float = 60.0,
+    allow_file: bool = False,
+    max_retries: int = 3,
+) -> DataFrame:
     """op03 in its DISTRIBUTED form (reference fetches each resource
     in-process on one machine, etl/etl_ida.py:714-730): the resource
     manifest — one row per URL, built by op01/op02
@@ -212,6 +217,12 @@ def fetch_ods_long(manifest: DataFrame, timeout: float = 60.0) -> DataFrame:
     ``file://`` alike, so the sandbox exercises the real code path
     against local fixtures), and parses the bytes to normalized long
     rows in the SAME Arrow stage.
+
+    The manifest URLs come from an UNTRUSTED external catalog, so the
+    fetch enforces an http(s) scheme allowlist; only an explicit
+    ``allow_file=True`` from the CALLER (tests/fixtures) opens file://.
+    ``max_retries`` is the reference's MAX_RETRIES budget
+    (etl_ida.py:80) applied per-resource on the executor.
 
     Scale shape: fetch and decode are fused, so raw spreadsheet bytes
     never cross a shuffle and never funnel through the driver — at 10⁶
@@ -223,7 +234,13 @@ def fetch_ods_long(manifest: DataFrame, timeout: float = 60.0) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for u in pdf["url"]:
-                out = _file_to_long(u, fetch_to_memory(u, timeout=timeout))
+                data = fetch_to_memory(
+                    u,
+                    timeout=timeout,
+                    allow_file=allow_file,
+                    max_retries=max_retries,
+                )
+                out = _file_to_long(u, data)
                 if len(out):
                     yield out
 

@@ -258,19 +258,28 @@ def _funnel_update(
     q_funnel_conversion's per-user (t1, t2, t3) triple.
 
     State: three epoch-micros (-1 = stage not reached).  Rows are sorted
-    by ts WITHIN the batch; across batches the update rules are monotone
-    (a stage timestamp only ever moves earlier, and moving t1 earlier
-    never invalidates t2 ≥ old-t1 ≥ new-t1), so the final state equals
-    the batch semantics whenever each user's events arrive in
-    timestamp order across batches — the in-order/watermark delivery
-    contract, same as every stateful op here."""
+    by (ts, funnel stage) WITHIN the batch — the stage tiebreak makes a
+    click/purchase sharing a timestamp with its qualifying predecessor
+    process AFTER it, matching the >= tie semantics of the batch query
+    (a same-instant view→click→purchase chain converts); an unstable
+    ts-only sort could process the successor first and drop it.  Across
+    batches the update rules are monotone (a stage timestamp only ever
+    moves earlier, and moving t1 earlier never invalidates
+    t2 ≥ old-t1 ≥ new-t1), so the final state equals the batch
+    semantics whenever each user's events arrive in timestamp order
+    across batches — the in-order/watermark delivery contract, same as
+    every stateful op here."""
     (user_id,) = key
     if state.hasTimedOut:
         state.remove()
         return
     t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
     frames = [pdf for pdf in batches]
-    rows = pd.concat(frames).sort_values("ts")
+    rows = pd.concat(frames)
+    stage_order = rows["event_type"].map(
+        {"view": 0, "click": 1, "purchase": 2}
+    ).fillna(3)
+    rows = rows.assign(__stage=stage_order).sort_values(["ts", "__stage"])
     ts_us = rows["ts"].astype("int64") // 1000
     for et, ts in zip(rows["event_type"], ts_us):
         ts = int(ts)

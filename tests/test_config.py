@@ -35,3 +35,20 @@ def test_config_feeds_jdbc_writer(spark):
     df = spark.range(3)
     w = jdbc_writer(df, url=c.jdbc_url, table="t", batch_size=c.batch_size)
     assert w is not None
+
+
+def test_jdbc_url_raises_on_missing_address_parts():
+    """Unset DB_HOST/DB_PORT/DB_NAME must fail fast with the missing
+    names, not render 'jdbc:postgresql://None:None/None' and defer to an
+    opaque JDBC driver error at connect time."""
+    import pytest
+
+    c = EngineConfig.from_env(env={})
+    with pytest.raises(ValueError) as ei:
+        _ = c.jdbc_url
+    msg = str(ei.value)
+    assert "DB_HOST" in msg and "DB_PORT" in msg and "DB_NAME" in msg
+
+    c2 = EngineConfig.from_env(env={"DB_HOST": "h", "DB_NAME": "d"})
+    with pytest.raises(ValueError, match="DB_PORT"):
+        _ = c2.jdbc_url

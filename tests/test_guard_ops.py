@@ -210,3 +210,66 @@ def test_tfidf_topk_contracts(spark):
         for r in rs:
             assert r["df"] == len(df_ind[r["term"]])
             assert r["score"] == r["tf"] * n_docs / r["df"]
+
+
+def test_scoped_conf_restores_and_surfaces_failures(spark):
+    """scoped_conf must (a) restore an explicitly-set conf, (b) leave a
+    never-set conf at its default, and (c) surface restore failures
+    instead of silently leaking the scoped value — the exact leak the
+    helper exists to prevent."""
+    import pytest
+
+    from ida_dataengineerproject_spark.session import scoped_conf
+
+    k = "spark.sql.autoBroadcastJoinThreshold"
+    spark.conf.set(k, "1048576")
+    with scoped_conf(spark, {k: "-1"}):
+        assert spark.conf.get(k) == "-1"
+    assert spark.conf.get(k) == "1048576"
+    spark.conf.unset(k)
+
+    # never explicitly set → default surfaces again after the scope
+    default = spark.conf.get(k)
+    with scoped_conf(spark, {k: "-1"}):
+        assert spark.conf.get(k) == "-1"
+    assert spark.conf.get(k) == default
+
+    class BrokenConf:
+        def __init__(self):
+            self._vals = {}
+
+        def get(self, key):
+            return self._vals.get(key, "old")
+
+        def set(self, key, v):
+            self._vals[key] = v
+
+        def unset(self, key):
+            raise RuntimeError("unset not supported")
+
+    class FakeSpark:
+        conf = BrokenConf()
+
+    fake = FakeSpark()
+    # restore falls back to set(prev) when unset fails → no error
+    with scoped_conf(fake, {"some.key": "new"}):
+        assert fake.conf.get("some.key") == "new"
+    assert fake.conf.get("some.key") == "old"
+
+    class FullyBroken(BrokenConf):
+        def __init__(self):
+            super().__init__()
+            self._armed = False
+
+        def set(self, key, v):
+            if self._armed:
+                raise RuntimeError("set rejected")
+            self._vals[key] = v
+
+    class FakeSpark2:
+        conf = FullyBroken()
+
+    fake2 = FakeSpark2()
+    with pytest.raises(RuntimeError, match="scoped_conf restore failed"):
+        with scoped_conf(fake2, {"some.key": "new"}):
+            fake2.conf._armed = True

@@ -223,7 +223,7 @@ def test_fetch_ods_long_distributed(spark, tmp_path):
     man = filter_resources(
         manifest_df(spark, resources), services=("SMP",), years=(2019,)
     )
-    long = fetch_ods_long(man)
+    long = fetch_ods_long(man, allow_file=True)
     rows = long.collect()
     # 3 data rows x 2 months, ARQUIVO_ORIGEM = url basename
     assert len(rows) == 6

@@ -145,13 +145,18 @@ def test_fetch_catalog_file_scheme(tmp_path):
             }
         )
     )
-    res = fetch_catalog("ida-dataset", api_base=f"file://{tmp_path}")
+    res = fetch_catalog(
+        "ida-dataset", api_base=f"file://{tmp_path}", allow_file=True
+    )
     assert [r.titulo for r in res] == ["IDA SMP 2017", "IDA STFC 2018"]
     assert res[0].formato == "ods"
 
     blob = tmp_path / "payload.bin"
     blob.write_bytes(b"\x00\x01spreadsheet-bytes")
-    assert fetch_to_memory(f"file://{blob}") == b"\x00\x01spreadsheet-bytes"
+    assert (
+        fetch_to_memory(f"file://{blob}", allow_file=True)
+        == b"\x00\x01spreadsheet-bytes"
+    )
 
 
 @pytest.mark.parametrize(
@@ -475,6 +480,9 @@ def test_auth_header_injected_into_request(tmp_path):
         ]})
     )
     res = fetch_catalog(
-        "ida-key", api_base=f"file://{tmp_path}", api_key="sekret-123"
+        "ida-key",
+        api_base=f"file://{tmp_path}",
+        api_key="sekret-123",
+        allow_file=True,
     )
     assert [r.titulo for r in res] == ["SMP 2018"]

@@ -248,3 +248,40 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_funnel_update_same_timestamp_chain_converts():
+    """Equal-timestamp view→click→purchase must convert (the >= tie
+    semantics of batch xq40) regardless of the ROW ORDER the micro-batch
+    delivers them in — the stage tiebreak in the batch-local sort is
+    what guarantees it (a ts-only unstable sort could process the
+    purchase first and drop it)."""
+    import pandas as pd
+
+    from ida_dataengineerproject_spark.streaming.stateful import (
+        _funnel_update,
+    )
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+    ts = pd.Timestamp("2024-01-01 00:00:00")
+    # worst-case delivery order: purchase, click, view — all same instant
+    batch = pd.DataFrame(
+        {
+            "user_id": [7, 7, 7],
+            "event_type": ["purchase", "click", "view"],
+            "ts": [ts, ts, ts],
+        }
+    )
+    st = FakeState()
+    out = pd.concat(_funnel_update((7,), iter([batch]), st))
+    assert int(out["stage"].iloc[0]) == 3
+    t1, t2, t3 = st.get
+    assert t1 == t2 == t3 == ts.value // 1000
