@@ -277,37 +277,39 @@ def q_x30(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each ranking comes from global_rank (quantile-bucketed
     two-level rank — the oracle's ROW_NUMBER() OVER (ORDER BY …) is the
-    single-partition cliff it replaces); ONE multi-column approxQuantile
-    probes both boundary sets in a single job (the xq11 trick — was one
-    boundary job per ranking), the fusion join keys on doc_id
-    (co-partitioned, high-cardinality) and the top-50 is
-    TakeOrderedAndProject.  A fully-chained form (second rank windowing
-    over the first rank's output, no fusion join) was measured SLOWER
-    (1.9-2.3 s vs 1.4-1.7 s warm at sf0.1) — rank-2's bucket-count arm
-    re-traverses rank-1's join lineage; probe in ROUND_NOTES round 7.
-    RRF arithmetic is two IEEE-exact divisions plus one add, so scores
-    hash-match bit-for-bit; both rank orders are total (tie-break
-    doc_id), so the LIMIT boundary is deterministic."""
+    single-partition cliff it replaces) with PLAN-EMBEDDED boundary
+    probes (fused=True): the r8 profile showed the eager shared
+    approxQuantile job was 0.94 s of the 1.29 s wall, so both boundary
+    aggregates now ride the single main job over the checkpointed
+    3-column frame (its broadcast exchanges are reused across the rank
+    branches).  The fusion join keys on doc_id (co-partitioned,
+    high-cardinality) and the top-50 is TakeOrderedAndProject.  A
+    fully-chained form (second rank windowing over the first rank's
+    output, no fusion join) was measured SLOWER (1.9-2.3 s vs 1.4-1.7 s
+    warm at sf0.1) — rank-2's bucket-count arm re-traverses rank-1's
+    join lineage; probe in ROUND_NOTES round 7.  RRF arithmetic is two
+    IEEE-exact divisions plus one add, so scores hash-match
+    bit-for-bit; both rank orders are total (tie-break doc_id), so the
+    LIMIT boundary is deterministic."""
     from ..operators.ranking import global_rank
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         (-F.col("n_chars")).alias("nl"),
         (-quality_score("text")).alias("nq"),
-        # rank pipelines run bound-sampling + bucket-count jobs over
-        # this projection; materialize the 3-column frame once so the
-        # text scan + quality expression run a single time
+        # rank pipelines traverse this projection several times
+        # (bucket-count + join re-read per ranker, boundary aggregates);
+        # materialize the 3-column frame once so the text scan +
+        # quality expression run a single time
     ).localCheckpoint()
     n_buckets = 32
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bq, bl = d.approxQuantile(["nq", "nl"], probs, 0.001)
     rq = global_rank(
         d.select("doc_id", "nq"), "nq", ["doc_id"], n_buckets,
-        rank_col="r_q", bounds=bq,
+        rank_col="r_q", fused=True,
     ).select("doc_id", "r_q")
     rl = global_rank(
         d.select("doc_id", "nl"), "nl", ["doc_id"], n_buckets,
-        rank_col="r_len", bounds=bl,
+        rank_col="r_len", fused=True,
     ).select("doc_id", "r_len")
     j = rq.join(rl, "doc_id")
     rrf = F.lit(1.0) / (F.lit(60) + F.col("r_q")) + F.lit(1.0) / (

@@ -1,0 +1,220 @@
+"""At-scale bench: Spark vs DuckDB oracle, per query, at a replicated
+factor of sf0.1 (default x10 ≈ sf1: 6 M lineitem, 600 k documents).
+
+Why: at sf0.1 most bench rows measure Spark's fixed per-job cost
+(188/221 rows have a DuckDB denominator < 0.2 s — the "overhead floor").
+This tool re-bases the adjudication one decade up, where both engines do
+real data work, using the SAME same-session discipline as the r8 x24
+crossover: one process, Spark and DuckDB interleaved per query, replica
+materialized once (tools/scale_probe.py's re-keyed replication — joins,
+groups, and similarity structure scale realistically, no artificial
+cross-copy collisions).
+
+Timing discipline (mirrors bench.py / BASELINE.md):
+- Spark: per-table warm-up (listing+footers), then best of 2 runs per
+  query through the noop sink with the result cache cleared between runs;
+  sketch queries run their production (verify=False) path.
+- DuckDB: one run per oracle (no JIT warm-up to absorb), default thread
+  count (all cores — the same configuration the sf0.1 baseline used), a
+  watchdog interrupts any oracle at --cap seconds (default 300) and the
+  row records duckdb = null with a ">cap" note: Spark completed, the
+  oracle did not.
+
+Usage: python tools/bench_scale.py [--factor=10] [--cap=300] [names...]
+Prints one JSON line (full detail in artifacts/bench_scale_full.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+sys.path.insert(0, HERE)
+
+# The data-bound slice of the registry: every query whose sf0.1 DuckDB
+# denominator is >= 0.15 s or whose Spark wall is >= 0.8 s, all 22 TPC-H
+# forms, the weak/retired perf rows, and the steep-slope probe queries.
+DEFAULT_QUERIES = [
+    "agg_variance_corr_exact", "exact_median_percentiles",
+    "flagship_taxa_variacao",
+    "fn_datetime", "fn_regex",
+    "op16_unpivot_measures", "op20_variable_recode", "op25_record_hash",
+    "pipeline_prepare_documents", "sample_fraction",
+    "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority", "tpch_q4_priority_exists",
+    "tpch_q5_region_revenue", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q10_returned_items",
+    "tpch_q11_important_stock", "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive", "tpch_q20_excess_availability",
+    "tpch_q21_suppliers_kept_waiting", "tpch_q21b_aggregate_rewrite",
+    "tpch_q22_global_sales_opportunity",
+    "x01_exact_dedup", "x02_ngram_jaccard_pairs", "x02b_minhash_lsh_pairs",
+    "x02c_simhash_pairs", "x02d_dedup_components",
+    "x03b_cosine_topk_lsh", "x03d_cosine_topk_ivf",
+    "x03f_semantic_dedup_keep", "x03g_semantic_dedup_lsh",
+    "x03h_cosine_topk_pq",
+    "x04b_lang_id", "x04c_quality_score", "x04e_fingerprint",
+    "x05_sessionize_events",
+    "x14_bloom_membership_filter", "x16_pagerank_bipartite",
+    "x17b_rolling_active_users",
+    "x22_corpus_source_jaccard", "x23_group_outlier_mad",
+    "x24_triangle_count", "x26_heavyhitter_bigrams",
+    "x30_rrf_fusion", "x31_ppjoin_pairs",
+    "xmm_frame_sample",
+    "xq8_weighted_median_price", "xq11_rfm_segmentation",
+    "xq12_robust_group_stats", "xq16_time_weighted_value",
+    "xq20_fifo_allocation", "xq23_basket_lift", "xq25_pareto_skyline",
+    "xq29_target_encoding", "xq30_winsorized_mean",
+    "xq32_fd_violation_audit", "xq34_promo_window_rollup",
+    "xq35_pit_feature_join", "xq37_holt_trend_forecast",
+    "xs4_zorder_pruned_scan", "xs10_vacuum_latest_state",
+    "xs11_write_audit_publish", "xs13_mv_incremental_refresh",
+    "xs14_shallow_clone_divergence", "xs15_dynamic_partition_overwrite",
+    "xs16_merge_on_read_state", "xs6_merge_cow_state",
+    "xt8_contamination_overlap", "xt9_repetition_filter",
+    "xt14_ngram_vocab_estimate", "xt17_segment_dedup",
+    "xt20_ngram_containment_pairs", "xt21_dup_span_stats",
+    "xt27_dataset_datasheet", "xt31_length_token_correlation",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_view_sql(sf_dir: str, t: str) -> str:
+    """Spark writes directory-parquet; plain sf dirs hold single files —
+    glob both shapes."""
+    p = os.path.join(sf_dir, f"{t}.parquet")
+    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+    return f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet({src})"
+
+
+def run_duck(oracles: dict, name: str, sf_dir: str, cap: float):
+    """One timed oracle run with an interrupt watchdog.  Fresh connection
+    per query: an interrupted connection's state is not worth trusting."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(duck_view_sql(sf_dir, t))
+    timer = threading.Timer(cap, con.interrupt)
+    timer.start()
+    t0 = time.perf_counter()
+    try:
+        con.execute(oracles[name]).fetchall()
+        return round(time.perf_counter() - t0, 3), None
+    except Exception as exc:  # noqa: BLE001 — interrupted or real error
+        wall = time.perf_counter() - t0
+        kind = f">{cap:g}s cap" if wall >= cap * 0.95 else f"err: {exc}"[:200]
+        return None, kind
+    finally:
+        timer.cancel()
+        con.close()
+
+
+def main() -> None:
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    factor, cap, out_root = 10, 300.0, "/tmp/scale_probe"
+    for a in sys.argv[1:]:
+        if a.startswith("--factor"):
+            factor = int(a.split("=", 1)[1])
+        if a.startswith("--cap"):
+            cap = float(a.split("=", 1)[1])
+        if a.startswith("--out"):
+            out_root = a.split("=", 1)[1]
+
+    import __spark_entry__ as e
+    from scale_probe import materialize
+
+    from ida_dataengineerproject_spark.queries.production import (
+        production_overrides,
+    )
+    from ida_dataengineerproject_spark.session import get_spark
+    from ida_dataengineerproject_spark.sources.tables import load_tables
+
+    spark = get_spark("bench_scale")
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = materialize(spark, src, factor, out_root)
+
+    qs = {**e.queries(), **production_overrides()}
+    oracles = e.oracle_sql()
+    names = names or [n for n in DEFAULT_QUERIES if n in qs]
+
+    for df in load_tables(spark, sf_dir).values():  # warm listing/footers
+        try:
+            df.limit(1).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001
+            pass
+
+    rows: dict[str, dict] = {}
+    for i, name in enumerate(names):
+        row: dict = {}
+        try:
+            best = 1e18
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            row["spark"] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            row["spark_err"] = f"{type(exc).__name__}: {exc}"[:300]
+        if name in oracles:
+            d, note = run_duck(oracles, name, sf_dir, cap)
+            if d is not None:
+                row["duckdb"] = d
+            else:
+                row["duckdb_note"] = note
+        if "spark" in row and row.get("duckdb"):
+            row["ratio"] = round(row["spark"] / row["duckdb"], 2)
+        rows[name] = row
+        print(f"# [{i+1}/{len(names)}] {name}: {row}", file=sys.stderr, flush=True)
+
+    timed = [r for r in rows.values() if "spark" in r and "duckdb" in r]
+    result = {
+        "metric": "bench_scale_wall_sec",
+        "factor": factor,
+        "base_sf_dir": src,
+        "replica_dir": sf_dir,
+        "duckdb_cap_sec": cap,
+        "n_queries": len(names),
+        "spark_total": round(
+            sum(r["spark"] for r in rows.values() if "spark" in r), 3
+        ),
+        "duckdb_total_completed": round(
+            sum(r["duckdb"] for r in timed), 3
+        ),
+        "spark_total_on_completed": round(
+            sum(r["spark"] for r in timed), 3
+        ),
+        "n_duckdb_capped": sum(
+            1 for r in rows.values() if "cap" in r.get("duckdb_note", "")
+        ),
+        "weak_rows_gt2x": sorted(
+            n for n, r in rows.items() if r.get("ratio", 0) > 2
+        ),
+        "queries": rows,
+    }
+    full = os.path.join(REPO, "artifacts", "bench_scale_full.json")
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    with open(full, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
