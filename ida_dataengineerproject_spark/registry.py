@@ -21,6 +21,8 @@ from .session import harden
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# undecorated originals — tools/registry_audit.py introspects their source
+ORIGINALS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 
 def register(name: str, oracle: str | None = None):
@@ -34,6 +36,7 @@ def register(name: str, oracle: str | None = None):
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
         QUERIES[name] = wrapped
+        ORIGINALS[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
         return wrapped
