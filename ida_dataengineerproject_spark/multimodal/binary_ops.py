@@ -505,32 +505,53 @@ def bmp_patch_tokens(
     patches partial, exactly like every vision-transformer preprocessor),
     and emit one row per patch with its channel-mean — the (token grid,
     per-token feature) shape an image-text training pipeline feeds to the
-    encoder.  Arrow-batched mapInPandas: pure per-row kernel, no shuffle;
-    the row explosion is the patch count, bounded by the image dims."""
+    encoder.  Arrow-batched mapInPandas: no shuffle; the row explosion is
+    the patch count, bounded by the image dims.  The tiling is ONE
+    vectorized NaN-pad + block-reshape + nanmean per image (r9 review:
+    the original per-patch Python loop costs O(patches) interpreter
+    iterations per image — 3 k patches for a 224×224 input; the reshape
+    kernel is O(1) numpy calls regardless of patch count).  Edge patches
+    stay partial: NaN padding + nanmean averages only real pixels."""
     import numpy as np
+
+    def patch_means(arr) -> "np.ndarray":
+        if arr.ndim == 2:  # grayscale → single channel
+            arr = arr[:, :, None]
+        h, w, c = arr.shape
+        nh, nw = (h + patch - 1) // patch, (w + patch - 1) // patch
+        padded = np.full((nh * patch, nw * patch, c), np.nan)
+        padded[:h, :w] = arr
+        blocks = padded.reshape(nh, patch, nw, patch, c).transpose(
+            0, 2, 1, 3, 4
+        )
+        return np.nanmean(blocks.reshape(nh, nw, -1), axis=2)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, prs, pcs, means = [], [], [], []
             for i, data in zip(pdf[id_col], pdf["payload"]):
-                arr = _bmp_pixels(bytes(data))
-                h, w = arr.shape[0], arr.shape[1]
-                for pr in range((h + patch - 1) // patch):
-                    for pc in range((w + patch - 1) // patch):
-                        tile = arr[
-                            pr * patch : (pr + 1) * patch,
-                            pc * patch : (pc + 1) * patch,
-                        ]
-                        ids.append(i)
-                        prs.append(pr)
-                        pcs.append(pc)
-                        means.append(float(np.mean(tile)))
+                m = patch_means(_bmp_pixels(bytes(data)))
+                nh, nw = m.shape
+                grid_r, grid_c = np.indices((nh, nw))
+                ids.append(np.full(nh * nw, i, dtype="int64"))
+                prs.append(grid_r.ravel())
+                pcs.append(grid_c.ravel())
+                means.append(m.ravel())
+            empty: list = []
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "patch_row": pd.Series(prs, dtype="int32"),
-                    "patch_col": pd.Series(pcs, dtype="int32"),
-                    "mean_pixel": pd.Series(means, dtype="float64"),
+                    "doc_id": pd.Series(
+                        np.concatenate(ids or [empty]), dtype="int64"
+                    ),
+                    "patch_row": pd.Series(
+                        np.concatenate(prs or [empty]), dtype="int32"
+                    ),
+                    "patch_col": pd.Series(
+                        np.concatenate(pcs or [empty]), dtype="int32"
+                    ),
+                    "mean_pixel": pd.Series(
+                        np.concatenate(means or [empty]), dtype="float64"
+                    ),
                 }
             )
 

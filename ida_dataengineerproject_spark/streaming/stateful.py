@@ -47,6 +47,8 @@ def _make_update_user(evict_after_ms: int | None):
             return
         n, total, last_us = state.get if state.exists else (0, 0.0, 0)
         for pdf in batches:
+            if not len(pdf):  # defensive: empty Arrow chunk
+                continue
             n += len(pdf)
             total += float(pdf["value"].sum())
             last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
@@ -85,6 +87,8 @@ class _RunningCounters(StatefulProcessor):
         prev = self._totals.get() if self._totals.exists() else None
         n, total, last_us = prev if prev is not None else (0, 0.0, 0)
         for pdf in rows:
+            if not len(pdf):  # defensive: empty Arrow chunk
+                continue
             n += len(pdf)
             total += float(pdf["value"].sum())
             last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
@@ -195,6 +199,8 @@ def _cdc_update(
         state.get if state.exists else (-1, -1, None, 0.0, 0)
     )
     for pdf in batches:
+        if not len(pdf):  # defensive: empty Arrow chunk
+            continue
         n += len(pdf)
         top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
         bts = int(pd.Timestamp(top["ts"]).value // 1000)

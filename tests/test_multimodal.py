@@ -188,3 +188,32 @@ def test_audio_frame_energy_nonconstant_signal(spark):
     assert abs(row["rms_min"] - min(rms)) < 1e-9
     assert abs(row["rms_max"] - max(rms)) < 1e-9
     assert not row["all_silent"]
+
+
+def test_bmp_patch_tokens_nonuniform_partial_edges(spark):
+    """The vectorized NaN-pad/reshape tiling must equal the naive
+    per-tile mean on a NON-uniform image whose dims are not multiples of
+    the patch size (7x10, patch 4 -> 2x3 grid with partial right/bottom
+    edges) — the oracle's uniform images can't distinguish a padding bug
+    from a correct partial-edge mean."""
+    import numpy as np
+
+    from ida_dataengineerproject_spark.multimodal.binary_ops import (
+        _bmp_encode_pixels,
+        bmp_patch_tokens,
+    )
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(7, 10, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(_bmp_encode_pixels(arr)))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        (r.patch_row, r.patch_col): r.mean_pixel
+        for r in bmp_patch_tokens(df, patch=4).collect()
+    }
+    assert set(got) == {(r, c) for r in range(2) for c in range(3)}
+    for (r, c), m in got.items():
+        tile = arr[r * 4 : (r + 1) * 4, c * 4 : (c + 1) * 4]
+        assert abs(m - float(np.mean(tile))) < 1e-9, (r, c)
