@@ -113,21 +113,28 @@ def count_triangles(
     per row, instead of materializing Σ outdeg² wedge ROWS into a
     shuffle join.
 
-    Join strategy is size-adaptive on the MATERIALIZED adjacency: the
-    oriented adjacency is checkpointed once (m + n longs, spread over
-    defaultParallelism partitions so the intersect compute keeps full
-    core count — byte-based AQE coalesce would squash these compute-
-    heavy, byte-light array rows onto ~3 tasks), then
+    Join strategy is size-adaptive on MEASURED numbers computed BEFORE
+    the adjacency materializes (exact, not Catalyst estimates: each
+    undirected edge orients to exactly one adjacency entry, so
+    |und| + |deg| counts give the bytes).  The adjacency is then
+    checkpointed once (m + n longs, spread over defaultParallelism
+    partitions so the intersect compute keeps full core count —
+    byte-based AQE coalesce would squash these compute-heavy,
+    byte-light array rows onto ~3 tasks), and
 
-    - adjacency under ``broadcast_limit_bytes`` (per a MEASURED
-      rows+entries aggregate over the checkpointed adjacency, not
-      Catalyst size estimates): broadcast-hash-join the v-side
-      adjacency.  The Σ outdeg²
-      array duplication then never crosses a shuffle — explode, probe
-      and intersect pipeline in ONE stage.  Measured at sf0.1 (m=1.2M,
-      Σoutdeg²=83M): 0.4 s vs 3.4 s for the sort-merge form.
+    - adjacency under ``broadcast_limit_bytes``: broadcast-hash-join the
+      v-side adjacency.  The Σ outdeg² array duplication then never
+      crosses a shuffle — explode, probe and intersect pipeline in ONE
+      stage.  Measured at sf0.1 (m=1.2M, Σoutdeg²=83M): 0.4 s vs 3.4 s
+      for the sort-merge form.
     - larger graphs: plain shuffle equi-join on v (Cohen's Σ outdeg²
-      shuffle bound — the 100 TB path; nothing data-sized is broadcast).
+      shuffle bound — the 100 TB path; nothing data-sized is broadcast),
+      AND the collect_list build runs as a SORT-based aggregate
+      (scoped ``useObjectHashAggregateExec=false``): the hash form
+      holds every open group's array per task — the whole graph in
+      heap across concurrent tasks, the r8 x100 16 g OOM — while the
+      sort form keeps one group (≤ ~sqrt(2m) entries) at a time and
+      its shuffle sort spills.
 
     An Arrow ``mapInPandas`` batch-intersection (row-offset keys +
     ``np.intersect1d``) was measured SLOWER than codegen array_intersect
@@ -158,28 +165,50 @@ def count_triangles(
         F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("u"),
         F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("v"),
     )
+    # Gate on a MEASURED size, not Catalyst stats — and measure it BEFORE
+    # building the adjacency (r8 probe: at x100 the 220 M-entry
+    # collect_list ObjectHashAggregate OOMed a 16 g JVM while
+    # materializing the frame the old gate measured — the handoff
+    # decision arrived after the memory hazard).  Exact pre-build
+    # numbers from two cheap counts over already-checkpointed frames:
+    # every undirected edge orients to exactly ONE adjacency entry, so
+    # entries == |und| (collect_set can only shrink it), and adjacency
+    # rows <= |deg|.  Bytes: 8 B/long id ×2 for the
+    # BroadcastHashedRelation's boxing/hash overhead, plus per-row
+    # array+key overhead.
+    n_edges_m = und.count()
+    n_nodes_m = deg.count()
+    adj_bytes = n_edges_m * 16 + n_nodes_m * 64
     gather = F.collect_list if edges_unique else F.collect_set
-    adj = (
-        oriented.groupBy("u")
-        .agg(gather("v").alias("nbrs"))
-        # two consumer arms below — materialize once; round-robin spread
-        # keeps the intersect stage at full parallelism (see docstring)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
-    )
-    # Gate on a MEASURED size, not Catalyst stats: size-only plan stats
-    # carried over a checkpoint badly underestimate variable-length
-    # adjacency arrays (~70 entries avg here), so an estimate-based gate
-    # could force-broadcast a multi-GB adjacency (driver OOM at scale).
-    # One cheap 2-number aggregate over the already-checkpointed frame:
-    # rows + total neighbor entries → conservative bytes (8 B/long id
-    # ×2 for the BroadcastHashedRelation's boxing/hash overhead, plus
-    # per-row array+key overhead).
-    _m = adj.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.size("nbrs")), F.lit(0)).alias("entries"),
-    ).collect()[0]
-    adj_bytes = int(_m["entries"]) * 16 + int(_m["n"]) * 64
+
+    def build_adj():
+        # fresh frame per call: a DataFrame memoizes its physical plan,
+        # so the sort-aggregate conf below must be live when the plan
+        # is FIRST materialized.  Two consumer arms below — materialize
+        # once; round-robin spread keeps the intersect stage at full
+        # parallelism (see docstring)
+        return (
+            oriented.groupBy("u")
+            .agg(gather("v").alias("nbrs"))
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+
+    if adj_bytes <= broadcast_limit_bytes:
+        adj = build_adj().localCheckpoint()
+    else:
+        # Huge regime: the hash aggregate holds EVERY open group's
+        # ArrayBuffer per task — Σ entries ~ the whole graph in heap
+        # across concurrent tasks.  A sort-based aggregate keeps ONE
+        # group's array at a time (the shuffle sort itself spills), so
+        # the build is memory-bounded by the max out-degree ~ sqrt(2m).
+        # scoped_conf + eager checkpoint: the conf is live only while
+        # THIS aggregate executes.
+        from ..session import scoped_conf
+
+        with scoped_conf(
+            spark, {"spark.sql.execution.useObjectHashAggregateExec": "false"}
+        ):
+            adj = build_adj().localCheckpoint(eager=True)
     # recover each oriented edge (u→v) WITH u's adjacency attached by
     # exploding the adjacency itself — one join saved vs joining the
     # edge list back to adj on u

@@ -86,3 +86,76 @@ def test_count_triangles_k4_plus_pendant(spark):
     k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
     df = spark.createDataFrame(k4, "src long, dst long")
     assert count_triangles(df).collect()[0]["n_triangles"] == 4
+
+
+def test_count_triangles_arm_selection_pre_build(spark):
+    """The broadcast/shuffle handoff must be decided BEFORE the adjacency
+    materializes (r8: at x100 the hash-aggregate build OOMed a 16 g JVM
+    before the old post-build gate could choose the shuffle arm).
+    Forcing the huge regime (broadcast_limit_bytes=0) on a small graph
+    must (a) still count exactly, (b) produce a final plan with NO
+    broadcast hash join on the adjacency, and (c) leave the scoped
+    sort-aggregate conf restored afterwards."""
+    from ida_dataengineerproject_spark.operators.graph import count_triangles
+
+    conf_key = "spark.sql.execution.useObjectHashAggregateExec"
+    before = spark.conf.get(conf_key)
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 1), (2, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    tri_shuffle = count_triangles(df, broadcast_limit_bytes=0)
+    plan = tri_shuffle._sc._jvm.PythonSQLUtils  # noqa: SLF001 — not used
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        tri_shuffle.explain("formatted")
+    assert "BroadcastHashJoin" not in buf.getvalue()
+    assert tri_shuffle.collect()[0]["n_triangles"] == _naive_triangles(edges)
+    assert spark.conf.get(conf_key) == before  # scoped conf restored
+
+    tri_bcast = count_triangles(df)  # default limit: broadcast arm
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        tri_bcast.explain("formatted")
+    assert "BroadcastHashJoin" in buf2.getvalue()
+    assert tri_bcast.collect()[0]["n_triangles"] == _naive_triangles(edges)
+
+
+def test_adjacency_build_sort_based_under_scoped_conf(spark):
+    """The huge-regime build relies on scoped
+    useObjectHashAggregateExec=false turning collect_list into a
+    SortAggregate (one group's array in memory at a time).  Pin that the
+    conf actually flips the physical aggregate on this Spark build —
+    if an upgrade ignores it, the x100 memory posture silently reverts."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.session import scoped_conf
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4)], "u long, v long"
+    )
+
+    def build():
+        # fresh frame each time: a DataFrame memoizes its physical plan,
+        # so the conf must be live when the plan is FIRST materialized —
+        # exactly the ordering count_triangles' huge arm relies on
+        return df.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        build().explain("formatted")
+    assert "ObjectHashAggregate" in buf.getvalue()
+
+    with scoped_conf(
+        spark, {"spark.sql.execution.useObjectHashAggregateExec": "false"}
+    ):
+        buf2 = io.StringIO()
+        with redirect_stdout(buf2):
+            build().explain("formatted")
+        s = buf2.getvalue()
+        assert "SortAggregate" in s and "ObjectHashAggregate" not in s
