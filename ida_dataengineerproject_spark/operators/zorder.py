@@ -92,6 +92,30 @@ def checked(col: Column, name: str) -> Column:
     ).otherwise(c)
 
 
+def compress_ranges(
+    df: DataFrame, cols: list[str]
+) -> dict[str, tuple[int, int]]:
+    """Per-column (lo, shift) for the order-preserving 31-bit compression
+    ``(v - lo) >> shift``: one bounded min/max aggregate (control plane —
+    1 row collected), shift = excess bits of the span above 31.  Exact
+    integer arithmetic end-to-end, so the mapping is monotone: equal
+    inputs share a curve coordinate and order never inverts — the
+    general answer for 64-bit ids (the r9 x10 replica's shifted keys
+    broke the strict 2^31 guard; BENCH_SCALE_r9 found it)."""
+    aggs: list[Column] = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("long")).alias(f"lo_{c}"))
+        aggs.append(F.max(F.col(c).cast("long")).alias(f"hi_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    out: dict[str, tuple[int, int]] = {}
+    for c in cols:
+        lo = row[f"lo_{c}"] if row[f"lo_{c}"] is not None else 0
+        hi = row[f"hi_{c}"] if row[f"hi_{c}"] is not None else lo
+        span = max(0, hi - lo)
+        out[c] = (lo, max(0, span.bit_length() - 31))
+    return out
+
+
 def cluster_by_zorder(
     df: DataFrame,
     a: str,
@@ -99,6 +123,7 @@ def cluster_by_zorder(
     num_partitions: int | None = None,
     strict: bool = True,
     keep_bucket: bool = False,
+    compress: bool = False,
 ) -> DataFrame:
     """Cluster rows along the Z-curve of (a, b) so a subsequent parquet
     write yields files whose min/max statistics are tight in BOTH columns.
@@ -113,7 +138,12 @@ def cluster_by_zorder(
     mask would truncate — truncation only degrades clustering quality
     (correctness is preserved by residual filters), but silently degraded
     file pruning at 100 TB is exactly the failure you want surfaced.
-    Pass strict=False to accept low-31-bit clustering for wide ids.
+    Pass strict=False to accept low-31-bit clustering for wide ids, or
+    `compress=True` for the general 64-bit answer: each dimension is
+    order-preservingly mapped into [0, 2^31) via ``(v - min) >> shift``
+    (exact integer arithmetic from one bounded min/max aggregate —
+    compress_ranges), so arbitrary long ids cluster correctly with at
+    most the span's excess bits of intra-bucket resolution lost.
 
     `keep_bucket` adds a ``__zbucket`` int column — the range-bucket id
     along the curve (``spark_partition_id`` after the range shuffle) —
@@ -121,7 +151,14 @@ def cluster_by_zorder(
     layout is what lets Spark's own partition pruning (static or dynamic)
     skip buckets without any driver-side file list
     (sources/file_pruning.py)."""
-    if strict:
+    if compress:
+        rngs = compress_ranges(df, [a, b])
+        (lo_a, sh_a), (lo_b, sh_b) = rngs[a], rngs[b]
+        key = morton_key(
+            F.shiftright(F.col(a).cast("long") - F.lit(lo_a), sh_a),
+            F.shiftright(F.col(b).cast("long") - F.lit(lo_b), sh_b),
+        )
+    elif strict:
         key = morton_key(checked(F.col(a), a), checked(F.col(b), b))
     else:
         key = morton_key(F.col(a), F.col(b))

@@ -351,3 +351,54 @@ def test_bloom_index_lookup_prunes_partitions_losslessly(spark, tmp_path):
     assert stats["parts_total"] == 40
     # true partitions = 2; allow a little FP slack, require real pruning
     assert 2 <= stats["parts_read"] <= 6
+
+
+def test_zorder_compress_handles_64bit_ids(spark, tmp_path):
+    """BENCH_SCALE_r9 found xs4 raising on the x10 replica's shifted
+    64-bit keys.  compress=True must cluster arbitrary long ids
+    (order-preserving (v - min) >> shift into [0, 2^31)) and the pruned
+    read must still return the exact filtered result on the ORIGINAL
+    values."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.operators.zorder import (
+        cluster_by_zorder,
+        compress_ranges,
+    )
+    from ida_dataengineerproject_spark.sources.file_pruning import (
+        build_bucket_manifest,
+        pruned_read,
+        write_zorder_partitioned,
+    )
+
+    # ids spanning several replica copies (i*10^9 shifts) like the x10 dir
+    df = spark.range(2000).select(
+        (F.col("id") % 200 + (F.col("id") % 10) * 1_000_000_000).alias("k"),
+        (F.col("id") % 365).alias("d"),
+        F.col("id").alias("payload"),
+    )
+    rngs = compress_ranges(df, ["k", "d"])
+    lo_k, sh_k = rngs["k"]
+    assert lo_k == 0 and sh_k >= 2  # span ~9e9 needs >31 bits
+    assert rngs["d"] == (0, 0)  # small span untouched
+
+    # strict arm still raises; compress arm clusters fine
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="pre-hash or bucket"):
+        cluster_by_zorder(df, "k", "d", 4).collect()
+    out = str(tmp_path / "z64")
+    write_zorder_partitioned(df, "k", "d", 4, out)
+
+    manifest = build_bucket_manifest(spark, out, ["k", "d"])
+    pruned, stats = pruned_read(
+        spark, out, manifest, {"k": (100, 199), "d": (0, 99)}
+    )
+    got = sorted(r.payload for r in pruned.collect())
+    want = sorted(
+        r.payload
+        for r in df.filter(
+            (F.col("k").between(100, 199)) & (F.col("d").between(0, 99))
+        ).collect()
+    )
+    assert got == want and got  # non-empty exact result
