@@ -142,10 +142,20 @@ def count_triangles(
     2.0 s at sf0.1) — the per-batch flatten/sort outweighs the hash-set
     probes it replaces; probe committed in ROUND_NOTES round 7.
     """
+    from pyspark.storagelevel import StorageLevel
+
     spark = edges.sparkSession
     und = edges.select(F.col(src).alias("p1"), F.col(dst).alias("p2"))
-    # two consumers (degree pass, orientation join) — materialize once
-    und = und.localCheckpoint()
+    # two consumers (degree pass, orientation join) — materialize once.
+    # DISK_ONLY, not the MEMORY_AND_DISK(deserialized) default: at x100
+    # the edge snapshot is 10⁸ rows, and deserialized block storage pins
+    # gigabytes of the unified pool (storageFraction-protected from
+    # eviction), starving the very hash aggregates that read it —
+    # the r9 16 g AGGREGATE_OUT_OF_MEMORY landed in the degree/distinct
+    # stage, not the adjacency build.  Serialized long-pairs are compact
+    # and the OS page cache keeps re-reads memory-speed without touching
+    # the JVM heap.
+    und = und.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     deg = (
         und.select(F.col("p1").alias("node"))
         .unionByName(und.select(F.col("p2").alias("node")))
@@ -208,7 +218,11 @@ def count_triangles(
         with scoped_conf(
             spark, {"spark.sql.execution.useObjectHashAggregateExec": "false"}
         ):
-            adj = build_adj().localCheckpoint(eager=True)
+            # DISK_ONLY for the same storage-squeeze reason as `und`:
+            # the huge-regime adjacency is the largest object in the job
+            adj = build_adj().localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
     # recover each oriented edge (u→v) WITH u's adjacency attached by
     # exploding the adjacency itself — one join saved vs joining the
     # edge list back to adj on u
