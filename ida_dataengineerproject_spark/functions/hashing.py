@@ -72,3 +72,68 @@ def bloom_positions(df, key_col: str, n_hashes: int, m: int, part_cols=()):
         )
         out = part if out is None else out.unionByName(part)
     return out.distinct()
+
+
+def bloom_bitmap(df, key_col: str, n_hashes: int, m: int):
+    """The position table packed into ONE row: a DENSE array<bigint> of
+    m/64 64-bit words (word pos>>6 gets bit 1<<(pos&63); absent words
+    are 0).  Probing is then a broadcast crossJoin plus pure codegen
+    bit arithmetic per row — no join on the probe side at all, versus
+    one broadcast hash join per hash function for the row-per-position
+    form (whose three renamed markers also defeat exchange reuse, so
+    the reference scan re-ran per join — measured on x14).  Dense ARRAY
+    rather than a map because Spark's map element_at is a LINEAR key
+    scan (1024-entry map × 3 probes/row measured SLOWER than the joins
+    it replaced); array element_at is O(1).  ≤ 1024 words (8 KB) for
+    the default geometry, riding one broadcast row."""
+    pos = bloom_positions(df, key_col, n_hashes, m)
+    words = pos.groupBy(
+        F.shiftright(F.col("pos"), 6).cast("int").alias("w")
+    ).agg(
+        # positions are DISTINCT, so each (word, bit) appears once and
+        # SUM == bitwise OR — and sum is map-side combinable.
+        # call_function: the PySpark shiftleft wrapper only takes an int
+        # literal shift; the SQL function itself accepts expressions
+        F.sum(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("pos") % 64).cast("int"),
+            )
+        ).alias("bits")
+    )
+    sparse = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w"), F.col("bits")))
+        ).alias("__m")
+    )
+    n_words = (m + 63) // 64
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    return sparse.select(dense.alias("__bloom"))
+
+
+def bloom_bitmap_probe(pos_col, bitmap_col=None):
+    """Membership test of a position against the packed bitmap:
+    bit (pos & 63) of array word (pos>>6)+1 (1-indexed).  Pure
+    expression — whole-stage codegen, no join."""
+    m = bitmap_col if bitmap_col is not None else F.col("__bloom")
+    word = F.element_at(
+        m, (F.shiftright(pos_col, 6) + 1).cast("int")
+    )
+    # LOGICAL shift: an arithmetic >> of a negative word (bit 63 set)
+    # propagates the sign and `-1 % 2 == -1` in Spark — bit 63 would
+    # silently read as unset.  call_function because the PySpark wrapper
+    # only accepts an int-literal shift.
+    shifted = F.call_function(
+        "shiftrightunsigned", word, (pos_col % 64).cast("int")
+    )
+    # bitwiseAND, not `% 2`: when bit 63 is also set the shifted word is
+    # a NEGATIVE long for shifts < 63, and Spark's % keeps the dividend
+    # sign (-9223372036854775807 % 2 == -1) — the low bit would read
+    # unset (caught by the self-probe check in tests)
+    return (shifted.bitwiseAND(F.lit(1)) == 1) & word.isNotNull()

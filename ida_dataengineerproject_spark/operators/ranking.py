@@ -187,13 +187,17 @@ def grouped_quantiles(
     quantiles: dict[str, float],
     n_buckets: int = 32,
     bounds: list[float] | None = None,
+    fused: bool = False,
 ) -> DataFrame:
     """Exact continuous quantiles (``quantile_cont`` semantics — linear
     interpolation at position q·(n−1)) per group, WITHOUT a per-group
     sort buffer: one grouped two-level rank (bounded windows only), one
     broadcast of the (groups × quantiles) target-rank frame, one
     filtered interpolating aggregate.  Returns one row per group with a
-    column per ``quantiles`` key.
+    column per ``quantiles`` key.  ``fused=True`` embeds the boundary
+    probe in the plan (_with_buckets_fused — equal-width min/max bins,
+    no eager approxQuantile job); right for roughly-uniform value
+    columns, see that docstring for the skew tradeoff.
 
     NULL values are excluded, matching SQL ``median``/``percentile``.
     The scale-safe replacement for ``percentile(col, array(...))``
@@ -209,7 +213,11 @@ def grouped_quantiles(
     scanned, never shuffled."""
     g = list(group_cols)
     src = df.select(*g, value_col).filter(F.col(value_col).isNotNull())
-    wb = _with_buckets(src, value_col, n_buckets, bounds)
+    wb = (
+        _with_buckets_fused(src, value_col, n_buckets)
+        if fused and bounds is None
+        else _with_buckets(src, value_col, n_buckets, bounds)
+    )
     counts = wb.groupBy(*g, "__bucket").agg(F.count("*").alias("__n"))
     w_off = Window.partitionBy(*g).orderBy("__bucket").rowsBetween(
         Window.unboundedPreceding, -1

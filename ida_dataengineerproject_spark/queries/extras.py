@@ -257,6 +257,10 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         ["l_returnflag"],
         {"med_price": 0.5, "p90_price": 0.9},
+        # plan-embedded equal-width bounds: no eager approxQuantile job;
+        # extendedprice is near-uniform so the bins stay balanced
+        # (measured r9: 2.03 -> 1.59 s sf0.1, 3.01 -> 2.34 s x10)
+        fused=True,
     ).select(
         "l_returnflag",
         F.round("med_price", 4).alias("med_price"),

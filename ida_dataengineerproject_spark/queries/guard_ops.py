@@ -111,52 +111,53 @@ def bloom_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership prefilter + exact confirm, per ship-month.
 
     The reference set (orders above the ~p95 price) is folded into a
-    bit-POSITION table of at most m = 65536 rows — a bounded broadcast no
-    matter how many reference keys exist, unlike broadcasting the key set
-    itself.  Every lineitem probes its k = 3 positions via three broadcast
-    hash joins (no shuffle touches the probe side until the final
-    per-month aggregate); rows passing all three are candidates, and the
-    exact confirm join (in_ref) measures the false-positive rate.  The
-    no-false-negative contract (in_ref => bloom_pass, so n_confirmed is
-    exact membership) is what lets the expensive confirm join run on
-    survivors only at scale.
+    PACKED BITMAP — a dense array of m/64 = 1024 64-bit words riding
+    ONE broadcast row — and every lineitem probes its k = 3 positions
+    with pure codegen bit arithmetic
+    (functions/hashing.bloom_bitmap_probe): ZERO joins on the probe
+    side until the exact confirm.  The r8 row-per-position form ran one
+    broadcast hash join per hash function (the three renamed markers
+    defeated exchange reuse, so the reference aggregation re-executed
+    per join); same-session r9 A/B: wash at toy scale (old 1.10/new
+    1.28 s at sf0.1; old 1.28/new 1.17 s at x10) — the bitmap arm is
+    kept for the scale posture: an 8 KB broadcast value versus a
+    65k-row hash relation built k times, and no join machinery on the
+    probe path at all.  Rows passing all three are candidates, and
+    the exact confirm join (in_ref) measures the false-positive rate.
+    The no-false-negative contract (in_ref => bloom_pass, so
+    n_confirmed is exact membership) is what lets the expensive confirm
+    join run on survivors only at scale.
 
     Reference scope: generalizes the insert-if-absent membership check of
     /root/reference/etl/etl_ida.py (op38 anti-join) to a
     constant-memory prefilter.  100 TB: probe side never shuffles; the
-    bloom table is ~0.5 MB broadcast; the confirm side would be a
+    bloom bitmap is ~8 KB broadcast; the confirm side would be a
     shuffle-join on the ~(FP + true) survivors only."""
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
 
-    from ..functions.hashing import bloom_positions
+    from ..functions.hashing import bloom_bitmap, bloom_bitmap_probe
 
     refk = (
         orders.filter(F.col("o_totalprice") > _REF_PRICE)
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
     )
-    bloom = bloom_positions(refk, "k", _BLOOM_K, _BLOOM_M)
+    bitmap = bloom_bitmap(refk, "k", _BLOOM_K, _BLOOM_M)
 
     probe = li.select(
         F.substring(F.col("l_shipdate").cast("string"), 1, 7).alias("mes"),
         "l_orderkey",
         *[_bloom_pos(F.col("l_orderkey"), j) for j in range(1, _BLOOM_K + 1)],
+    ).crossJoin(F.broadcast(bitmap))
+    bloom_pass = (
+        bloom_bitmap_probe(F.col("pos1"))
+        & bloom_bitmap_probe(F.col("pos2"))
+        & bloom_bitmap_probe(F.col("pos3"))
     )
-    out = probe
-    for j in range(1, _BLOOM_K + 1):
-        marker = bloom.withColumnRenamed("pos", f"bpos{j}").withColumn(
-            f"hit{j}", F.lit(1)
-        )
-        out = out.join(
-            F.broadcast(marker), out[f"pos{j}"] == marker[f"bpos{j}"], "left"
-        )
     ref_marker = refk.withColumn("in_ref", F.lit(1))
-    out = out.join(
-        F.broadcast(ref_marker), out["l_orderkey"] == ref_marker["k"], "left"
-    )
-    bloom_pass = F.expr(
-        " AND ".join(f"hit{j} IS NOT NULL" for j in range(1, _BLOOM_K + 1))
+    out = probe.join(
+        F.broadcast(ref_marker), probe["l_orderkey"] == ref_marker["k"], "left"
     )
     return out.groupBy("mes").agg(
         F.count("*").alias("n_rows"),

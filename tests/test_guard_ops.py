@@ -55,7 +55,10 @@ def test_bloom_probe_side_joins_are_all_broadcast(spark):
     )
 
     plan = bloom_membership_filter(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    # r9 bitmap form: the ONLY probe-side join left is the exact confirm
+    # (broadcast); the three bloom probes are codegen bit arithmetic over
+    # one broadcast-nested-loop-attached 1-row bitmap — no hash relation
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
@@ -273,3 +276,42 @@ def test_scoped_conf_restores_and_surfaces_failures(spark):
     with pytest.raises(RuntimeError, match="scoped_conf restore failed"):
         with scoped_conf(fake2, {"some.key": "new"}):
             fake2.conf._armed = True
+
+
+def test_bloom_bitmap_self_probe_and_bit_edges(spark):
+    """Every position in the sparse table must pass the packed-bitmap
+    probe — including bit 0 of a word whose bit 63 is ALSO set (the
+    shifted word is then a negative long; Spark's % keeps the dividend
+    sign, so a `% 2 == 1` test silently read the low bit as unset —
+    r9-found, fixed with bitwiseAND)."""
+    from pyspark.sql import functions as F
+
+    from ida_dataengineerproject_spark.functions.hashing import (
+        bloom_bitmap,
+        bloom_bitmap_probe,
+        bloom_positions,
+    )
+
+    # keys engineered so some word carries both bit 63 and low bits:
+    # positions are CW-hash outputs, so just use enough keys to populate
+    # densely (65536 positions / 3 hashes / 4000 keys ~ 18% fill)
+    keys = spark.range(4000).select(F.col("id").alias("k"))
+    pos = bloom_positions(keys, "k", 3, 65536)
+    bm = bloom_bitmap(keys, "k", 3, 65536)
+    chk = pos.crossJoin(F.broadcast(bm)).select(
+        "pos", bloom_bitmap_probe(F.col("pos")).alias("hit")
+    )
+    misses = chk.filter(~F.col("hit")).count()
+    assert misses == 0
+    # and a non-member position set stays mostly unset (sanity)
+    outside = spark.range(70000, 70100).select(
+        (F.col("id") % 65536).alias("pos")
+    )
+    probe2 = outside.join(pos, "pos", "left_anti")  # true non-positions
+    fp = (
+        probe2.crossJoin(F.broadcast(bm))
+        .select(bloom_bitmap_probe(F.col("pos")).alias("hit"))
+        .filter("hit")
+        .count()
+    )
+    assert fp == 0  # exact bit test: non-position bits are never set
