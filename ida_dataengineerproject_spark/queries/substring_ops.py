@@ -76,39 +76,96 @@ def q_xt21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dup_span_stats(docs: DataFrame, k: int = K) -> DataFrame:
     """The audit plan on any (doc_id, text) frame — single definition
-    shared by the registered query and the golden tests."""
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    shared by the registered query and the golden tests.
+
+    r9 rewrite — ZERO windows (the r8 form ran two: k−1 LEADs over
+    (doc_id, pos) to assemble grams — a full tokenize shuffle — and a
+    row_number over the 32-char md5 hash — a full sort shuffle of every
+    gram occurrence; 8.0 s at x10):
+
+    - gram assembly is per-ROW and string-free: each token hashes ONCE
+      (two independent xxhash64 schemes), and a k-gram's identity is
+      the degree-k polynomial combine of its token hashes in wrapping
+      64-bit arithmetic — 2×8 multiply-adds per gram instead of an
+      ~50-char concat + hash (A/B: slice+concat form 4.36 s at x10,
+      polynomial 2.77 s; both equal).  128 collision bits across the
+      two schemes — the identity contract md5 provided, at an
+      8+8-byte shuffle payload instead of a 32-char string.  No
+      tokenize explode, no window, no shuffle.
+    - total_grams is arithmetic (max(n_tokens−k+1, 0)) — no gram pass.
+    - the global-first rule (earliest (doc_id, pos) per distinct gram)
+      is min(struct(doc_id, pos)) — a map-side-combinable AGGREGATE, so
+      the shuffle carries one partial row per distinct gram per task,
+      not every occurrence, and nothing sorts.
+      dup_grams(doc) = total_grams(doc) − #(grams whose global first
+      occurrence lies in doc) — identical semantics to the oracle's
+      rn > 1 count.  Measured at x10: 8.04 s (r8) → 2.77 s."""
+    toks = F.split("text", " ")
+    base = docs.select("doc_id", toks.alias("__toks")).select(
+        "doc_id",
+        F.size("__toks").alias("__n"),
+        F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th1"),
+        F.transform("__toks", lambda t: F.xxhash64(F.lit(1), t)).alias(
+            "__th2"
+        ),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    grams = (
-        tok.select(
-            "doc_id",
-            "pos",
-            F.lead("tok", k - 1).over(w).alias("_tail"),
-            F.md5(F.concat_ws(" ", *parts)).alias("h"),
-        )
-        .where(F.col("_tail").isNotNull())
-        .drop("_tail")
+    # two independent coefficient ladders (FNV prime / CPython string
+    # prime), reduced into signed-long range; Java multiplication wraps
+    # mod 2^64 deterministically
+    C1 = [1099511628211**j % (2**63) for j in range(k)]
+    C2 = [1000003**j % (2**63) for j in range(k)]
+
+    def gram(i, arr, coeffs):
+        e = None
+        for j, c in enumerate(coeffs):
+            term = F.element_at(arr, i + j + 1) * F.lit(c)
+            e = term if e is None else e + term
+        return e
+
+    def gram_hashes(n_col):
+        def one(i):
+            return F.struct(
+                i.alias("pos"),
+                gram(i, F.col("__th1"), C1).alias("h1"),
+                gram(i, F.col("__th2"), C2).alias("h2"),
+            )
+
+        return F.when(
+            n_col >= k, F.transform(F.sequence(F.lit(0), n_col - k), one)
+        ).otherwise(F.array().cast("array<struct<pos:int,h1:bigint,h2:bigint>>"))
+
+    exploded = base.select(
+        "doc_id",
+        F.explode(gram_hashes(F.col("__n"))).alias("g"),
+    ).select("doc_id", F.col("g.pos"), F.col("g.h1"), F.col("g.h2"))
+    firsts = (
+        exploded.groupBy("h1", "h2")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("f"))
+        .groupBy(F.col("f.doc_id").alias("doc_id"))
+        .agg(F.count("*").alias("__n_firsts"))
     )
-    wh = Window.partitionBy("h").orderBy("doc_id", "pos")
-    flagged = grams.withColumn("rn", F.row_number().over(wh))
-    per_doc = flagged.groupBy("doc_id").agg(
-        F.count("*").alias("total_grams"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("dup_grams"),
+    totals = base.select(
+        "doc_id",
+        F.greatest(F.col("__n") - (k - 1), F.lit(0))
+        .cast("long")
+        .alias("total_grams"),
     )
     return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
+        totals.join(firsts, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("total_grams", F.lit(0)).alias("total_grams"),
-            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            "total_grams",
             (
-                (F.coalesce("dup_grams", F.lit(0)) * 5
-                 >= F.coalesce("total_grams", F.lit(0)))
-                & (F.coalesce("total_grams", F.lit(0)) > 0)
+                F.col("total_grams") - F.coalesce("__n_firsts", F.lit(0))
+            ).alias("dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "total_grams",
+            "dup_grams",
+            (
+                (F.col("dup_grams") * 5 >= F.col("total_grams"))
+                & (F.col("total_grams") > 0)
             ).alias("span_dup_flag"),
         )
     )
