@@ -31,7 +31,7 @@ irrelevant to correctness: first-occurrence only needs the ORDER of
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
