@@ -11,22 +11,22 @@ i.e. every occurrence except the global first.  Output is the per-doc
 audit (total grams, duplicated grams, a >=20% flag) a pipeline uses to
 route documents to span-removal.
 
-Plan shape (all JVM-side, no Python stages):
-  tokenize (posexplode) → k-gram assembly as ONE window over
-  (doc_id, pos) with k-1 LEADs — a single shuffle keyed by doc_id →
-  md5 gram hash → row_number over (hash) ordered by (doc_id, pos) —
-  the second and last shuffle, keyed by the 128-bit hash, uniform by
-  construction → per-doc aggregate.  At 100 TB both shuffles are
-  linear in token count and key-uniform; nothing is quadratic and no
-  driver-side state exists.  Memory per task is bounded by the largest
-  single document's grams for the doc_id window (documents are
-  chunk-bounded upstream by xt3_doc_chunking).
+Plan shape (all JVM-side, no Python stages, ZERO windows — see
+dup_span_stats): per-row polynomial gram hashing over once-hashed
+tokens, one explode, one map-side-combinable min(struct) aggregate per
+distinct gram, one per-doc count.  At 100 TB the only non-trivial
+shuffle carries one partial row per distinct gram per task (hash-
+uniform by construction); nothing is quadratic, nothing sorts, and no
+driver-side state exists.
 
-The oracle builds the identical gram stream with DuckDB lateral
-unnest(generate_series) + list slicing and the same row_number rule;
-md5 renders identically on both engines.  Position base (0- vs 1-) is
-irrelevant to correctness: first-occurrence only needs the ORDER of
-(doc_id, pos), which is shift-invariant.
+The oracle builds the gram stream with DuckDB lateral
+unnest(generate_series) + list slicing, md5 identity, and a
+row_number-over-hash first-occurrence rule — a DIFFERENT hash and plan
+whose per-doc counts must agree exactly (gram equality is preserved by
+any collision-free hash; 128 bits across the two polynomial schemes).
+Position base (0- vs 1-) is irrelevant to correctness:
+first-occurrence only needs the ORDER of (doc_id, pos), which is
+shift-invariant.
 """
 
 from __future__ import annotations
