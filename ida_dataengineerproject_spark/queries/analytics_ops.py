@@ -480,23 +480,29 @@ def q_xq11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revc"),
     )
     # one checkpoint (one row per customer, orders-of-magnitude smaller
-    # than the fact) + ONE multi-column approxQuantile job supplying all
-    # three boundary sets — without these the per-customer groupBy would
-    # re-execute from the parquet scan five times.
+    # than the fact): six rank-pipeline traversals read it instead of
+    # re-running the per-customer groupBy from the parquet scan.
     per = per.localCheckpoint()
-    probs = [i / 32 for i in range(1, 32)]
-    b_rec, b_frq, b_mon = per.approxQuantile(
-        ["rec_day", "n_orders", "revc"], probs, 0.001
-    )
-    ranked = global_rank(
-        per, "rec_day", ["o_custkey"], rank_col="rr", bounds=b_rec
-    )
-    ranked = global_rank(
-        ranked, "n_orders", ["o_custkey"], rank_col="fr", bounds=b_frq
-    )
-    ranked = global_rank(
-        ranked, "revc", ["o_custkey"], rank_col="mr", bounds=b_mon
-    )
+    # r9: three SEPARATE fused-bounds ranks joined on o_custkey replace
+    # the chained eager form (each chained rank re-traversed its
+    # predecessor's join lineage, and the shared approxQuantile was an
+    # eager driver job) — measured 2.47 → 1.38 s at sf0.1, 3.77 → 2.42 s
+    # at x10, bit-identical output.  Equal-width fused bins: rec_day is
+    # ~uniform, n_orders is a small-int range, revc is mildly skewed —
+    # boundaries only balance work.
+    rr = global_rank(
+        per.select("o_custkey", "rec_day"), "rec_day", ["o_custkey"],
+        rank_col="rr", fused=True,
+    ).select("o_custkey", "rr")
+    fr = global_rank(
+        per.select("o_custkey", "n_orders"), "n_orders", ["o_custkey"],
+        rank_col="fr", fused=True,
+    ).select("o_custkey", "fr")
+    mr = global_rank(
+        per.select("o_custkey", "revc"), "revc", ["o_custkey"],
+        rank_col="mr", fused=True,
+    ).select("o_custkey", "mr", "revc")
+    ranked = rr.join(fr, "o_custkey").join(mr, "o_custkey")
     n_row = per.agg(F.count("*").alias("n"))
     return (
         ranked.crossJoin(F.broadcast(n_row))
