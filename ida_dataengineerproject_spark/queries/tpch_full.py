@@ -600,51 +600,51 @@ def q21b(spark: SparkSession, sf_dir: str) -> DataFrame:
     Key observation: both correlated subqueries test order-level
     conditions ("another supplier exists in the order", "another
     supplier is late in the order"), and lateness depends only on
-    o_orderdate — constant within an order.  So reduce lineitem⋈orders
-    to the (orderkey, suppkey) grain ONCE (late_cnt = this pair's late
-    rows, which is also the pair's contribution to numwait), then get
-    the order-level counts as WINDOW aggregates over orderkey — EXISTS ⇔
-    count(*) over the order ≥ 2, NOT EXISTS ⇔ sum(late_any) = 1.
+    o_orderdate — constant within an order.  Both reduce to min/max
+    facts at the ORDER grain, no distinct counting and no intermediate
+    (orderkey, suppkey) pair grain at all:
 
-    Plan: ONE lineitem scan (probe form: 3), one shuffle to the pair
-    grain, one to the order grain, a broadcast supplier join on the tiny
-    survivor set, and a few-row final aggregate.  No Expand
-    (countDistinct would double the shuffled volume), no row-grain
-    rejoin.  The order-grain step is a plain groupBy, NOT a window over
-    the pair rows: a window must SORT every pair row by orderkey and
-    keeps the full pair grain flowing into the supplier join, while the
-    aggregate gets map-side partial combine, skips the sort, and reduces
-    to qualifying orders (n_late_supp == 1 pins THE late supplier, so
-    max(case) recovers its suppkey and late count without a rejoin) —
-    at the 100x replicated probe this is the difference between a
-    superlinear and a ~linear wall-vs-data slope.  The probe-form query
-    stays registered as the semi/anti plan-shape coverage."""
+    - EXISTS(other supplier)      ⇔ min(suppkey) ≠ max(suppkey)
+    - NOT EXISTS(other late supp) ⇔ the set of late suppkeys is a
+      singleton ⇔ min(late suppkey) = max(late suppkey) (non-null) —
+      and that value IS the waiting supplier, so no rejoin recovers it
+    - numwait contribution         = sum(late) (all late rows belong to
+      the one late supplier once the singleton filter passes)
+
+    Plan: ONE lineitem scan (probe form: 3), broadcast orders join, ONE
+    shuffle of order-grain partial aggregate states (map-side combine
+    collapses the row grain before the exchange — the r9 measurement
+    against the previous pair-grain two-level form was 3.9 → 2.1 s at
+    the x10 replica precisely because the 6 M-row pair shuffle, which
+    is ~the row grain and cannot combine, disappeared), then broadcast
+    supplier/nation joins on the tiny survivor set.  min/max ignore
+    NULL suppkeys, matching the join semantics of the probe form.  The
+    probe-form query stays registered as the semi/anti plan-shape
+    coverage."""
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = table(spark, sf_dir, "lineitem")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    pair = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.sum(late.cast("long")).alias("late_cnt"))
-    )
+    late_key = F.when(late, F.col("l_suppkey"))
     qual = (
-        pair.groupBy("l_orderkey")
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
         .agg(
-            F.count("*").alias("n_supp"),
-            F.sum((F.col("late_cnt") > 0).cast("long")).alias("n_late_supp"),
-            F.max(
-                F.when(F.col("late_cnt") > 0, F.col("l_suppkey"))
-            ).alias("l_suppkey"),
-            F.sum(F.when(F.col("late_cnt") > 0, F.col("late_cnt"))).alias(
-                "late_cnt"
-            ),
+            F.min("l_suppkey").alias("supp_min"),
+            F.max("l_suppkey").alias("supp_max"),
+            F.min(late_key).alias("late_min"),
+            F.max(late_key).alias("late_max"),
+            F.sum(late.cast("long")).alias("late_cnt"),
         )
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .filter(
+            (F.col("supp_min") != F.col("supp_max"))
+            & F.col("late_min").isNotNull()
+            & (F.col("late_min") == F.col("late_max"))
+        )
     )
     return (
-        qual.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        qual.join(F.broadcast(s), F.col("late_min") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("s_name")
         .agg(F.sum("late_cnt").cast("long").alias("numwait"))
