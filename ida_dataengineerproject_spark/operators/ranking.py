@@ -651,3 +651,214 @@ def global_prefix_max(
         )
         .drop("__bucket", "__carry")
     )
+
+
+def grouped_quantiles_band(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: dict[str, float],
+    accuracy: int = 2000,
+) -> DataFrame:
+    """Exact continuous quantiles per group (``quantile_cont`` semantics,
+    identical to :func:`grouped_quantiles`) in TWO table scans, zero
+    windows, zero joins on the data — the sketch-steered band rewrite.
+
+    Pass 1 (one scan): per group, a Greenwald-Khanna sketch
+    (``percentile_approx``, rank error ≤ n/accuracy guaranteed) locates
+    a VALUE BAND [blo, bhi] around each target quantile, probed at
+    q ± 4/accuracy; plus the exact group count.  Pass 2 (one scan, the
+    band frame broadcast back on the group key): one combined aggregate
+    computes, per quantile, the exact ``count(v < blo)`` and a bounded
+    ``collect_list`` of the in-band values.  The final projection sorts
+    each ≤ O(n/accuracy)-element band array and indexes the two straddle
+    ranks — exact order statistics, so the OUTPUT is deterministic even
+    though the sketch's merge order is not (the band only steers).
+
+    Rank-slack proof, dual regime (margins must be literals — Spark
+    requires a foldable percentage — so the regime switch is in-plan):
+    - n ≥ 2·accuracy: ε·n ≥ 2 where ε = 1/accuracy.  blo probed at
+      q−4ε has true rank ≤ (q−3ε)n ≤ qn−3 < r_lo; bhi probed at q+4ε
+      has rank ≥ (q+3ε)n ≥ qn+3 > r_lo+1.  Both straddle ranks land
+      inside the band with ≥1 rank of slack.
+    - n < 2·accuracy: the sketch bound εn < 2 cannot cover the ±2-rank
+      gap between the q·n and q·(n−1) conventions, so the band widens
+      to the WHOLE group — an exact bounded collect (< 2·accuracy
+      values, the same order of state as the sketch itself).
+
+    Per-group state is ≤ max(10n/accuracy + tie mass, 2·accuracy)
+    values — tunable; heavy ties at a band edge widen the collect by
+    the tie mass (equal values are interchangeable at a rank, but all
+    must be carried to index through them).  The replacement for the
+    4-scan bucketed form when the caller wants plain quantiles; keep
+    :func:`grouped_quantiles` for shared-bounds batch probes.
+
+    ALL band probes ride ONE sketch per group — ``percentile_approx``
+    with an array percentage (measured at the x10 replica: 4 separate
+    sketch aggregates 2.20 s vs one 4-probe sketch 0.80 s at
+    accuracy 10000, 0.44 s at 1000 — sketch maintenance, not probing,
+    is the cost).  Default accuracy 2000 balances sketch insert cost
+    against band collect size.
+    """
+    g = list(group_cols)
+    src = df.select(*g, value_col).filter(F.col(value_col).isNotNull())
+    eps = 1.0 / accuracy
+    names = list(quantiles)
+    probes: list[float] = []
+    for q in quantiles.values():
+        probes.append(max(0.0, q - 4 * eps))
+        probes.append(min(1.0, q + 4 * eps))
+    bands = src.groupBy(*g).agg(
+        F.count("*").alias("__tot"),
+        F.min(value_col).alias("__mn"),
+        F.max(value_col).alias("__mx"),
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(p) for p in probes]), F.lit(accuracy)
+        ).alias("__bp"),
+    )
+    j = (
+        src.join(F.broadcast(bands), g)
+        if g
+        else src.crossJoin(F.broadcast(bands))
+    )
+    v = F.col(value_col)
+    small = F.col("__tot") < F.lit(2 * accuracy)
+    aggs = [F.first("__tot").alias("__tot")]
+    for i, name in enumerate(names):
+        blo = F.when(small, F.col("__mn")).otherwise(
+            F.element_at("__bp", 2 * i + 1)
+        )
+        bhi = F.when(small, F.col("__mx")).otherwise(
+            F.element_at("__bp", 2 * i + 2)
+        )
+        aggs.append(
+            F.sum((v < blo).cast("long")).alias(f"__nb_{name}")
+        )
+        aggs.append(
+            F.sort_array(
+                F.collect_list(F.when((v >= blo) & (v <= bhi), v))
+            ).alias(f"__band_{name}")
+        )
+    got = j.groupBy(*g).agg(*aggs) if g else j.groupBy().agg(*aggs)
+    out = list(g)
+    for name, q in quantiles.items():
+        pos = F.lit(q) * (F.col("__tot") - 1).cast("double")
+        lo_rank = F.floor(pos) + 1  # 1-based global rank of the floor value
+        frac = pos - F.floor(pos)
+        arr = F.col(f"__band_{name}")
+        v_lo = F.element_at(arr, (lo_rank - F.col(f"__nb_{name}")).cast("int"))
+        v_hi = F.element_at(
+            arr, (lo_rank + 1 - F.col(f"__nb_{name}")).cast("int")
+        )
+        # frac == 0 is exact (q·(n−1) hits an integer only when the double
+        # product is integral), and v_lo·1.0 ≡ v_lo bitwise — emit v_lo
+        # directly so a missing rank-(lo+1) row can never inject a NULL.
+        out.append(
+            F.when(frac == 0, v_lo.cast("double"))
+            .otherwise(
+                v_lo.cast("double") * (F.lit(1.0) - frac)
+                + v_hi.cast("double") * frac
+            )
+            .alias(name)
+        )
+    return got.select(*out)
+
+
+def order_statistic_tuples(
+    df: DataFrame,
+    value_cols: list[str],
+    tiebreak_col: str,
+    rank_fracs: dict[str, tuple[int, int]],
+    accuracy: int = 2000,
+) -> DataFrame:
+    """Exact (value, tiebreak) tuples at global rank positions
+    ``(n·num) div den`` for EVERY dimension in ``value_cols`` — ONE row
+    out, one struct column ``{vc}_{name}`` per (dimension, cut).
+    Targets are RATIONAL on purpose: ``floor(n·(1/3))`` in doubles can
+    land one rank off ``n div 3`` when the truncated binary fraction
+    rounds down across an integer; integer arithmetic is
+    convention-exact against a ``CAST(x // 3 AS ...)`` oracle.  Same
+    sketch-band + in-band-confirm plan as
+    :func:`grouped_quantiles_band` (two scans, zero windows).
+
+    The boundary consumer's contract: ``row_number() OVER (ORDER BY v,
+    tb)`` ≤ floor(frac·n)  ⇔  struct(v, tb) ≤ the returned boundary
+    tuple (row_number over a UNIQUE (v, tb) order is exactly the tuple's
+    rank).  A caller classifying rows into rank buckets (terciles,
+    deciles at fixed fracs) therefore needs only these boundary tuples
+    broadcast back — per-row classification is a codegen'd struct
+    comparison, no rank column ever materializes.
+
+    Band regime as in grouped_quantiles_band: whole-domain collect for
+    n < 2·accuracy, sketch band at frac ± 4/accuracy otherwise (the
+    target rank (n·num) div den sits strictly inside by ≥ 2 ranks).
+    Ties in a value column are resolved by the in-band sort on (v, tb);
+    the band is value-only, so all tuples sharing a boundary value ride
+    the collect — tie mass bounds the state, exactly as the grouped
+    form.  A rank target of 0 (num = 0, or n < den/num) has no boundary
+    tuple: the struct is NULL and the caller must coalesce its
+    comparison (no row has rank ≤ 0).
+
+    ALL dimensions and ALL cut fractions share ONE bands pass and ONE
+    confirm pass — per dimension a single array-probe sketch (sketch
+    maintenance dominates; see grouped_quantiles_band).  Per-dimension
+    NULL values are excluded from that dimension's count/band (aggregate
+    semantics), matching a per-dimension ``WHERE v IS NOT NULL`` rank."""
+    eps = 1.0 / accuracy
+    src = df.select(*value_cols, F.col(tiebreak_col).alias("__tb"))
+    probes: list[float] = []
+    for num, den in rank_fracs.values():
+        q = num / den
+        probes.append(max(0.0, q - 4 * eps))
+        probes.append(min(1.0, q + 4 * eps))
+    band_aggs = [F.count("*").alias("__tot")]
+    for vc in value_cols:
+        band_aggs += [
+            F.count(vc).alias(f"__n_{vc}"),
+            F.min(vc).alias(f"__mn_{vc}"),
+            F.max(vc).alias(f"__mx_{vc}"),
+            F.percentile_approx(
+                vc, F.array(*[F.lit(p) for p in probes]), F.lit(accuracy)
+            ).alias(f"__bp_{vc}"),
+        ]
+    bands = src.groupBy().agg(*band_aggs)
+    j = src.crossJoin(F.broadcast(bands))
+    aggs = [F.first("__tot").alias("__tot")]
+    for vc in value_cols:
+        v = F.col(vc)
+        small = F.col(f"__n_{vc}") < F.lit(2 * accuracy)
+        aggs.append(F.first(f"__n_{vc}").alias(f"__n_{vc}"))
+        for i, name in enumerate(rank_fracs):
+            blo = F.when(small, F.col(f"__mn_{vc}")).otherwise(
+                F.element_at(f"__bp_{vc}", 2 * i + 1)
+            )
+            bhi = F.when(small, F.col(f"__mx_{vc}")).otherwise(
+                F.element_at(f"__bp_{vc}", 2 * i + 2)
+            )
+            aggs.append(
+                F.sum((v < blo).cast("long")).alias(f"__nb_{vc}_{name}")
+            )
+            aggs.append(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            (v >= blo) & (v <= bhi),
+                            F.struct(
+                                v.alias("v"), F.col("__tb").alias("tb")
+                            ),
+                        )
+                    )
+                ).alias(f"__band_{vc}_{name}")
+            )
+    got = j.groupBy().agg(*aggs)
+    out = [F.col("__tot").alias("n")]
+    for vc in value_cols:
+        for name, (num, den) in rank_fracs.items():
+            target = F.expr(f"CAST((__n_{vc} * {num}) div {den} AS BIGINT)")
+            idx = (target - F.col(f"__nb_{vc}_{name}")).cast("int")
+            out.append(
+                F.when(target <= 0, F.lit(None))
+                .otherwise(F.element_at(F.col(f"__band_{vc}_{name}"), idx))
+                .alias(f"{vc}_{name}")
+            )
+    return got.select(*out)

@@ -461,13 +461,21 @@ def q_xq11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: recency/frequency/monetary terciles, exactly.
 
     The textbook form is three global NTILE(3) windows — three
-    single-partition sorts.  Here each tercile comes from
-    global_rank (the bucketed primitive) + integer ceil-division, so
-    the segment boundaries are EXACT rank terciles (ntile semantics)
-    with no unpartitioned step beyond the bounded bucket cumsum.
-    Output: the 27-cell segment grid with exact customer counts and
-    integer-cents revenue mass."""
-    from ..operators.ranking import global_rank
+    single-partition sorts.  The key algebra: the tercile of a row is
+    ``1 + (rank > n div 3) + (rank > 2n div 3)`` (``ceil(3·rank/n)``
+    over a UNIQUE (value, custkey) order), and ``rank ≤ B`` is exactly
+    ``struct(value, custkey) ≤ boundary_tuple(B)`` — so per-row
+    classification needs only the TWO exact boundary tuples per
+    dimension, never a rank column.  ranking.order_statistic_tuples
+    finds each dimension's boundary tuples with the sketch-band +
+    in-band-confirm plan (two passes over the per-customer grain, zero
+    windows); the 1-row boundary frames broadcast-cross back and the
+    terciles are codegen'd struct comparisons.  Replaces the r9
+    three-fused-ranks + two-joins form — measured 2.46 → ~0.9 s at the
+    x10 replica, bit-identical output (boundary ranks are exact; the
+    sketch only steers the band).  Output: the 27-cell segment grid
+    with exact customer counts and integer-cents revenue mass."""
+    from ..operators.ranking import order_statistic_tuples
 
     orders = table(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
@@ -480,36 +488,36 @@ def q_xq11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revc"),
     )
     # one checkpoint (one row per customer, orders-of-magnitude smaller
-    # than the fact): six rank-pipeline traversals read it instead of
-    # re-running the per-customer groupBy from the parquet scan.
+    # than the fact): the three boundary probes and the final
+    # classification pass read it instead of re-running the
+    # per-customer groupBy from the parquet scan each time.
     per = per.localCheckpoint()
-    # r9: three SEPARATE fused-bounds ranks joined on o_custkey replace
-    # the chained eager form (each chained rank re-traversed its
-    # predecessor's join lineage, and the shared approxQuantile was an
-    # eager driver job) — measured 2.47 → 1.38 s at sf0.1, 3.77 → 2.42 s
-    # at x10, bit-identical output.  Equal-width fused bins: rec_day is
-    # ~uniform, n_orders is a small-int range, revc is mildly skewed —
-    # boundaries only balance work.
-    rr = global_rank(
-        per.select("o_custkey", "rec_day"), "rec_day", ["o_custkey"],
-        rank_col="rr", fused=True,
-    ).select("o_custkey", "rr")
-    fr = global_rank(
-        per.select("o_custkey", "n_orders"), "n_orders", ["o_custkey"],
-        rank_col="fr", fused=True,
-    ).select("o_custkey", "fr")
-    mr = global_rank(
-        per.select("o_custkey", "revc"), "revc", ["o_custkey"],
-        rank_col="mr", fused=True,
-    ).select("o_custkey", "mr", "revc")
-    ranked = rr.join(fr, "o_custkey").join(mr, "o_custkey")
-    n_row = per.agg(F.count("*").alias("n"))
+    bounds = order_statistic_tuples(
+        per,
+        ["rec_day", "n_orders", "revc"],
+        "o_custkey",
+        {"b1": (1, 3), "b2": (2, 3)},
+    ).drop("n")
+
+    def tercile(dim: str) -> Column:
+        t = F.struct(
+            F.col(dim).alias("v"), F.col("o_custkey").alias("tb")
+        )
+        # NULL boundary (n < 3 ⇒ rank target 0 has no tuple) means NO
+        # row has rank ≤ target — the comparison's NULL coalesces to
+        # "above the cut", i.e. contributes 1.
+        return (
+            F.lit(1)
+            + F.coalesce((~(t <= F.col(f"{dim}_b1"))).cast("int"), F.lit(1))
+            + F.coalesce((~(t <= F.col(f"{dim}_b2"))).cast("int"), F.lit(1))
+        )
+
     return (
-        ranked.crossJoin(F.broadcast(n_row))
+        per.crossJoin(F.broadcast(bounds))
         .select(
-            F.expr("CAST((rr * 3 + n - 1) div n AS INT)").alias("r_tercile"),
-            F.expr("CAST((fr * 3 + n - 1) div n AS INT)").alias("f_tercile"),
-            F.expr("CAST((mr * 3 + n - 1) div n AS INT)").alias("m_tercile"),
+            tercile("rec_day").alias("r_tercile"),
+            tercile("n_orders").alias("f_tercile"),
+            tercile("revc").alias("m_tercile"),
             "revc",
         )
         .groupBy("r_tercile", "f_tercile", "m_tercile")

@@ -379,3 +379,69 @@ def test_robust_stats_rejects_degenerate_trim_frac(spark):
     )
     with pytest.raises(ValueError, match="trim_frac"):
         grouped_robust_stats(df, "v", ["g"], trim_frac=0.5)
+
+
+def test_grouped_quantiles_band_matches_percentile_both_regimes(spark):
+    """Sketch-band exact quantiles == Spark's exact percentile, in the
+    small-n whole-collect regime AND the sketch-band regime (accuracy
+    forced below n/2), with duplicate values and NULLs in play."""
+    from ida_dataengineerproject_spark.operators.ranking import (
+        grouped_quantiles_band,
+    )
+
+    rows = []
+    for g in ("a", "b"):
+        for i in range(501):
+            rows.append((g, float((i * 7) % 101)))  # heavy ties
+        rows.append((g, None))
+    df = spark.createDataFrame(rows, ["g", "v"])
+    qs = {"p10": 0.1, "med": 0.5, "p90": 0.9}
+    want = {
+        r["g"]: (r["p10"], r["med"], r["p90"])
+        for r in df.groupBy("g")
+        .agg(
+            *[
+                F.expr(f"percentile(v, {q})").alias(n)
+                for n, q in qs.items()
+            ]
+        )
+        .collect()
+    }
+    for acc in (10000, 100):  # 1002 rows: whole-collect vs sketch band
+        got = {
+            r["g"]: (r["p10"], r["med"], r["p90"])
+            for r in grouped_quantiles_band(
+                df, "v", ["g"], qs, accuracy=acc
+            ).collect()
+        }
+        assert got == want, f"accuracy={acc}"
+
+
+def test_order_statistic_tuples_match_naive_ranks(spark):
+    """Boundary tuples equal the naive row_number scan at (n·k) div 3,
+    per dimension, with value ties broken by the tiebreak column —
+    both regimes."""
+    from ida_dataengineerproject_spark.operators.ranking import (
+        order_statistic_tuples,
+    )
+
+    rows = [(i, (i * 13) % 50, (i * 7) % 23) for i in range(700)]
+    df = spark.createDataFrame(rows, ["ck", "x", "y"])
+    cuts = {"b1": (1, 3), "b2": (2, 3)}
+    naive = {}
+    for dim in ("x", "y"):
+        ordered = sorted(rows, key=lambda r: (r[{"x": 1, "y": 2}[dim]], r[0]))
+        n = len(ordered)
+        for name, (num, den) in cuts.items():
+            t = (n * num) // den
+            v, ck = (
+                (None, None)
+                if t == 0
+                else (ordered[t - 1][{"x": 1, "y": 2}[dim]], ordered[t - 1][0])
+            )
+            naive[f"{dim}_{name}"] = (v, ck)
+    for acc in (2000, 100):
+        row = order_statistic_tuples(df, ["x", "y"], "ck", cuts, accuracy=acc).collect()[0]
+        for key, (v, ck) in naive.items():
+            tup = row[key]
+            assert (tup["v"], tup["tb"]) == (v, ck), f"{key} accuracy={acc}"
