@@ -49,14 +49,37 @@ def taxa_variacao(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
 
+    # Hot-path representation (r9, measured at the x10 replica):
+    # - month key = year*100 + month INT through the join/aggregate;
+    #   the 'yyyy-MM' string (op23) materializes AFTER the grain-sized
+    #   aggregate (~#months × #groups rows).  date_format on every
+    #   joined row ran the full timestamp formatter — ~0.5 s of wall —
+    #   and int keys order chronologically exactly like the string.
+    #   The key is computed per ORDER (1.5 M rows) on the slimmed join
+    #   build side, not per joined lineitem row (6 M).
+    # - measure = integer CENTS (exact: every l_extendedprice is a
+    #   2-decimal double, asserted by the bit-exact parity vs the
+    #   decimal-summing oracle; round(v*100) recovers the exact cent
+    #   count because the double error of v*100 is ≪ 0.5).  The long
+    #   sum replaces DECIMAL(38,2) aggregation buffers through the
+    #   grouping-sets Expand — the q18 A/B measured decimal buffers at
+    #   ~2× the long cost.  Headroom: Σcents < 2^63 up to ~9·10^16
+    #   dollars of turnover per grain; the final cast re-rounds exactly
+    #   like the decimal→double cast while Σcents < 2^53.
+    ob = orders.select(
+        "o_orderkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("mes"),
+    )
     base = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .filter(F.col("l_linestatus") == "F")  # op13 variable filter
+        lineitem.filter(F.col("l_linestatus") == "F")  # op13 variable filter
         .select(
-            F.date_format("o_orderdate", "yyyy-MM").alias("mes"),  # op23
+            "l_orderkey",
             F.col("l_returnflag").alias("grupo"),
-            F.col("l_extendedprice").alias("valor"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("valor"),
         )
+        .join(ob, F.col("l_orderkey") == F.col("o_orderkey"))
     )
 
     # BOTH grains in ONE aggregate pass via GROUPING SETS ((grupo, mes),
@@ -81,7 +104,7 @@ def taxa_variacao(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join.  Nothing downstream of the Expand ever touches more
     # than (#groups + 1) x #months rows.
     sums = base.groupingSets([["grupo", "mes"], ["mes"]], "grupo", "mes").agg(
-        F.sum(F.col("valor").cast("decimal(38,2)")).alias("s"),
+        F.sum("valor").alias("s"),  # exact integer cents (see above)
         F.count("valor").alias("c"),
         F.grouping("grupo").alias("is_market"),
     )
@@ -98,7 +121,10 @@ def taxa_variacao(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grupo",
         "mes",
         "is_market",
-        (F.col("s").cast("double") / F.col("c")).alias("valor_cur"),
+        # cents→double is exact (< 2^53); /100 is the single rounding to
+        # nearest-double(Σvalor), bitwise the DECIMAL(38,2)→DOUBLE cast
+        # of the oracle; /c then rounds exactly as the oracle's division.
+        ((F.col("s").cast("double") / 100) / F.col("c")).alias("valor_cur"),
     ).select(
         "grupo",
         "mes",
@@ -151,6 +177,15 @@ def taxa_variacao(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
         .orderBy("mes")
+        # op23's 'yyyy-MM' string, materialized on the final ~#months
+        # rows only (int key ordering == lexicographic string ordering)
+        .select(
+            F.format_string(
+                "%04d-%02d", (F.col("mes") / 100).cast("int"), F.col("mes") % 100
+            ).alias("mes"),
+            "taxa_variacao_media",
+            *[f"grp_{g.lower()}" for g in GROUPS],
+        )
     )
 
 

@@ -168,13 +168,20 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY is keyed by o_orderkey; the other keys are functionally
     dependent), so the aggregate is carried through the join instead of
     re-scanning lineitem.  ONE lineitem scan + one shuffle; the filtered
-    per-order rows are few, so AQE broadcasts them against orders."""
+    per-order rows are few, so AQE broadcasts them against orders.
+
+    The per-order sum aggregates LONG, not DECIMAL(38,2): l_quantity is
+    integer-valued (1–50 in this data; the parity gate asserts equality
+    with the decimal-summing oracle), so the long sum is exact and
+    order-independent, and the long aggregation buffer measured
+    1.51 → 0.87 s on the x10 agg (decimal-128 buffer updates are the
+    cost).  The final cast to double is exact for any integer < 2^53."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
-        .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("q"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
         .filter(F.col("q") > 150)
     )
     return (
