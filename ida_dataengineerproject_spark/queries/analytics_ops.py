@@ -748,53 +748,137 @@ def q_xq5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_robust_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group statistics — 5% two-sided trimmed mean, exact
     median, and MAD (median absolute deviation) of order value per
-    priority class — entirely on the bucketed rank/quantile primitives
-    (operators/ranking.py): no per-group sort buffer, no NTILE global
-    sort, every window bounded or partitioned.
+    priority class — on the sketch-band primitives (r9 rewrite): no
+    per-group sort buffer, no windows at all, no eager driver jobs.
 
-    The naive SQL is two nested per-group sorts (rank for the trim,
-    median of |x − median|); at 100 TB each would buffer a whole
-    priority class in one task.  Here: ONE approxQuantile boundary
-    probe and ONE bucket histogram serve both the trimmed mean and the
-    median (operators/ranking.grouped_robust_stats — only boundary and
-    straddle buckets are ranked); the MAD is a second grouped-quantile
-    pass over the absolute deviations (a dependency no single pass can
-    remove), with its work-balancing boundaries derived driver-side
-    from the value boundaries and the bounded per-group medians — no
-    second approxQuantile scan.  No full-data rank, no unbounded
-    window, all sums exact-decimal."""
-    from ..operators.ranking import grouped_quantiles, grouped_robust_stats
+    The naive SQL is two nested per-group sorts; the r8 bucketed form
+    avoided them but paid an eager approxQuantile probe, a histogram
+    pass + in-bucket windows, a checkpoint, and a driver-side medians
+    collect — measured 4.8 s at the x10 replica, almost all of it
+    Catalyst planning of the bucket expressions and job-chain latency.
+    Band form (measured ~1.5 s, bit-identical):
 
-    g = ["o_orderpriority"]
-    o = table(spark, sf_dir, "orders").select(*g, "o_totalprice")
-    # 16 buckets, not the 32 default: boundaries only balance work
-    # (results bit-identical — verified), and halving the balanced
-    # comparison tree halves the dominant toy-scale cost — Catalyst
-    # planning of the bucket expression inside every consumer (measured
-    # 5.1 -> 4.2 s same-session; at real per-group volumes raise it)
-    nb = 16
-    probs = [i / nb for i in range(1, nb)]
-    bounds = o.approxQuantile("o_totalprice", probs, 0.001)
-    stats = grouped_robust_stats(
-        o, "o_totalprice", g, 0.05, {"__med": 0.5},
-        n_buckets=nb, bounds=bounds, trimmed_col="__tm",
-    ).localCheckpoint()  # one row per group (bounded); truncates the
-    # sub-DAG so the MAD branch and final join don't re-plan it
-    med_vals = [r["__med"] for r in stats.select("__med").collect()]
-    # deviation boundaries: |value boundary − group median| candidates,
-    # deduped and thinned to n_buckets−1 — boundaries only balance
-    # work, so any ascending set is correct for the deviation column
-    dev_cand = sorted({abs(b - m) for b in bounds for m in med_vals})
-    step = max(1, len(dev_cand) // (nb - 1))
-    dev_bounds = dev_cand[::step][: nb - 1]
-    dev = o.join(F.broadcast(stats.select(*g, "__med")), g).withColumn(
-        "__adev", F.abs(F.col("o_totalprice") - F.col("__med"))
+    1. Values become exact integer CENTS (o_totalprice is a 2-decimal
+       double at every SF — asserted by bit-exact parity vs the
+       decimal-summing oracle), so every sum below is an exact long.
+    2. ONE pass: per group, count + total cents + a single 6-probe GK
+       sketch banding ranks 0.05n, 0.95n, 0.5n (rank slack proof in
+       ranking.grouped_quantiles_band).
+    3. ONE confirm pass: per band, exact below-band count and cents sum
+       plus the bounded in-band collect.
+    4. Final projection (grain rows only): the trimmed sum is the exact
+       three-part decomposition  S_trim = S_tot − S_low − S_high  with
+       S_low = Σ(x < a) + (k − cnt(x < a))·a  at a = the in-band value
+       of rank k (ties interchangeable: any k-smallest multiset has the
+       same sum), mirrored for S_high; the median interpolates the two
+       straddle ranks (quantile_cont).  k replicates the oracle's
+       floor(n · 0.05) in the same double arithmetic.
+    5. MAD needs |x − median| with the median known, a true data
+       dependency: one more band pair over the deviations
+       (ranking.grouped_quantiles_band on doubles — MAD needs order
+       statistics only, no sums, so 2-decimality is not required).
+
+    Four scans of orders total, zero windows, zero joins wider than a
+    broadcast of one row per group."""
+    from ..operators.ranking import grouped_quantiles_band
+
+    g = "o_orderpriority"
+    acc = 2000
+    eps = 1.0 / acc
+    o = table(spark, sf_dir, "orders").select(g, "o_totalprice")
+    src = o.select(
+        g, F.round(F.col("o_totalprice") * 100).cast("long").alias("vc")
     )
-    mad = grouped_quantiles(
-        dev, "__adev", g, {"__mad": 0.5}, n_buckets=nb, bounds=dev_bounds
+    probes = [
+        p
+        for q in (0.05, 0.95, 0.5)
+        for p in (max(0.0, q - 4 * eps), min(1.0, q + 4 * eps))
+    ]
+    bands = src.groupBy(g).agg(
+        F.count("*").alias("n"),
+        F.min("vc").alias("mn"),
+        F.max("vc").alias("mx"),
+        F.sum("vc").alias("s_tot"),
+        F.percentile_approx(
+            "vc", F.array(*[F.lit(p) for p in probes]), F.lit(acc)
+        ).alias("bp"),
     )
+    j = src.join(F.broadcast(bands), g)
+    small = F.col("n") < F.lit(2 * acc)
+    vc = F.col("vc")
+
+    def band_aggs(i: int, tag: str):
+        blo = F.when(small, F.col("mn")).otherwise(F.element_at("bp", 2 * i + 1))
+        bhi = F.when(small, F.col("mx")).otherwise(F.element_at("bp", 2 * i + 2))
+        return [
+            F.sum((vc < blo).cast("long")).alias(f"nb_{tag}"),
+            F.coalesce(F.sum(F.when(vc < blo, vc)), F.lit(0).cast("long")).alias(
+                f"sb_{tag}"
+            ),
+            F.sort_array(
+                F.collect_list(F.when((vc >= blo) & (vc <= bhi), vc))
+            ).alias(f"band_{tag}"),
+        ]
+
+    got = j.groupBy(g).agg(
+        F.first("n").alias("n"),
+        F.first("s_tot").alias("s_tot"),
+        *band_aggs(0, "lo"),
+        *band_aggs(1, "hi"),
+        *band_aggs(2, "md"),
+    )
+
+    n = F.col("n")
+    k = F.floor(n * F.lit(0.05)).cast("long")  # the oracle's double floor
+
+    def arr_sum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda s, x: s + x)
+
+    # S_low: k smallest.  a = in-band value at rank k.
+    a = F.element_at("band_lo", (k - F.col("nb_lo")).cast("int"))
+    lo_lt = F.filter("band_lo", lambda x: x < a)
+    cnt_lt_a = F.col("nb_lo") + F.size(lo_lt)
+    s_lt_a = F.col("sb_lo") + arr_sum(lo_lt)
+    s_low = F.when(k <= 0, F.lit(0).cast("long")).otherwise(
+        s_lt_a + (k - cnt_lt_a) * a
+    )
+    # S_high: k largest.  b = in-band value at rank n-k+1.
+    b = F.element_at("band_hi", (n - k + 1 - F.col("nb_hi")).cast("int"))
+    hi_le = F.filter("band_hi", lambda x: x <= b)
+    cnt_gt_b = n - (F.col("nb_hi") + F.size(hi_le))
+    s_gt_b = F.col("s_tot") - (F.col("sb_hi") + arr_sum(hi_le))
+    s_high = F.when(k <= 0, F.lit(0).cast("long")).otherwise(
+        s_gt_b + (k - cnt_gt_b) * b
+    )
+    s_trim = F.col("s_tot") - s_low - s_high
+    trimmed = (s_trim.cast("double") / 100) / (n - 2 * k).cast("double")
+
+    # median: quantile_cont on the cents band, recovered to the exact
+    # original double by cents/100 (nearest-double of a 2-decimal value)
+    pos = F.lit(0.5) * (n - 1).cast("double")
+    r_lo = F.floor(pos) + 1
+    frac = pos - F.floor(pos)
+    m_lo = F.element_at("band_md", (r_lo - F.col("nb_md")).cast("int")).cast(
+        "double"
+    ) / 100
+    m_hi = F.element_at(
+        "band_md", (r_lo + 1 - F.col("nb_md")).cast("int")
+    ).cast("double") / 100
+    med = F.when(frac == 0, m_lo).otherwise(
+        m_lo * (F.lit(1.0) - frac) + m_hi * frac
+    )
+    stats = got.select(
+        g, trimmed.alias("__tm"), med.alias("__med")
+    )
+
+    # MAD: true data dependency on the median — one more band pass over
+    # the absolute deviations (order statistics only; doubles are fine)
+    dev = o.join(F.broadcast(stats.select(g, "__med")), g).select(
+        g, F.abs(F.col("o_totalprice") - F.col("__med")).alias("__adev")
+    )
+    mad = grouped_quantiles_band(dev, "__adev", [g], {"__mad": 0.5}, accuracy=acc)
     return stats.join(mad, g).select(
-        *g,
+        g,
         F.round("__tm", 4).alias("trimmed_mean"),
         F.round("__med", 4).alias("median_price"),
         F.round("__mad", 4).alias("mad_price"),
@@ -842,6 +926,7 @@ def _q13_oracle() -> str:
            {sel}
     FROM j GROUP BY week
     """
+
 
 
 @register("xq13_histogram_quantile_rollup", _q13_oracle())
