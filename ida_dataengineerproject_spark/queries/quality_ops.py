@@ -636,25 +636,27 @@ def group_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/ranking.py — bounded windows only, no full-data
     shuffle); the flagging pass is a broadcast join of the 3-row
     (group, median, MAD) frame against the fact followed by one
-    map-side-combined aggregate.  Three linear scans total, nothing
-    unbounded.  The threshold comparison is pure double arithmetic on
-    the exactly-interpolated medians, so counts hash-match the DuckDB
-    quantile_cont oracle exactly.
+    map-side-combined aggregate.  The threshold comparison is pure
+    double arithmetic on the exactly-interpolated medians, so counts
+    hash-match the DuckDB quantile_cont oracle exactly.
+
+    r9: both medians moved from the bucketed two-level-rank primitive
+    to ranking.grouped_quantiles_band (sketch band + in-band confirm —
+    two scans each, zero windows, no eager boundary probes); same
+    exact-interpolation contract, measured 3.0 → ~1.9 s at the x10
+    replica with bit-identical output.
     """
-    from ..operators.ranking import grouped_quantiles
+    from ..operators.ranking import grouped_quantiles_band
 
     g = ["l_returnflag"]
     li = table(spark, sf_dir, "lineitem").select(*g, "l_extendedprice")
-    # 16 buckets (not the 32 default): boundaries only balance work —
-    # results identical — and the bucket expression's Catalyst planning
-    # cost inside every consumer halves (the xq12 measurement)
-    med = grouped_quantiles(
-        li, "l_extendedprice", g, {"med": 0.5}, n_buckets=16
+    med = grouped_quantiles_band(
+        li, "l_extendedprice", g, {"med": 0.5}
     ).localCheckpoint()  # one row per group (bounded metadata)
     dev = li.join(F.broadcast(med), g).withColumn(
         "adev", F.abs(F.col("l_extendedprice") - F.col("med"))
     )
-    mad = grouped_quantiles(dev, "adev", g, {"mad": 0.5}, n_buckets=16)
+    mad = grouped_quantiles_band(dev, "adev", g, {"mad": 0.5})
     thr = F.lit(3) * F.lit(1.4826) * F.col("mad")
     return (
         dev.join(F.broadcast(mad), g)
