@@ -110,10 +110,13 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount").between(0.03, 0.07))
         & (F.col("l_quantity") < 24)
     )
+    # exact 1e-4-dollar units in a long buffer (aggs.py r9): bit-exact
+    # twin of the DECIMAL(38,6) sum for these 2-decimal inputs
+    units = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        F.col("l_discount") * 100
+    ).cast("long")
     return f.agg(
-        sum_exact(F.col("l_extendedprice") * F.col("l_discount"), scale=6).alias(
-            "revenue"
-        ),
+        (F.sum(units).cast("double") / 10_000).alias("revenue"),
         F.count("*").alias("n"),
     )
 

@@ -11,7 +11,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.aggs import avg_exact, sum_exact
+from ..functions.aggs import (
+    avg_exact,
+    avg_exact_2dp,
+    sum_charge_exact,
+    sum_disc_price_exact,
+    sum_exact,
+    sum_exact_2dp,
+)
 from ..registry import register
 from ..sources.tables import table
 
@@ -46,13 +53,20 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            sum_exact("l_quantity").alias("sum_qty"),
-            sum_exact("l_extendedprice").alias("sum_base_price"),
-            sum_exact(disc_price, scale=6).alias("sum_disc_price"),
-            sum_exact(charge, scale=6).alias("sum_charge"),
-            avg_exact("l_quantity").alias("avg_qty"),
-            avg_exact("l_extendedprice").alias("avg_price"),
-            avg_exact("l_discount").alias("avg_disc"),
+            # integer-units fast path (aggs.py r9): bit-exact twins of
+            # the decimal forms for these exact-2-decimal columns; the
+            # decimal buffers were ~half the q1 aggregate cost at x10
+            sum_exact_2dp("l_quantity").alias("sum_qty"),
+            sum_exact_2dp("l_extendedprice").alias("sum_base_price"),
+            sum_disc_price_exact("l_extendedprice", "l_discount").alias(
+                "sum_disc_price"
+            ),
+            sum_charge_exact("l_extendedprice", "l_discount", "l_tax").alias(
+                "sum_charge"
+            ),
+            avg_exact_2dp("l_quantity").alias("avg_qty"),
+            avg_exact_2dp("l_extendedprice").alias("avg_price"),
+            avg_exact_2dp("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -87,12 +101,12 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = sum_disc_price_exact("l_extendedprice", "l_discount")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(sum_exact(revenue, scale=6).alias("revenue"))
+        .agg(revenue.alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
@@ -130,7 +144,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = sum_disc_price_exact("l_extendedprice", "l_discount")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -141,7 +155,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nacao"))
-        .agg(sum_exact(revenue, scale=6).alias("revenue"))
+        .agg(revenue.alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("nacao"))
     )
 

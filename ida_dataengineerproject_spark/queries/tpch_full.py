@@ -32,7 +32,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.aggs import avg_exact, sum_exact
+from ..functions.aggs import (
+    avg_exact,
+    avg_exact_2dp,
+    sum_disc_price_exact,
+    sum_exact,
+    sum_exact_2dp,
+)
 from ..registry import register
 from ..sources.tables import table
 
@@ -115,7 +121,7 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volume = sum_disc_price_exact("l_extendedprice", "l_discount")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -128,7 +134,7 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("l_year", F.year("l_shipdate").cast("int"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(sum_exact(volume, scale=6).alias("revenue"))
+        .agg(volume.alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -178,10 +184,13 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n2 = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    vol_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(38,6)"
+    # integer 1e-4-dollar units (aggs.py r9): exact long sums; each side
+    # converts to double and divides by 10^4 BEFORE the ratio, replicating
+    # the oracle's two DECIMAL(38,6)->DOUBLE casts bit-for-bit
+    vol_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
-    zero_dec = F.lit(0).cast("decimal(38,6)")
+    zero_u = F.lit(0).cast("long")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -194,9 +203,15 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             (
-                F.sum(F.when(F.col("nation") == "NATION_3", vol_dec).otherwise(zero_dec))
-                .cast("double")
-                / F.sum(vol_dec).cast("double")
+                (
+                    F.sum(
+                        F.when(F.col("nation") == "NATION_3", vol_u).otherwise(
+                            zero_u
+                        )
+                    ).cast("double")
+                    / 10_000
+                )
+                / (F.sum(vol_u).cast("double") / 10_000)
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -232,13 +247,13 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = table(spark, sf_dir, "nation")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = sum_disc_price_exact("l_extendedprice", "l_discount")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(sum_exact(revenue, scale=6).alias("revenue"))
+        .agg(revenue.alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -303,18 +318,27 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
     p = table(spark, sf_dir, "part")
-    vol_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(38,6)"
+    # integer 1e-4-dollar units (aggs.py r9): exact long sums; each side
+    # converts to double and divides by 10^4 BEFORE the ratio, replicating
+    # the oracle's two DECIMAL(38,6)->DOUBLE casts bit-for-bit
+    vol_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
-    zero_dec = F.lit(0).cast("decimal(38,6)")
+    zero_u = F.lit(0).cast("long")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", vol_dec).otherwise(zero_dec))
-                .cast("double")
-                / F.sum(vol_dec).cast("double")
+                * (
+                    F.sum(
+                        F.when(F.col("p_type") == "PROMO", vol_u).otherwise(
+                            zero_u
+                        )
+                    ).cast("double")
+                    / 10_000
+                )
+                / (F.sum(vol_u).cast("double") / 10_000)
             ).alias("promo_revenue")
         )
     )
@@ -348,9 +372,9 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = sum_disc_price_exact("l_extendedprice", "l_discount")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        sum_exact(revenue, scale=6).alias("total_revenue")
+        revenue.alias("total_revenue")
     )
     max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
     s = table(spark, sf_dir, "supplier")
@@ -390,13 +414,13 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 15)
     )
     thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.lit(0.2) * avg_exact("l_quantity")).alias("qty_threshold")
+        (F.lit(0.2) * avg_exact_2dp("l_quantity")).alias("qty_threshold")
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg((sum_exact("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+        .agg((sum_exact_2dp("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
     )
 
 
@@ -445,11 +469,11 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (q <= 40)
         )
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = sum_disc_price_exact("l_extendedprice", "l_discount")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(sum_exact(revenue, scale=6).alias("revenue"))
+        .agg(revenue.alias("revenue"))
     )
 
 
@@ -550,7 +574,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nations))
     threshold = (
         c.filter(F.col("c_acctbal") > 0.0)
-        .agg(avg_exact("c_acctbal").alias("avg_bal"))
+        .agg(avg_exact_2dp("c_acctbal").alias("avg_bal"))
     )
     o = (
         table(spark, sf_dir, "orders")
@@ -564,7 +588,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
-            sum_exact("c_acctbal").alias("totacctbal"),
+            sum_exact_2dp("c_acctbal").alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )

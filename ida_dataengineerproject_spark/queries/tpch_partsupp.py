@@ -176,9 +176,16 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders")
     n = table(spark, sf_dir, "nation")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "ps_supplycost"
-    ) * F.col("l_quantity")
+    # exact 1e-4-dollar units (aggs.py r9): all three money inputs are
+    # exact 2-decimal doubles (ps_supplycost by construction: int/100.0)
+    # and quantity is integral, so the long sum is the bit-exact twin of
+    # the oracle's DECIMAL(38,6) sum of the double expression (whose
+    # ~1-ulp error the 6-decimal rounding cast absorbs)
+    profit_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    ) - F.round(F.col("ps_supplycost") * 100).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long") * F.lit(100)
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(
@@ -192,7 +199,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(sum_exact(profit, scale=6).alias("sum_profit"))
+        .agg((F.sum(profit_u).cast("double") / 10_000).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 

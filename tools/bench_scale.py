@@ -102,26 +102,41 @@ def duck_view_sql(sf_dir: str, t: str) -> str:
 
 
 def run_duck(oracles: dict, name: str, sf_dir: str, cap: float):
-    """One timed oracle run with an interrupt watchdog.  Fresh connection
-    per query: an interrupted connection's state is not worth trusting."""
+    """Best-of-2 timed oracle runs with an interrupt watchdog — the SAME
+    discipline as the Spark side.  r9 change (was: one run): successive
+    invocations of identical oracles measured up to 5× apart at the x10
+    replica (xq20: 1.12 s vs 6.40 s; xt21: 1.04 s vs 2.48 s) — page-
+    cache and host-CPU noise, not the engine — and a one-shot sample
+    made the weak-row classification a coin flip.  Best-of-N on both
+    engines compares the engines, not the noise floor.  Fresh connection
+    per run: an interrupted connection's state is not worth trusting."""
     import duckdb
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(duck_view_sql(sf_dir, t))
-    timer = threading.Timer(cap, con.interrupt)
-    timer.start()
-    t0 = time.perf_counter()
-    try:
-        con.execute(oracles[name]).fetchall()
-        return round(time.perf_counter() - t0, 3), None
-    except Exception as exc:  # noqa: BLE001 — interrupted or real error
-        wall = time.perf_counter() - t0
-        kind = f">{cap:g}s cap" if wall >= cap * 0.95 else f"err: {exc}"[:200]
-        return None, kind
-    finally:
-        timer.cancel()
-        con.close()
+    best = None
+    for _ in range(2):
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(duck_view_sql(sf_dir, t))
+        timer = threading.Timer(cap, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(oracles[name]).fetchall()
+            wall = time.perf_counter() - t0
+            best = wall if best is None else min(best, wall)
+        except Exception as exc:  # noqa: BLE001 — interrupted or real error
+            wall = time.perf_counter() - t0
+            if best is None:
+                kind = (
+                    f">{cap:g}s cap"
+                    if wall >= cap * 0.95
+                    else f"err: {exc}"[:200]
+                )
+                return None, kind
+        finally:
+            timer.cancel()
+            con.close()
+    return round(best, 3), None
 
 
 def main() -> None:
