@@ -148,10 +148,11 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     but both engines must bucket identically, hence <= / >=).
 
     Scale shape: quantile bounds per group come from
-    operators/ranking.grouped_quantiles (bucket-targeted, no per-group
-    sort buffer), broadcast back; the final pass is one map-side-combined
-    conditional aggregate.  No window over data anywhere."""
-    from ..operators.ranking import grouped_quantiles
+    operators/ranking.grouped_quantiles_band (sketch band + in-band
+    confirm — two scans, zero windows, no eager probes; r9), broadcast
+    back; the final pass is one map-side-combined conditional
+    aggregate.  No window over data anywhere."""
+    from ..operators.ranking import grouped_quantiles_band
 
     g = ["o_orderpriority"]
     o = table(spark, sf_dir, "orders").select(
@@ -159,7 +160,7 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("pd"),
         F.col("o_totalprice").cast("decimal(38,2)").alias("p"),
     )
-    q = grouped_quantiles(
+    q = grouped_quantiles_band(
         o.select(*g, F.col("pd").alias("v")), "v", g,
         {"lo": 0.05, "hi": 0.95},
     )
