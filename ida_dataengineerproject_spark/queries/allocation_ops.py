@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.tables import table
-from .tpch_partsupp import _PS_SQL, synth_partsupp
+from .tpch_partsupp import _PS_SQL, synth_partsupp, synth_supply_expr
 
 
 @register(
@@ -61,11 +61,31 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise — filled = max(0, min(qty, supply − (prefix − qty))).
 
     Scale shape: ONE window partitioned by l_partkey (millions of small
-    partitions at 100 TB, no global sort), supply is a part-keyed
-    aggregate of the 4-rows-per-part partsupp, the brand dimension joins
-    from `part` (broadcastable), and the rollup is map-side combined.
-    All quantities are BIGINT end-to-end; fill_rate is the single final
-    IEEE division."""
+    partitions at 100 TB, no global sort); supply —
+    ``SUM(ps_availqty) % 1000`` over the deterministic partsupp — is a
+    pure function of p_partkey (tpch_partsupp.synth_supply_expr), so it
+    is evaluated inline on the part scan and rides the SAME broadcast as
+    the brand column instead of generating |part|×4 rows and shuffling
+    them back into a per-part SUM (the earlier r9 form; the fold drops
+    the partsupp scan, its aggregate exchange, and the second fact-side
+    join — plan-simplifying, though the x10 wall is unchanged because
+    the query is WindowExec-bound, see below).  The rollup is map-side
+    combined.  All quantities are BIGINT end-to-end; fill_rate is the
+    single final IEEE division.
+
+    x10 profile (r9): scan 0.6 s, shuffle-only 0.5 s, shuffle+sort
+    0.9 s, scan+window 3.3 s — the per-row running-sum evaluation inside
+    WindowExec is ~2.4 s and dominates the 4.1 s wall.  Three
+    alternatives were built and MEASURED SLOWER: a sort_array+aggregate
+    HOF fold at the part grain (4.0 s — interpreted per-element eval),
+    a vectorized mapInPandas cumsum over sortWithinPartitions runs
+    (3.8 s — Arrow transfer of the full fact eats the win), and a
+    bucketed window (partkey % 16k, per-part prefix reconstructed from
+    a running max of part-start offsets) that cut partition churn 16×
+    but added two more window functions (5.6 s).  The straight per-part
+    window is Spark's best plan for this shape; it scales
+    (partition-parallel, no global sort) even where the toy-scale ratio
+    is window-eval-bound."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_shipdate",
@@ -73,19 +93,15 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.col("l_quantity").cast("long").alias("qty"),
     )
-    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    sup = (
-        synth_partsupp(spark, sf_dir)
-        .groupBy("ps_partkey")
-        .agg((F.sum("ps_availqty") % 1000).alias("supply"))
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", synth_supply_expr().alias("supply")
     )
     w = Window.partitionBy("l_partkey").orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber"
     ).rowsBetween(Window.unboundedPreceding, 0)
     d = li.withColumn("prefix", F.sum("qty").over(w))
     a = (
-        d.join(sup, d.l_partkey == sup.ps_partkey)
-        .join(F.broadcast(p), d.l_partkey == p.p_partkey)
+        d.join(F.broadcast(p), d.l_partkey == p.p_partkey)
         .select(
             "p_brand",
             "qty",

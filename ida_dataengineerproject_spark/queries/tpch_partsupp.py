@@ -29,7 +29,7 @@ either; this closes our own SURVEY §2.11 inventory line).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -52,6 +52,23 @@ _PS_SQL = """
         CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(i)
     )
 """
+
+
+def synth_supply_expr() -> Column:
+    """Per-part FIFO supply budget ``SUM(ps_availqty) % 1000`` as a pure
+    codegen expression over ``p_partkey``.
+
+    ``ps_availqty = (p_partkey*7 + i*13) % 9999 + 1`` depends only on
+    the part key (not on the supplier count), so the xq20 supply CTE —
+    generate |part|×4 rows, shuffle them back into a per-part SUM —
+    collapses to four pmod terms evaluated inline on the part scan.  The
+    supply column then rides the SAME broadcast as the brand dimension:
+    the whole partsupp arm of xq20 costs zero scans and zero shuffles.
+    The DuckDB oracle keeps the generative CTE form; parity pins the
+    algebra."""
+    pk = F.col("p_partkey")
+    terms = [F.pmod(pk * 7 + i * 13, F.lit(9999)) + 1 for i in range(4)]
+    return (terms[0] + terms[1] + terms[2] + terms[3]) % F.lit(1000)
 
 
 def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
