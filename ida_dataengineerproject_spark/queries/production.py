@@ -14,6 +14,15 @@ measure the verification harness, not the engine.
 ``production_overrides()`` maps those query names to their sketch-only
 ``verify=False`` twins; the bench merges this over ``queries()`` and
 reports which names were overridden.
+
+A second override class (r9): queries whose REGISTERED form deliberately
+demonstrates a plan shape (``tpch_q21_suppliers_kept_waiting`` keeps the
+textbook semi+anti double-probe so the left-semi/left-anti machinery has
+registry coverage) while an equivalent faster plan exists, is registered,
+and is parity-checked against the SAME oracle
+(``tpch_q21b_aggregate_rewrite``).  The production path for the query's
+semantics is the faster plan — the bench measures that and reports the
+override, exactly as it does for the sketch verification arms.
 """
 
 from __future__ import annotations
@@ -29,6 +38,7 @@ def production_overrides() -> dict[str, QueryFn]:
     from .corpus_ops import ngram_vocab_estimate
     from .events_ops import approx_distinct_users
     from .extras import approx_percentiles
+    from .tpch_full import q21b
     from .vector_ops import (
         cosine_topk_ivf_query,
         cosine_topk_lsh_query,
@@ -38,6 +48,7 @@ def production_overrides() -> dict[str, QueryFn]:
     )
 
     return {
+        "tpch_q21_suppliers_kept_waiting": q21b,
         "x03h_cosine_topk_pq": cosine_topk_pq_query,
         "xt14_ngram_vocab_estimate": ngram_vocab_estimate,
         "x09_approx_count_distinct": approx_distinct_users,
