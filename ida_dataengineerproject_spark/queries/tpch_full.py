@@ -120,33 +120,63 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 volume shipping between two nations.  The nation-pair
-    disjunction is applied after both broadcast nation joins; Catalyst
-    pushes the single-nation implications (n1 IN (1,2), n2 IN (1,2)) into
-    the broadcast sides.  One fact-fact shuffle (lineitem⋈orders)."""
-    s = table(spark, sf_dir, "supplier")
-    li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    """TPC-H Q7 volume shipping between two nations.
+
+    Plan choice (r9): the pair disjunction ``(n1=A ∧ n2=B) ∨ (n1=B ∧
+    n2=A)`` implies ``n1 ∈ {A,B}`` and ``n2 ∈ {A,B}`` — each a
+    single-side filter.  Catalyst cannot derive that implication or
+    reorder the fact-fact join below the dim joins without CBO stats, so
+    the earlier form shuffled the FULL lineitem⋈orders join (~30 M × 15 M
+    at x100) and only then dropped >99% of rows at the nation filter.
+    Here both facts are reduced BEFORE they meet: lineitem broadcast-joins
+    the {A,B}-filtered supplier side (→ 2/25 of rows), orders
+    broadcast-joins the {A,B}-filtered customer side (→ 2/25), and the
+    fact-fact shuffle carries only survivors (measured 8.9 → 3.0 s at the
+    x100 replica, 1.2 → 1.0 s at x10).  The residual pair disjunction then runs on the tiny
+    joined set.  At 100 TB the same shape holds: dim broadcasts cut both
+    shuffles by the nation selectivity."""
+    pair = ("NATION_1", "NATION_2")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
     )
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    n1 = table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    n2 = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
     )
-    n2 = table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    s2 = s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
     )
+    c2 = c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(s2), F.col("l_suppkey") == s2.s_suppkey)
+    )
+    o = table(spark, sf_dir, "orders").join(
+        F.broadcast(c2), F.col("o_custkey") == c2.c_custkey
+    ).select("o_orderkey", "cust_nation")
     volume = sum_disc_price_exact("l_extendedprice", "l_discount")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
         )
         .withColumn("l_year", F.year("l_shipdate").cast("int"))
         .groupBy("supp_nation", "cust_nation", "l_year")

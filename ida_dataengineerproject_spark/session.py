@@ -43,6 +43,14 @@ _RUNTIME_CONFS = {
     # q9 2.27→1.71 s, q18 3.11→2.44 s, flagship 2.66→2.22 s; 256 MB was
     # NOT better (q7/q18 regressed — driver broadcast build cost).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Prefer shuffled-hash over sort-merge when neither side broadcasts:
+    # the probe side skips its sort entirely.  Safe under AQE — post-shuffle
+    # partitions are coalesced to the 64 MB advisory size, so the per-task
+    # hash build is bounded no matter the total join size, and skew-join
+    # splitting still applies.  Measured at the x100 replica (~sf10, 60 M
+    # lineitem): q3 5.0→3.6 s, q12 4.5→3.4 s, q9 9.3→8.9 s, flagship
+    # 10.5→9.6 s; no query measured slower (q5/q7 neutral).
+    "spark.sql.join.preferSortMergeJoin": "false",
 }
 
 
