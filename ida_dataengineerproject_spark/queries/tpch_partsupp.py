@@ -182,35 +182,60 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem joins partsupp on BOTH keys — with synthesized partsupp only
     (partkey, suppkey) pairs the formula assigns exist, so this behaves
-    like the spec's 'where supply cost is known' join.  part (name
-    LIKE-filtered), partsupp, supplier, nation broadcast; orders↔lineitem
-    is the one fact-fact shuffle, then a tiny (nation, year) aggregate.
-    Profit per row is double IEEE (deterministic), summed in decimal for
-    oracle-exactness."""
+    like the spec's 'where supply cost is known' join.
+
+    Plan choice (r9): partsupp is |part|×4 rows — broadcasting it built
+    an 8 M-row hash relation at the x100 replica and dominated the 8.9 s
+    wall.  But the synthesized table is a pure FORMULA: membership is
+    ``∃ i ∈ 0..3 : l_suppkey = (l_partkey·7 + i) mod S`` and the matched
+    row's supplycost is ``((l_partkey·31 + l_suppkey·7919) mod 99900
+    + 100)/100`` — both codegen expressions over the lineitem columns
+    (S arrives as the usual broadcast 1-row supplier count).  The whole
+    partsupp arm therefore collapses to an OR-of-4 predicate + inline
+    cost, zero build.  The surviving lineitem slice (~4/S of the
+    part-filtered rows) is tiny, so AQE broadcasts it against orders —
+    no fact-fact shuffle remains (measured 8.9 → 1.8 s at x100).
+    Correctness is unchanged: the 4 per-part suppkeys are distinct for
+    S ≥ 4, so the inner join matched at most one partsupp row per
+    lineitem — exactly this predicate.
+
+    exact 1e-4-dollar units (aggs.py r9): all three money inputs are
+    exact 2-decimal doubles (ps_supplycost by construction: int/100.0)
+    and quantity is integral, so the long sum is the bit-exact twin of
+    the oracle's DECIMAL(38,6) sum of the double expression (whose
+    ~1-ulp error the 6-decimal rounding cast absorbs)."""
     li = table(spark, sf_dir, "lineitem")
-    ps = synth_partsupp(spark, sf_dir)
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders")
     n = table(spark, sf_dir, "nation")
-    # exact 1e-4-dollar units (aggs.py r9): all three money inputs are
-    # exact 2-decimal doubles (ps_supplycost by construction: int/100.0)
-    # and quantity is integral, so the long sum is the bit-exact twin of
-    # the oracle's DECIMAL(38,6) sum of the double expression (whose
-    # ~1-ulp error the 6-decimal rounding cast absorbs)
+    s_cnt = s.agg(F.count("*").alias("__S"))
+    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+    in_partsupp = None
+    for i in range(4):
+        term = sk == F.pmod(pk * 7 + i, F.col("__S"))
+        in_partsupp = term if in_partsupp is None else (in_partsupp | term)
+    supplycost_cents = (
+        F.pmod(pk * 31 + sk * 7919, F.lit(99900)) + F.lit(100)
+    )  # == round(ps_supplycost * 100): int/100.0 is exact
     profit_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
         F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
-    ) - F.round(F.col("ps_supplycost") * 100).cast("long") * F.col(
-        "l_quantity"
-    ).cast("long") * F.lit(100)
-    return (
+    ) - supplycost_cents * F.col("l_quantity").cast("long") * F.lit(100)
+    # The survivor count is ~|lineitem| · sel(LIKE) · 4/S, and lineitem
+    # grows proportionally to S — so survivors are O(1) in scale factor
+    # (~30 rows at every replica).  Broadcast THIS side explicitly:
+    # Spark's static estimate can't see the predicate's selectivity, and
+    # at x100 it instead broadcast the 15 M-row pruned orders scan
+    # (compressed-size estimate under the 64 MB threshold; 9.3 s wall).
+    survivors = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(
-            F.broadcast(ps),
-            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
-        )
+        .crossJoin(F.broadcast(s_cnt))
+        .filter(in_partsupp)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        F.broadcast(survivors)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
