@@ -716,30 +716,123 @@ def grouped_quantiles_band(
             value_col, F.array(*[F.lit(p) for p in probes]), F.lit(accuracy)
         ).alias("__bp"),
     )
-    j = (
-        src.join(F.broadcast(bands), g)
-        if g
-        else src.crossJoin(F.broadcast(bands))
-    )
     v = F.col(value_col)
-    small = F.col("__tot") < F.lit(2 * accuracy)
-    aggs = [F.first("__tot").alias("__tot")]
-    for i, name in enumerate(names):
-        blo = F.when(small, F.col("__mn")).otherwise(
-            F.element_at("__bp", 2 * i + 1)
+
+    # Pass-2 structure (r9, measured at the x100 exact_median):
+    # 1. SPLIT aggregates — a single aggregate carrying both the
+    #    below-band sums AND the in-band collect_lists ran as ONE
+    #    ObjectHashAggregate (collect_list is TypedImperative, dropping
+    #    the sums out of whole-stage codegen too: ~10 s interpreted).
+    #    Counts now ride a codegen HashAggregate over the full frame;
+    #    collects run on a band-PREFILTERED frame that only ever holds
+    #    the O(n/accuracy + ties) in-band rows.
+    # 2. LITERAL band frame for bounded group counts — re-attaching the
+    #    group-grain band row by broadcast join cost ~62 ns/row (a 3-row
+    #    build measured 0.9 → 4.6 s on a 60 M-row sum pass: probe + row
+    #    concat per row), and the un-materialized band frame re-ran the
+    #    full GK sketch scan inside EVERY consumer.  For ≤ 64 groups the
+    #    band row collapses to null-safe when-chains of literals — no
+    #    join, no recompute, every hot pass pure codegen.  12.5 → ~4 s.
+    #    Above 64 groups (or when a value resists F.lit) the broadcast-
+    #    join form below is the scale path — when-chain width is per-row
+    #    compare COUNT, fine at 64, wrong at 10^6 groups.
+    band_rows = bands.collect()  # one job; grain = group count (bounded
+    # by the caller's grouping semantics, same readout the sketch makes)
+    literal_ok = 0 < len(band_rows) <= 64
+
+    def _match(row):
+        cond = None
+        for k in g:
+            e = F.col(k).eqNullSafe(F.lit(row[k]))
+            cond = e if cond is None else (cond & e)
+        return cond
+
+    def _chain(rows, fn):
+        """when-chain over groups: fn(row) -> literal value."""
+        if not g:
+            return F.lit(fn(rows[0]))
+        e = None
+        for row in rows:
+            val = F.lit(fn(row))
+            e = F.when(_match(row), val) if e is None else e.when(
+                _match(row), val
+            )
+        return e
+
+    if literal_ok:
+        try:
+            blos, bhis = {}, {}
+            for i, name in enumerate(names):
+                def lo_of(row, i=i):
+                    if row["__tot"] < 2 * accuracy:
+                        return row["__mn"]
+                    return row["__bp"][2 * i]
+
+                def hi_of(row, i=i):
+                    if row["__tot"] < 2 * accuracy:
+                        return row["__mx"]
+                    return row["__bp"][2 * i + 1]
+
+                blos[name] = _chain(band_rows, lo_of)
+                bhis[name] = _chain(band_rows, hi_of)
+            tot_expr = _chain(band_rows, lambda r: r["__tot"])
+        except Exception:  # noqa: BLE001 — unliteralizable value type
+            literal_ok = False
+
+    if not literal_ok:
+        bands = bands.localCheckpoint()  # band scan must not re-run per
+        # consumer; checkpoint replaces the collected literals
+        joined = (
+            src.join(F.broadcast(bands), g)
+            if g
+            else src.crossJoin(F.broadcast(bands))
         )
-        bhi = F.when(small, F.col("__mx")).otherwise(
-            F.element_at("__bp", 2 * i + 2)
+        small = F.col("__tot") < F.lit(2 * accuracy)
+        blos, bhis = {}, {}
+        for i, name in enumerate(names):
+            blos[name] = F.when(small, F.col("__mn")).otherwise(
+                F.element_at("__bp", 2 * i + 1)
+            )
+            bhis[name] = F.when(small, F.col("__mx")).otherwise(
+                F.element_at("__bp", 2 * i + 2)
+            )
+        tot_expr = F.col("__tot")
+        src = joined
+
+    cnt_aggs = [F.first(tot_expr).alias("__tot")]
+    in_any_band = None
+    for name in names:
+        blo, bhi = blos[name], bhis[name]
+        cnt_aggs.append(F.sum((v < blo).cast("long")).alias(f"__nb_{name}"))
+        band_pred = (v >= blo) & (v <= bhi)
+        in_any_band = (
+            band_pred if in_any_band is None else (in_any_band | band_pred)
         )
-        aggs.append(
-            F.sum((v < blo).cast("long")).alias(f"__nb_{name}")
-        )
-        aggs.append(
+    counts = (
+        src.groupBy(*g).agg(*cnt_aggs) if g else src.groupBy().agg(*cnt_aggs)
+    )
+    col_aggs = []
+    for name in names:
+        blo, bhi = blos[name], bhis[name]
+        col_aggs.append(
             F.sort_array(
                 F.collect_list(F.when((v >= blo) & (v <= bhi), v))
             ).alias(f"__band_{name}")
         )
-    got = j.groupBy(*g).agg(*aggs) if g else j.groupBy().agg(*aggs)
+    jf = src.filter(in_any_band)
+    collects = (
+        jf.groupBy(*g).agg(*col_aggs) if g else jf.groupBy().agg(*col_aggs)
+    )
+    # group keys are the aggregate's own grain — the rejoin is tiny and
+    # broadcast.  A group whose every row fell outside all bands cannot
+    # exist (each band contains its straddle ranks by construction), but
+    # a left join keeps the failure mode visible (NULL band → NULL out)
+    # rather than silently dropping the group.
+    got = (
+        counts.join(F.broadcast(collects), g, "left")
+        if g
+        else counts.crossJoin(F.broadcast(collects))
+    )
     out = list(g)
     for name, q in quantiles.items():
         pos = F.lit(q) * (F.col("__tot") - 1).cast("double")
@@ -822,27 +915,55 @@ def order_statistic_tuples(
             ).alias(f"__bp_{vc}"),
         ]
     bands = src.groupBy().agg(*band_aggs)
-    j = src.crossJoin(F.broadcast(bands))
-    aggs = [F.first("__tot").alias("__tot")]
+    # The band frame is ONE row — read it out and inline every bound as
+    # a literal (r9; same two defects grouped_quantiles_band had): the
+    # un-materialized crossJoin re-ran the sketch scan inside the
+    # confirm job, and one ObjectHashAggregate carrying sums +
+    # collect_lists evaluated every row interpreted.  Now: counts ride a
+    # codegen HashAggregate over literal comparisons, collects see only
+    # the band-prefiltered rows, targets are exact driver-side integer
+    # arithmetic.  Measured on xq11 (3 dimensions × 2 cuts over the
+    # per-customer grain): 8.8 → ~5 s at the x100 replica.
+    brow = bands.collect()[0]
+    bounds: dict[tuple[str, str], tuple] = {}
+    for vc in value_cols:
+        n_vc = brow[f"__n_{vc}"]
+        small = n_vc < 2 * accuracy
+        for i, name in enumerate(rank_fracs):
+            bp = brow[f"__bp_{vc}"]
+            blo_v = brow[f"__mn_{vc}"] if small else (bp[2 * i] if bp else None)
+            bhi_v = (
+                brow[f"__mx_{vc}"] if small else (bp[2 * i + 1] if bp else None)
+            )
+            bounds[(vc, name)] = (blo_v, bhi_v)
+    cnt_aggs = []
+    in_any_band = None
     for vc in value_cols:
         v = F.col(vc)
-        small = F.col(f"__n_{vc}") < F.lit(2 * accuracy)
-        aggs.append(F.first(f"__n_{vc}").alias(f"__n_{vc}"))
-        for i, name in enumerate(rank_fracs):
-            blo = F.when(small, F.col(f"__mn_{vc}")).otherwise(
-                F.element_at(f"__bp_{vc}", 2 * i + 1)
+        for name in rank_fracs:
+            blo_v, bhi_v = bounds[(vc, name)]
+            cnt_aggs.append(
+                F.sum((v < F.lit(blo_v)).cast("long")).alias(
+                    f"__nb_{vc}_{name}"
+                )
             )
-            bhi = F.when(small, F.col(f"__mx_{vc}")).otherwise(
-                F.element_at(f"__bp_{vc}", 2 * i + 2)
+            band_pred = (v >= F.lit(blo_v)) & (v <= F.lit(bhi_v))
+            in_any_band = (
+                band_pred
+                if in_any_band is None
+                else (in_any_band | band_pred)
             )
-            aggs.append(
-                F.sum((v < blo).cast("long")).alias(f"__nb_{vc}_{name}")
-            )
-            aggs.append(
+    counts = src.groupBy().agg(*cnt_aggs)
+    col_aggs = []
+    for vc in value_cols:
+        v = F.col(vc)
+        for name in rank_fracs:
+            blo_v, bhi_v = bounds[(vc, name)]
+            col_aggs.append(
                 F.sort_array(
                     F.collect_list(
                         F.when(
-                            (v >= blo) & (v <= bhi),
+                            (v >= F.lit(blo_v)) & (v <= F.lit(bhi_v)),
                             F.struct(
                                 v.alias("v"), F.col("__tb").alias("tb")
                             ),
@@ -850,14 +971,18 @@ def order_statistic_tuples(
                     )
                 ).alias(f"__band_{vc}_{name}")
             )
-    got = j.groupBy().agg(*aggs)
-    out = [F.col("__tot").alias("n")]
+    collects = src.filter(in_any_band).groupBy().agg(*col_aggs)
+    got = counts.crossJoin(F.broadcast(collects))
+    out = [F.lit(brow["__tot"]).cast("long").alias("n")]
     for vc in value_cols:
         for name, (num, den) in rank_fracs.items():
-            target = F.expr(f"CAST((__n_{vc} * {num}) div {den} AS BIGINT)")
-            idx = (target - F.col(f"__nb_{vc}_{name}")).cast("int")
+            target = (brow[f"__n_{vc}"] * num) // den  # exact int, driver
+            idx = (F.lit(target) - F.col(f"__nb_{vc}_{name}")).cast("int")
             out.append(
-                F.when(target <= 0, F.lit(None))
+                # the when() keeps the struct type even when target <= 0
+                # is decided at the driver (a bare F.lit(None) would be
+                # NullType and break callers' struct comparisons)
+                F.when(F.lit(target <= 0), F.lit(None))
                 .otherwise(F.element_at(F.col(f"__band_{vc}_{name}"), idx))
                 .alias(f"{vc}_{name}")
             )
