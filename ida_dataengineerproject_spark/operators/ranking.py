@@ -827,12 +827,23 @@ def grouped_quantiles_band(
     # broadcast.  A group whose every row fell outside all bands cannot
     # exist (each band contains its straddle ranks by construction), but
     # a left join keeps the failure mode visible (NULL band → NULL out)
-    # rather than silently dropping the group.
-    got = (
-        counts.join(F.broadcast(collects), g, "left")
-        if g
-        else counts.crossJoin(F.broadcast(collects))
-    )
+    # rather than silently dropping the group.  NULL-SAFE key equality:
+    # a NULL group key is a legal grouping value on both sides, and a
+    # plain equi-join would orphan its counts row from its collects row
+    # (caught by tests/test_band_paths.py::test_literal_path_null_group_key).
+    if g:
+        right = collects
+        for k in g:
+            right = right.withColumnRenamed(k, f"__r_{k}")
+        cond = None
+        for k in g:
+            e = F.col(k).eqNullSafe(F.col(f"__r_{k}"))
+            cond = e if cond is None else (cond & e)
+        got = counts.join(F.broadcast(right), cond, "left").drop(
+            *[f"__r_{k}" for k in g]
+        )
+    else:
+        got = counts.crossJoin(F.broadcast(collects))
     out = list(g)
     for name, q in quantiles.items():
         pos = F.lit(q) * (F.col("__tot") - 1).cast("double")

@@ -1,0 +1,137 @@
+"""Pin the r9 band-primitive path split and the q9 predicate fold.
+
+r9 made grouped_quantiles_band pick between two physical forms:
+- literal path (<= 64 groups): band bounds collected and inlined as
+  null-safe when-chains — every registry caller takes this path;
+- broadcast-join path (> 64 groups, or unliteralizable values): the
+  100 TB form for high-cardinality grouping.
+
+Because no registry query exercises the join path anymore, these tests
+are what keeps it correct: both paths must equal Spark's exact
+``percentile`` on the same data, including the small-group regime
+(n < 2·accuracy → whole-domain band) and NULL group keys (null-safe
+when-chain matching).
+
+q9's partsupp arm collapsed from a join against the synthesized table to
+an OR-of-4 membership predicate + inline supplycost expression; the
+equivalence test here is the guard on that algebra (the oracle pins the
+end-to-end result, but this pins the step that makes it fast).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _exact(spark, df, group_col, value_col, q):
+    """Naive exact quantile_cont per group via Spark's percentile."""
+    return {
+        r[group_col]: r["p"]
+        for r in df.groupBy(group_col)
+        .agg(F.expr(f"percentile({value_col}, {q})").alias("p"))
+        .collect()
+    }
+
+
+def _band(spark, df, group_col, value_col, q, accuracy=200):
+    from ida_dataengineerproject_spark.operators.ranking import (
+        grouped_quantiles_band,
+    )
+
+    out = grouped_quantiles_band(
+        df, value_col, [group_col], {"qq": q}, accuracy=accuracy
+    )
+    return {r[group_col]: r["qq"] for r in out.collect()}
+
+
+def _mkdf(spark, n_groups, rows_per_group, seed=7):
+    # deterministic pseudo-random values without Python-side RNG state
+    rows = [
+        (g, float((g * 9973 + i * seed * 31 + (g * i) % 997) % 10007) / 7.0)
+        for g in range(n_groups)
+        for i in range(rows_per_group)
+    ]
+    return spark.createDataFrame(rows, "g int, v double")
+
+
+def test_literal_path_matches_exact_percentile(spark):
+    df = _mkdf(spark, 5, 300)  # 5 groups -> literal path
+    got = _band(spark, df, "g", "v", 0.5)
+    want = _exact(spark, df, "g", "v", 0.5)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=1e-9), k
+
+
+def test_join_fallback_path_matches_exact_percentile(spark):
+    df = _mkdf(spark, 80, 60)  # 80 groups -> broadcast-join fallback
+    got = _band(spark, df, "g", "v", 0.9)
+    want = _exact(spark, df, "g", "v", 0.9)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=1e-9), k
+
+
+def test_both_paths_agree_small_group_regime(spark):
+    # n < 2*accuracy per group -> whole-domain band in both forms
+    df = _mkdf(spark, 3, 40)
+    lit_path = _band(spark, df, "g", "v", 0.25, accuracy=200)
+    want = _exact(spark, df, "g", "v", 0.25)
+    for k in want:
+        assert math.isclose(lit_path[k], want[k], abs_tol=1e-9), k
+
+
+def test_literal_path_null_group_key(spark):
+    rows = [(None, float(i)) for i in range(100)] + [
+        (1, float(i * 3)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = _band(spark, df, "g", "v", 0.5, accuracy=200)
+    want = _exact(spark, df, "g", "v", 0.5)
+    assert got.keys() == want.keys()  # NULL key survives (eqNullSafe)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-9), k
+
+
+def test_q9_membership_predicate_equals_partsupp_join(spark):
+    """∃i∈0..3: l_suppkey=(l_partkey·7+i) mod S  ⇔  inner-join hit on the
+    synthesized partsupp — and the inline supplycost equals the joined
+    column on every surviving row."""
+    from ida_dataengineerproject_spark.queries.tpch_partsupp import (
+        synth_partsupp,
+    )
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    li = table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    ps = synth_partsupp(spark, sf)
+    joined = (
+        li.join(
+            ps,
+            (li.l_partkey == ps.ps_partkey)
+            & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .select("l_partkey", "l_suppkey", "ps_supplycost")
+        .orderBy("l_partkey", "l_suppkey")
+        .collect()
+    )
+    s_cnt = table(spark, sf, "supplier").agg(F.count("*").alias("__S"))
+    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+    pred = None
+    for i in range(4):
+        term = sk == F.pmod(pk * 7 + i, F.col("__S"))
+        pred = term if pred is None else (pred | term)
+    cost = (
+        (F.pmod(pk * 31 + sk * 7919, F.lit(99900)) + F.lit(100)) / 100.0
+    ).alias("ps_supplycost")
+    folded = (
+        li.crossJoin(F.broadcast(s_cnt))
+        .filter(pred)
+        .select("l_partkey", "l_suppkey", cost)
+        .orderBy("l_partkey", "l_suppkey")
+        .collect()
+    )
+    assert len(joined) > 0  # the guard is vacuous on an empty survivor set
+    assert [tuple(r) for r in joined] == [tuple(r) for r in folded]
