@@ -699,6 +699,19 @@ def grouped_quantiles_band(
     accuracy 10000, 0.44 s at 1000 — sketch maintenance, not probing,
     is the cost).  Default accuracy 2000 balances sketch insert cost
     against band collect size.
+
+    EAGER/SNAPSHOT CONTRACT: building this plan runs one Spark job (the
+    band scan is collected to the driver so the ≤64-group literal path
+    can inline bounds as codegen'd literals; the >64-group path
+    localCheckpoints the same frame).  The returned DataFrame therefore
+    snapshots the SOURCE AS OF BUILD TIME for its band bounds and group
+    counts: re-executing it after the underlying data changes reuses
+    the stale bounds (the in-band confirm re-reads live data, so the
+    result could be silently wrong, not just stale).  Rebuild the plan
+    after any source mutation.  This is an intentional exception to the
+    repo's "never an action in the plan-building path" pattern — the
+    literal inlining is worth 3× on the hot pass (see measurements
+    above) and the band grain is bounded by the grouping semantics.
     """
     g = list(group_cols)
     src = df.select(*g, value_col).filter(F.col(value_col).isNotNull())
@@ -782,11 +795,27 @@ def grouped_quantiles_band(
     if not literal_ok:
         bands = bands.localCheckpoint()  # band scan must not re-run per
         # consumer; checkpoint replaces the collected literals
-        joined = (
-            src.join(F.broadcast(bands), g)
-            if g
-            else src.crossJoin(F.broadcast(bands))
-        )
+        if g:
+            # NULL-SAFE band attach: a NULL group key is a legal grouping
+            # value (groupBy puts all NULLs in one group), and a plain
+            # equi-join here would silently drop every such row ONLY on
+            # this >64-group path — the literal path's eqNullSafe
+            # when-chains and the final rejoin already handle it.  Same
+            # input must yield the same group set regardless of group
+            # cardinality (tests/test_band_paths.py::
+            # test_fallback_path_null_group_key).
+            battach = bands
+            for k in g:
+                battach = battach.withColumnRenamed(k, f"__b_{k}")
+            jcond = None
+            for k in g:
+                e = F.col(k).eqNullSafe(F.col(f"__b_{k}"))
+                jcond = e if jcond is None else (jcond & e)
+            joined = src.join(F.broadcast(battach), jcond).drop(
+                *[f"__b_{k}" for k in g]
+            )
+        else:
+            joined = src.crossJoin(F.broadcast(bands))
         small = F.col("__tot") < F.lit(2 * accuracy)
         blos, bhis = {}, {}
         for i, name in enumerate(names):
@@ -907,7 +936,14 @@ def order_statistic_tuples(
     confirm pass — per dimension a single array-probe sketch (sketch
     maintenance dominates; see grouped_quantiles_band).  Per-dimension
     NULL values are excluded from that dimension's count/band (aggregate
-    semantics), matching a per-dimension ``WHERE v IS NOT NULL`` rank."""
+    semantics), matching a per-dimension ``WHERE v IS NOT NULL`` rank.
+
+    EAGER/SNAPSHOT CONTRACT (same as :func:`grouped_quantiles_band`):
+    plan construction collects the one-row band frame and inlines every
+    bound, count, and rank target as a literal — including ``n`` itself.
+    The returned DataFrame snapshots the source as of build time;
+    re-executing after a source mutation mixes stale bounds/targets with
+    live in-band data.  Rebuild after any mutation."""
     eps = 1.0 / accuracy
     src = df.select(*value_cols, F.col(tiebreak_col).alias("__tb"))
     probes: list[float] = []

@@ -73,9 +73,13 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the priority aggregate (partial distinct runs map-side).
     Measured 3.3 s → 0.5 s warm at x10; one shuffle of (priority,
     orderkey) partial-distinct states, no giant build.  At 100 TB the
-    slice broadcast scales with the date window, not the fact table; if
-    the window were unbounded, AQE's size estimate would fall back to a
-    shuffled join on the same plan."""
+    slice broadcast scales with the date window, not the fact table.
+    NOTE: the ``F.broadcast(o)`` hint is UNCONDITIONAL — Spark honors a
+    user hint regardless of size and AQE does not demote it — so this
+    plan is safe only because the 3-month predicate is fixed in the
+    query.  A parameterized variant with an unbounded window must drop
+    the hint and let AQE's size estimate choose (it would then pick
+    broadcast for small slices on its own via the 64 MB threshold)."""
     o = (
         table(spark, sf_dir, "orders")
         .filter(

@@ -209,7 +209,21 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders")
     n = table(spark, sf_dir, "nation")
-    s_cnt = s.agg(F.count("*").alias("__S"))
+    # The fold below is join-equivalent ONLY for S >= 4 (the 4 generated
+    # suppkeys per part must be distinct; for S < 4 the oracle's CTE
+    # emits duplicate (partkey, suppkey) rows that an inner join would
+    # double-count while the membership predicate matches once).  Guard
+    # the precondition IN-PLAN: assert_true on the 1-row count frame
+    # fails the job loudly on a toy supplier table instead of silently
+    # diverging from the oracle.
+    s_cnt = s.agg(F.count("*").alias("__S")).select(
+        F.when(
+            F.assert_true(
+                F.col("__S") >= 4, F.lit("q9 fold requires S >= 4")
+            ).isNull(),
+            F.col("__S"),
+        ).alias("__S")
+    )
     pk, sk = F.col("l_partkey"), F.col("l_suppkey")
     in_partsupp = None
     for i in range(4):

@@ -44,12 +44,19 @@ _RUNTIME_CONFS = {
     # NOT better (q7/q18 regressed — driver broadcast build cost).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Prefer shuffled-hash over sort-merge when neither side broadcasts:
-    # the probe side skips its sort entirely.  Safe under AQE — post-shuffle
-    # partitions are coalesced to the 64 MB advisory size, so the per-task
-    # hash build is bounded no matter the total join size, and skew-join
-    # splitting still applies.  Measured at the x100 replica (~sf10, 60 M
-    # lineitem): q3 5.0→3.6 s, q12 4.5→3.4 s, q9 9.3→8.9 s, flagship
-    # 10.5→9.6 s; no query measured slower (q5/q7 neutral).
+    # the probe side skips its sort entirely.  Usually-safe under AQE —
+    # post-shuffle partitions are coalesced toward the 64 MB advisory size
+    # and skewJoin splitting (pinned on above — it MUST stay on alongside
+    # this flag) breaks up oversized partitions AQE can see.  CAVEAT: the
+    # build-side HashedRelation does not spill; a single hot key that
+    # skew-split cannot subdivide (splitting is per-partition, a single
+    # key's rows all hash to one map-side bucket on the BUILD side) can
+    # still OOM an executor at real scale, where sort-merge would have
+    # spilled.  Validated at the local x100 replica with TPC-H-uniform
+    # keys; on a cluster with known heavy hitters, salt the key or flip
+    # this back per-query (scoped_conf) rather than globally.  Measured
+    # x100 (~sf10, 60 M lineitem): q3 5.0→3.6 s, q12 4.5→3.4 s,
+    # q9 9.3→8.9 s, flagship 10.5→9.6 s; no query slower (q5/q7 neutral).
     "spark.sql.join.preferSortMergeJoin": "false",
 }
 
@@ -144,6 +151,11 @@ def get_spark(app_name: str = "ida-spark", shuffle_partitions: int | None = None
         .config("spark.sql.shuffle.partitions", parts)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # Console progress writes \r-control sequences that clobber [OK]
+        # lines in captured transcripts (r9: PARITY txt lost 11 of 221
+        # lines to it) — evidence capture must be lossless, and the bar
+        # is useless in batch/pipe contexts anyway.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
     for k, v in _RUNTIME_CONFS.items():

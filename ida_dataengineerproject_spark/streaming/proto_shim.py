@@ -3,8 +3,7 @@
 ``transformWithStateInPandas`` needs ``google.protobuf`` in the PYTHON
 WORKERS (the TWS state protocol: pyspark/sql/streaming/proto/
 StateMessage_pb2.py + stateful_processor_api_client.py).  This container
-ships no protobuf wheel and has no network
-(artifacts/protobuf_install_attempt_r5.txt), so we vendor the minimal
+ships no protobuf wheel and has no network, so we vendor the minimal
 runtime the generated module needs and activate it ONLY when the real
 distribution is absent:
 

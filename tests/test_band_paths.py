@@ -95,6 +95,23 @@ def test_literal_path_null_group_key(spark):
         assert math.isclose(got[k], want[k], abs_tol=1e-9), k
 
 
+def test_fallback_path_null_group_key(spark):
+    """>64 groups forces the broadcast-join path; a NULL group key must
+    survive it exactly as it survives the literal path (r10 fix: the
+    band-attach join is eqNullSafe, not a plain equi-join that would
+    silently drop the NULL group)."""
+    rows = [(None, float(i)) for i in range(100)]
+    for g in range(80):  # 81 groups total > 64 → join path
+        rows += [(g, float((g * 37 + i * 13) % 500)) for i in range(40)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = _band(spark, df, "g", "v", 0.5, accuracy=200)
+    want = _exact(spark, df, "g", "v", 0.5)
+    assert got.keys() == want.keys()  # NULL key survives on BOTH paths
+    assert None in got
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-9), k
+
+
 def test_q9_membership_predicate_equals_partsupp_join(spark):
     """∃i∈0..3: l_suppkey=(l_partkey·7+i) mod S  ⇔  inner-join hit on the
     synthesized partsupp — and the inline supplycost equals the joined

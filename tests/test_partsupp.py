@@ -64,3 +64,24 @@ def test_partsupp_builds_without_shuffle(spark):
     plan = _plan(_ps(spark))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "hashpartitioning" not in plan
+
+
+def test_q9_fold_guard_fires_on_toy_supplier_table(spark, tmp_path):
+    """The q9 membership-predicate fold is join-equivalent only for
+    S >= 4; the in-plan assert_true must fail LOUDLY (not silently
+    diverge from the oracle) when a toy dataset violates it."""
+    import shutil
+
+    import pytest
+    from ida_dataengineerproject_spark.queries.tpch_partsupp import q9
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    toy = tmp_path / "toy_sf"
+    toy.mkdir()
+    for name in ("lineitem", "part", "orders", "nation"):
+        shutil.copy(f"{SF_SMOKE}/{name}.parquet", toy / f"{name}.parquet")
+    table(spark, SF_SMOKE, "supplier").limit(3).write.parquet(
+        str(toy / "supplier.parquet")
+    )
+    with pytest.raises(Exception, match="S >= 4"):
+        q9(spark, str(toy)).collect()
