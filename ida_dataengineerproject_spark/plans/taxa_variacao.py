@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources.bucketed import bucketed_pair
 from ..sources.tables import table
 
 # l_returnflag plays the reference's 10 hard-coded operator groups
@@ -48,7 +49,46 @@ def _pct_change(cur, prev):
 def taxa_variacao(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
+    return _taxa_from_tables(lineitem, orders)
 
+
+def taxa_variacao_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship over BUCKETED storage — identical semantics (same
+    oracle), different table layout: lineitem and orders live as catalog
+    bucketed tables (`bucketBy(n, orderkey).sortBy(orderkey)`,
+    sources/bucketed.py), so the fact⋈fact join that dominates the plain
+    arm's wall time needs NO Exchange on either side — bucket i joins
+    bucket i straight off the scans.
+
+    Motivation (r9 at-scale profile): at the x100 replica the plain arm
+    spent 4.4 s of its 8.7 s wall on the shuffle write+read of the 45 M-row
+    lineitem⋈orders exchange — distributed-join machinery the query
+    itself cannot avoid when the tables at rest are unkeyed.  An engine
+    whose fact tables are bucketed on their join key at rest (the normal
+    posture for a 100 TB warehouse serving this query nightly) never pays
+    it.  The bucketed write is a one-time storage cost (memoized per
+    process here; a real warehouse pays it at ingest), and every
+    subsequent run joins exchange-free: only the grain-sized aggregate
+    shuffle remains (#months × #groups rows).
+
+    tests/test_plan_quality.py pins the plan shape: zero Exchange below
+    the join, both scans `Bucketed: true`."""
+    li_b, o_b = bucketed_pair(
+        spark,
+        sf_dir,
+        [
+            (
+                "lineitem",
+                "l_orderkey",
+                ["l_orderkey", "l_returnflag", "l_linestatus", "l_extendedprice"],
+            ),
+            ("orders", "o_orderkey", ["o_orderkey", "o_orderdate"]),
+        ],
+    )
+    return _taxa_from_tables(li_b, o_b)
+
+
+def _taxa_from_tables(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     # Hot-path representation (r9, measured at the x10 replica):
     # - month key = year*100 + month INT through the join/aggregate;
     #   the 'yyyy-MM' string (op23) materializes AFTER the grain-sized

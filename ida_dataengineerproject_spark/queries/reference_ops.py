@@ -20,7 +20,11 @@ from ..functions.numparse import parse_locale_number
 from ..operators.cleaning import recode
 from ..operators.reshape import pivot_groups
 from ..operators.upsert import dedup_against
-from ..plans.taxa_variacao import taxa_variacao, TAXA_VARIACAO_ORACLE_SQL
+from ..plans.taxa_variacao import (
+    TAXA_VARIACAO_ORACLE_SQL,
+    taxa_variacao,
+    taxa_variacao_bucketed,
+)
 from ..registry import register
 from ..sources.tables import table
 
@@ -30,6 +34,16 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vw_taxa_variacao (schema_star.sql:108-164) role-mapped onto testdata.
     Covers op13/14/17/23/26-29/31-35/39-41 in one pipeline."""
     return taxa_variacao(spark, sf_dir)
+
+
+@register("flagship_taxa_variacao_bucketed", TAXA_VARIACAO_ORACLE_SQL)
+def q_flagship_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship over bucketed-at-rest fact tables: same semantics and
+    oracle, but the lineitem⋈orders join runs Exchange-free off catalog
+    bucketed tables (plans/taxa_variacao.py::taxa_variacao_bucketed) —
+    the storage posture that deletes the 45 M-row shuffle dominating the
+    plain arm's x100 profile."""
+    return taxa_variacao_bucketed(spark, sf_dir)
 
 
 # ---------------------------------------------------------------- op11/op12

@@ -361,6 +361,43 @@ def test_bucketed_join_has_no_exchange_below_join(spark):
     assert len(re.findall(r"\) Exchange\n", plan)) == 1
 
 
+def test_flagship_bucketed_arm_join_is_exchange_free(spark):
+    """flagship_taxa_variacao_bucketed (r10): the lineitem⋈orders join —
+    4.4 s of shuffle in the plain arm's x100 profile — consumes the two
+    bucketed scans directly: Bucketed: true on both sides, ZERO Exchange
+    below the join.  The only exchanges left are the grain-sized
+    aggregate/window/sort ones (#months × #groups rows).  Broadcast is
+    disabled so the test pins the at-scale (SMJ) shape, not the
+    small-input broadcast shortcut."""
+    from ida_dataengineerproject_spark.plans.taxa_variacao import (
+        taxa_variacao_bucketed,
+    )
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = [spark.conf.get(k, None) for k in keys]
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        plan = _plan(taxa_variacao_bucketed(spark, SF_SMOKE))
+    finally:
+        for k, v in zip(keys, saved):
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    # tree section only; the join's CHILDREN (everything after the SMJ
+    # line down to the blank line ending the tree) must hold no Exchange
+    tree = plan.split("\n\n")[0]
+    below_join = tree.split("SortMergeJoin")[-1]
+    assert "Exchange" not in below_join, (
+        "bucketed flagship join must not shuffle either side:\n"
+        + below_join
+    )
+
+
 def test_inverted_index_probe_pushes_term_filter(spark):
     """xt19: the term probe must reach the posting-file scan as a pushed
     In(token, ...) filter — with postings sorted by token, that is a

@@ -42,7 +42,7 @@ sys.path.insert(0, HERE)
 # forms, the weak/retired perf rows, and the steep-slope probe queries.
 DEFAULT_QUERIES = [
     "agg_variance_corr_exact", "exact_median_percentiles",
-    "flagship_taxa_variacao",
+    "flagship_taxa_variacao", "flagship_taxa_variacao_bucketed",
     "fn_datetime", "fn_regex",
     "op16_unpivot_measures", "op20_variable_recode", "op25_record_hash",
     "pipeline_prepare_documents", "sample_fraction",
