@@ -59,9 +59,25 @@ def avg_exact(col: Column | str, scale: int = 2, precision: int = 38) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _cents(col: Column | str) -> Column:
+def cents(col: Column | str) -> Column:
+    """Exact cent count of an exact-2-decimal double, as a LONG.
+
+    ``floor(v·100 + 0.5)`` — NOT ``round``: Spark's Round on DoubleType
+    codegens to a per-row ``BigDecimal.valueOf(x).setScale(...)``
+    allocation, measured at 1.13 s of tpch_q1's 2.44 s x100 wall (5
+    cents() calls per row); ``floor`` is a single ``Math.floor``.
+
+    Bit-exact equivalence for exact-2dp inputs (sign-independent): the
+    stored double v is the nearest double to k/100, so v·100 = k(1+δ)
+    with |kδ| ≪ 0.5; floor(k ± ε + 0.5) = k for any |ε| < 0.5, including
+    negative k (c_acctbal).  A tie (x·100 exactly halfway) cannot occur
+    because the true value is an integer and the error is sub-ulp-scale.
+    NULL propagates (floor(NULL) = NULL) exactly as round did."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100).cast("long")
+    return F.floor(c * 100 + F.lit(0.5))
+
+
+_cents = cents  # internal alias (pre-r10 name)
 
 
 def sum_exact_2dp(col: Column | str) -> Column:

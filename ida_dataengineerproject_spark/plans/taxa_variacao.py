@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.aggs import cents
 from ..sources.bucketed import bucketed_pair
 from ..sources.tables import table
 
@@ -115,9 +116,7 @@ def _taxa_from_tables(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         .select(
             "l_orderkey",
             F.col("l_returnflag").alias("grupo"),
-            F.round(F.col("l_extendedprice") * 100)
-            .cast("long")
-            .alias("valor"),
+            cents("l_extendedprice").alias("valor"),
         )
         .join(ob, F.col("l_orderkey") == F.col("o_orderkey"))
     )

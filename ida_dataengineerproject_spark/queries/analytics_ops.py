@@ -780,6 +780,7 @@ def q_robust_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Four scans of orders total, zero windows, zero joins wider than a
     broadcast of one row per group."""
+    from ..functions.aggs import cents
     from ..operators.ranking import grouped_quantiles_band
 
     g = "o_orderpriority"
@@ -787,7 +788,7 @@ def q_robust_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps = 1.0 / acc
     o = table(spark, sf_dir, "orders").select(g, "o_totalprice")
     src = o.select(
-        g, F.round(F.col("o_totalprice") * 100).cast("long").alias("vc")
+        g, cents("o_totalprice").alias("vc")
     )
     probes = [
         p

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.aggs import sum_exact
+from ..functions.aggs import cents, sum_exact
 from ..plans.datapipeline import prepare_documents
 from ..registry import register
 from ..sources.tables import table
@@ -112,9 +112,7 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact 1e-4-dollar units in a long buffer (aggs.py r9): bit-exact
     # twin of the DECIMAL(38,6) sum for these 2-decimal inputs
-    units = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
-        F.col("l_discount") * 100
-    ).cast("long")
+    units = cents("l_extendedprice") * cents("l_discount")
     return f.agg(
         (F.sum(units).cast("double") / 10_000).alias("revenue"),
         F.count("*").alias("n"),

@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 from ..functions.aggs import (
     avg_exact,
     avg_exact_2dp,
+    cents,
     sum_disc_price_exact,
     sum_exact,
     sum_exact_2dp,
@@ -237,8 +238,8 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer 1e-4-dollar units (aggs.py r9): exact long sums; each side
     # converts to double and divides by 10^4 BEFORE the ratio, replicating
     # the oracle's two DECIMAL(38,6)->DOUBLE casts bit-for-bit
-    vol_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    vol_u = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
     )
     zero_u = F.lit(0).cast("long")
     return (
@@ -371,8 +372,8 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer 1e-4-dollar units (aggs.py r9): exact long sums; each side
     # converts to double and divides by 10^4 BEFORE the ratio, replicating
     # the oracle's two DECIMAL(38,6)->DOUBLE casts bit-for-bit
-    vol_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    vol_u = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
     )
     zero_u = F.lit(0).cast("long")
     return (

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.aggs import sum_exact
+from ..functions.aggs import cents, sum_exact
 from ..registry import register
 from ..sources.tables import table
 
@@ -232,8 +232,8 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplycost_cents = (
         F.pmod(pk * 31 + sk * 7919, F.lit(99900)) + F.lit(100)
     )  # == round(ps_supplycost * 100): int/100.0 is exact
-    profit_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    profit_u = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
     ) - supplycost_cents * F.col("l_quantity").cast("long") * F.lit(100)
     # The survivor count is ~|lineitem| · sel(LIKE) · 4/S, and lineitem
     # grows proportionally to S — so survivors are O(1) in scale factor
