@@ -91,20 +91,35 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: selective dim filter broadcast into the fact-fact join;
-    top-10 via TakeOrderedAndProject (heap per partition, no global sort
-    materialization)."""
-    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    """TPC-H Q3: top-10 via TakeOrderedAndProject (heap per partition, no
+    global sort materialization).
+
+    Plan choice (r10, the q5/q7 recipe): the BUILDING predicate reaches
+    orders only through customer, and without CBO stats Catalyst keeps
+    the dim join ABOVE the fact-fact join — the r9 form shuffled the
+    full lineitem⋈orders pair (35 M × 14.5 M at x100; the date filter
+    keeps ~97% of orders) and only then dropped ~80% at the broadcast
+    customer.  Here orders broadcast-joins the BUILDING-only customer
+    side FIRST, so the fact-fact exchange carries a ~5× smaller orders
+    side (~3 M rows, 3 pruned columns).  The aggregate keys lead with
+    the join key, so the grain aggregate reuses the join partitioning —
+    no extra exchange (pinned by the plan staying at one exchange per
+    fact side + the final sort's)."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
     revenue = sum_disc_price_exact("l_extendedprice", "l_discount")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(oc, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(revenue.alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")

@@ -290,24 +290,40 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 returned-item reporting: returnflag filter pushed to the
     lineitem scan, 6-month order slice, top-20 via TakeOrderedAndProject
-    (c_custkey tiebreaker for determinism)."""
+    (c_custkey tiebreaker for determinism).
+
+    Plan choice (r10): the revenue grain is c_custkey, and o_custkey IS
+    c_custkey (FK: every o_custkey resolves in customer, so the inner
+    customer join drops nothing and multiplies nothing — parity pins
+    this).  So the top-20 is decided ENTIRELY on (custkey, revenue):
+    aggregate the join survivors by the LONG o_custkey alone (no string
+    group keys riding the hash), TakeOrdered-20 on that ~|custkey| grain,
+    and only THEN attach c_name/c_acctbal/n_name — by broadcasting the
+    20 ROWS into the customer scan, not the 1.5 M-row customer table
+    into the driver (the r9 form built a 1.5 M-row broadcast relation
+    and hashed 4-column string group keys per survivor row; measured
+    3.1 → ~2 s at x100).  At 100 TB the same shape holds: nothing wider
+    than 20 rows is ever broadcast for the attribute joins."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
-    )
+    ).select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = table(spark, sf_dir, "nation")
     revenue = sum_disc_price_exact("l_extendedprice", "l_discount")
-    return (
+    top = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(revenue.alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
+    )
+    return (
+        c.join(F.broadcast(top), "c_custkey")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
     )
 
 
