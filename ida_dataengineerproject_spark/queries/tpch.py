@@ -19,7 +19,8 @@ from ..functions.aggs import (
     sum_exact,
     sum_exact_2dp,
 )
-from ..registry import register
+from ..registry import ORACLES, register
+from ..sources.bucketed import bucketed_pair
 from ..sources.tables import table
 
 
@@ -105,16 +106,65 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join key, so the grain aggregate reuses the join partitioning —
     no extra exchange (pinned by the plan staying at one exchange per
     fact side + the final sort's)."""
-    c = table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    ).select("c_custkey")
-    o = table(spark, sf_dir, "orders").filter(
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return _q3_from_tables(li, o, c)
+
+
+_Q3_ORACLE = ORACLES["tpch_q3_shipping_priority"]
+
+
+@register("tpch_q3_bucketed", _Q3_ORACLE)
+def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 over bucketed-at-rest fact tables (same oracle as
+    tpch_q3_shipping_priority): lineitem and orders live as catalog
+    bucketed tables on their orderkeys (sources/bucketed.py), so the
+    fact-fact join — the whole residual cost of the plain arm's x100
+    profile (join 4.5 s of 4.4 s wall beyond the two 0.6 s scans) —
+    runs Exchange-free straight off the bucketed scans.  Second
+    demonstrator of the flagship's storage posture: any orderkey-keyed
+    TPC-H query gets the same deletion from the same two tables at
+    rest.  One-time bucketed write memoized per process; a real
+    warehouse pays it at ingest."""
+    li_b, o_b = bucketed_pair(
+        spark,
+        sf_dir,
+        [
+            (
+                "lineitem",
+                "l_orderkey",
+                [
+                    "l_orderkey",
+                    "l_extendedprice",
+                    "l_discount",
+                    "l_shipdate",
+                ],
+            ),
+            (
+                "orders",
+                "o_orderkey",
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+            ),
+        ],
+    )
+    c = table(spark, sf_dir, "customer")
+    return _q3_from_tables(li_b, o_b, c)
+
+
+def _q3_from_tables(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    c = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    o = orders.filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
     )
     oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
-    li = table(spark, sf_dir, "lineitem").filter(
+    li = lineitem.filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
     revenue = sum_disc_price_exact("l_extendedprice", "l_discount")

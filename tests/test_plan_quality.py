@@ -398,6 +398,49 @@ def test_flagship_bucketed_arm_join_is_exchange_free(spark):
     )
 
 
+def test_q3_bucketed_arm_join_is_exchange_free(spark):
+    """tpch_q3_bucketed (r10): same contract as the flagship's bucketed
+    arm — the lineitem⋈orders SMJ consumes both bucketed scans with zero
+    Exchange below it, and the BUILDING-customer broadcast join on the
+    orders side PRESERVES the bucketed distribution (BroadcastHashJoin
+    keeps the streamed side's partitioning), so pre-reducing orders
+    through the dim filter costs no re-shuffle.
+
+    Uses the UNDECORATED original: the registered wrapper re-hardens the
+    session, restoring the 64 MB broadcast threshold this test disables
+    (at smoke scale everything would then broadcast by size and the
+    bucketed SMJ shape would never appear)."""
+    from ida_dataengineerproject_spark.registry import ORIGINALS
+
+    q3_bucketed = ORIGINALS["tpch_q3_bucketed"]
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = [spark.conf.get(k, None) for k in keys]
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        plan = _plan(q3_bucketed(spark, SF_SMOKE))
+    finally:
+        for k, v in zip(keys, saved):
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+    assert plan.count("Bucketed: true") == 2
+    tree = plan.split("\n\n")[0]
+    fact_join = [
+        ln for ln in tree.splitlines() if "SortMergeJoin" in ln
+    ]
+    assert fact_join, tree
+    below_join = tree.split("SortMergeJoin")[-1]
+    # the only allowed exchange below the fact join is the BUILDING
+    # customer broadcast feeding the orders side
+    for ln in below_join.splitlines():
+        if "Exchange" in ln:
+            assert "BroadcastExchange" in ln, tree
+
+
 def test_inverted_index_probe_pushes_term_filter(spark):
     """xt19: the term probe must reach the posting-file scan as a pushed
     In(token, ...) filter — with postings sorted by token, that is a

@@ -47,7 +47,8 @@ DEFAULT_QUERIES = [
     "op16_unpivot_measures", "op20_variable_recode", "op25_record_hash",
     "pipeline_prepare_documents", "sample_fraction",
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority", "tpch_q4_priority_exists",
+    "tpch_q3_shipping_priority", "tpch_q3_bucketed",
+    "tpch_q4_priority_exists",
     "tpch_q5_region_revenue", "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q9_product_profit", "tpch_q10_returned_items",
