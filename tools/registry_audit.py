@@ -79,6 +79,12 @@ ALLOWED_FAMILIES = [
 # that is neither family nor justified exits 1: the regression trap for
 # future rounds' additions.
 JUSTIFIED_PAIRS: dict[frozenset, str] = {
+    frozenset({"agg_variance_corr_exact", "tpch_q6_forecast_revenue"}): (
+        "fingerprints converged when both adopted the shared cents() "
+        "helper (r10): exact variance/correlation moments vs the q6 "
+        "discount-band revenue sum — different aggregates, different "
+        "predicates, same lineitem money columns"
+    ),
     frozenset({"cube_quantity", "grouping_sets_explicit"}): (
         "CUBE (4 grouping sets incl. grand total) vs explicit GROUPING "
         "SETS ((flag),(status)) — different output sets, distinct API "
