@@ -986,3 +986,113 @@ def merge_on_read_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_mor(spark, path)
     post = _agg(read_mor(spark, path), "compacted")
     return pre.unionByName(post)
+
+
+_CBO_ANALYZED: set[str] = set()
+
+
+def _cbo_catalog_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """lineitem/orders (bucketed, reused from the bucketed arms) plus a
+    catalog customer dim, all with ANALYZE'd column statistics — the
+    precondition for cost-based join reordering.  ANALYZE is memoized
+    per (process, table): statistics are a write-time artifact exactly
+    like the bucketing itself."""
+    import hashlib
+    import os
+
+    from ..sources.bucketed import ensure_bucketed
+
+    li_n = ensure_bucketed(
+        spark, sf_dir, "lineitem", "l_orderkey",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    o_n = ensure_bucketed(
+        spark, sf_dir, "orders", "o_orderkey",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    c_n = f"cbo_customer_{tag}"
+    if not spark.catalog.tableExists(c_n):
+        path = os.path.join(_scratch_dir("cbo", sf_dir), c_n)
+        (
+            table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment")
+            .write.mode("overwrite")
+            .option("path", path)
+            .saveAsTable(c_n)
+        )
+    for t in (li_n, o_n, c_n):
+        if t not in _CBO_ANALYZED:
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+            _CBO_ANALYZED.add(t)
+    return li_n, o_n, c_n
+
+
+def cbo_reordered_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CBO demonstrator's plan, built INSIDE a cbo-enabled scope so
+    the optimizer sees the confs (AQE/optimizer confs are read at
+    execution, not build — see session.scoped_conf); the bounded result
+    is localCheckpoint-materialized in-scope, so callers get the
+    CBO-planned result regardless of their session confs."""
+    from ..session import scoped_conf
+
+    li_n, o_n, c_n = _cbo_catalog_tables(spark, sf_dir)
+    # Deliberately MIS-ORDERED SQL: the two facts meet first, the
+    # selective dim filter joins last.  With column statistics + CBO,
+    # Catalyst's join-reorder DP rewrites this to (orders ⋈ customer)
+    # ⋈ lineitem — the same shape q3/q5/q7 had to encode BY HAND
+    # (their docstrings: "Catalyst won't reorder the fact-fact join
+    # below the dim joins without CBO stats").  tests/test_plan_quality
+    # pins the reorder on the optimized plan.
+    q = f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+               AS base_revenue
+    FROM {li_n} l
+    JOIN {o_n} o ON l.l_orderkey = o.o_orderkey
+    JOIN {c_n} c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """
+    with scoped_conf(
+        spark,
+        {
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.cbo.joinReorder.enabled": "true",
+        },
+    ):
+        return spark.sql(q).localCheckpoint()
+
+
+@register(
+    "xs17_cbo_join_reorder",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+               AS base_revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join reordering from table statistics — the engine
+    feature that makes hand-ordered star joins unnecessary at 100 TB.
+
+    The registered query is written in the WORST order (fact ⋈ fact
+    first, selective dim last).  With `ANALYZE TABLE ... FOR ALL
+    COLUMNS` statistics on catalog tables and spark.sql.cbo.* on,
+    Catalyst reorders it to dim-first — the rewrite q3/q5/q7 apply by
+    hand for file-based scans (where only size stats exist).  On a
+    production warehouse the stats are maintained at ingest and EVERY
+    mis-ordered ad-hoc query gets this for free; here the stats are a
+    memoized one-time cost like the bucketed layout they sit on.
+    Oracle: the same SQL over the raw tables (DuckDB reorders from its
+    own stats — both engines answer from the selective side first)."""
+    return cbo_reordered_plan(spark, sf_dir)

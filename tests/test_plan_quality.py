@@ -441,6 +441,44 @@ def test_q3_bucketed_arm_join_is_exchange_free(spark):
             assert "BroadcastExchange" in ln, tree
 
 
+def test_cbo_reorders_selective_dim_join_first(spark):
+    """xs17 (r10): with ANALYZE'd column statistics and spark.sql.cbo.*
+    on, the deliberately fact-fact-first SQL is REORDERED by Catalyst's
+    join-reorder DP so the selective customer dim joins orders BELOW the
+    lineitem join — the shape q3/q5/q7 encode by hand for file scans.
+    Pins the optimized logical plan: the customer⋈orders join must be a
+    descendant of the lineitem join, not a sibling applied after it."""
+    from ida_dataengineerproject_spark.queries.scale_ops import (
+        _cbo_catalog_tables,
+    )
+    from ida_dataengineerproject_spark.session import scoped_conf
+
+    li_n, o_n, c_n = _cbo_catalog_tables(spark, SF_SMOKE)
+    q = f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n
+    FROM {li_n} l
+    JOIN {o_n} o ON l.l_orderkey = o.o_orderkey
+    JOIN {c_n} c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    """
+    with scoped_conf(
+        spark,
+        {
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.cbo.joinReorder.enabled": "true",
+        },
+    ):
+        opt = (
+            spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        )
+    # the orderkey (fact-fact) join must sit ABOVE the custkey (dim)
+    # join in the reordered tree (toString prints parents first)
+    i_fact = opt.index("Join Inner, (l_orderkey#")
+    i_dim = opt.index("Join Inner, (o_custkey#")
+    assert i_fact < i_dim, opt
+
+
 def test_inverted_index_probe_pushes_term_filter(spark):
     """xt19: the term probe must reach the posting-file scan as a pushed
     In(token, ...) filter — with postings sorted by token, that is a

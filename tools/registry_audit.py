@@ -79,6 +79,15 @@ ALLOWED_FAMILIES = [
 # that is neither family nor justified exits 1: the regression trap for
 # future rounds' additions.
 JUSTIFIED_PAIRS: dict[frozenset, str] = {
+    frozenset({"tpch_q3_bucketed", "xs17_cbo_join_reorder"}): (
+        "intentional: xs17 demonstrates CBO join-REORDERING on the same "
+        "3-table star q3 hand-orders — the point is the same result from "
+        "a deliberately mis-ordered SQL, via ANALYZE statistics"
+    ),
+    frozenset({"tpch_q3_shipping_priority", "xs17_cbo_join_reorder"}): (
+        "intentional: xs17's mis-ordered SQL is the CBO twin of q3's "
+        "hand-ordered plan (docstrings cross-reference)"
+    ),
     frozenset({"agg_variance_corr_exact", "tpch_q6_forecast_revenue"}): (
         "fingerprints converged when both adopted the shared cents() "
         "helper (r10): exact variance/correlation moments vs the q6 "
