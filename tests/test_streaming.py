@@ -195,3 +195,57 @@ def test_rate_anomaly_stream_matches_batch_gate(spark, stream):
         for r in minute_counts(ev).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_ops_on_rocksdb_state_store(spark, stream):
+    """The 100 TB-state posture for STANDARD stateful operators (window
+    aggregation + streaming dedup), not just transformWithState (which
+    requires RocksDB anyway): the default HDFS-backed store keeps all
+    state in executor heap; RocksDB spills to local disk with changelog
+    checkpointing.  Runs the tumbling-count and dedup queries under
+    `RocksDBStateStoreProvider` and pins batch parity — proving every
+    stateful operator in streaming/events.py is provider-agnostic and
+    the engine can flip the store per query at scale."""
+    from ida_dataengineerproject_spark.session import scoped_conf
+    from ida_dataengineerproject_spark.sources.tables import table
+    from ida_dataengineerproject_spark.streaming.events import (
+        streaming_dedup,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    with scoped_conf(
+        spark, {"spark.sql.streaming.stateStore.providerClass": rocks}
+    ):
+        # streaming queries read session confs at START, which happens
+        # inside run_to_memory -> inside the scope
+        out = run_to_memory(spark, tumbling_counts(stream), "t_rocks_tumb")
+        batch = (
+            table(spark, SF_SMOKE, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        got = {
+            (str(r.window_start), r.event_type): r.n_events
+            for r in out.collect()
+        }
+        want = {
+            (str(r.w.start), r.event_type): r.n_events
+            for r in batch.collect()
+        }
+        assert got == want
+
+        deduped = run_to_memory(
+            spark, streaming_dedup(stream), "t_rocks_dedup", mode="append"
+        )
+        n_distinct = (
+            table(spark, SF_SMOKE, "events")
+            .select("event_id", "ts")
+            .distinct()
+            .count()
+        )
+        assert deduped.count() == n_distinct
