@@ -228,11 +228,19 @@ def q_xt11(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tie-break (count DESC, token ASC) — the frequency table
     a tokenizer trainer starts from.
 
-    Scale: explode + partial-aggregated count (map-side combine), then a
-    top-k — Spark pushes the rank<=100 limit below the window as
-    TakeOrderedAndProject (per-partition top-100 + tree-ordered merge),
-    so the single-partition row_number only ever sees 100 rows (plan
-    pinned in tests/test_plan_quality.py)."""
+    Scale: explode + partial-aggregated count (map-side combine), then an
+    EXPLICIT top-k limit BEFORE the window (r11, VERDICT r10 #4): the
+    vocabulary grain grows ~Heaps-law with corpus size (10⁷-10⁸ tokens at
+    100 TB), so the unpartitioned row_number must never be able to see
+    it.  The r10 form relied on Catalyst's LimitPushDownThroughWindow to
+    move the rank<=100 filter below the window — correct, but one
+    optimizer-rule regression away from a full-vocabulary single
+    partition.  Here the limit(100) is structural: TakeOrderedAndProject
+    (per-partition top-100 heap + tree-ordered merge) bounds the window
+    input to exactly 100 rows by construction, and the window re-ranks
+    those 100 in the SAME total order (count DESC, token ASC), so
+    results are identical.  Plan pinned in tests/test_plan_quality.py:
+    the Window must sit ABOVE TakeOrderedAndProject."""
     docs = table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(tokens("text")).alias("token"))
@@ -241,12 +249,9 @@ def q_xt11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(100)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 100)  # rank filter BEFORE cast → WindowGroupLimit
-        .withColumn("rank", F.col("rank").cast("int"))
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 @register(

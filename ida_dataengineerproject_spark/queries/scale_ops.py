@@ -988,15 +988,25 @@ def merge_on_read_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.unionByName(post)
 
 
-_CBO_ANALYZED: set[str] = set()
+def _has_table_stats(spark: SparkSession, t: str) -> bool:
+    """True iff the catalog holds ANALYZE statistics for ``t``.  The
+    catalog itself is the memo (ADVICE r10): a process-level set keyed
+    by table name survives a SparkSession rebuild while the in-memory
+    catalog does not, so the set said "analyzed" for a table whose
+    stats were gone and the CBO reorder silently didn't happen."""
+    return any(
+        r.col_name == "Statistics"
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()
+    )
 
 
 def _cbo_catalog_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     """lineitem/orders (bucketed, reused from the bucketed arms) plus a
     catalog customer dim, all with ANALYZE'd column statistics — the
-    precondition for cost-based join reordering.  ANALYZE is memoized
-    per (process, table): statistics are a write-time artifact exactly
-    like the bucketing itself."""
+    precondition for cost-based join reordering.  ANALYZE runs only when
+    the catalog lacks statistics for the table (_has_table_stats):
+    statistics are a write-time artifact exactly like the bucketing
+    itself, and the catalog is the source of truth for their presence."""
     import hashlib
     import os
 
@@ -1022,9 +1032,8 @@ def _cbo_catalog_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str, str
             .saveAsTable(c_n)
         )
     for t in (li_n, o_n, c_n):
-        if t not in _CBO_ANALYZED:
+        if not _has_table_stats(spark, t):
             spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
-            _CBO_ANALYZED.add(t)
     return li_n, o_n, c_n
 
 

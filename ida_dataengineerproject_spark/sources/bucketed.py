@@ -22,14 +22,32 @@ default to the core count.  Both join sides MUST use the same count.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .tables import table
+
+
+def _bucket_root() -> str:
+    """Per-PID scratch dir for bucketed-table copies, removed at process
+    exit (ADVICE r10: repeated bench/parity processes were accumulating
+    full projected fact copies in /tmp — gigabytes each at x100)."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bucketed_p{os.getpid()}"
+    )
+    if base not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
+_CLEANUP_REGISTERED: set[str] = set()
 
 
 def default_buckets() -> int:
@@ -57,14 +75,16 @@ def ensure_bucketed(
     file per bucket, no small-file fan-out.
     """
     n = n_buckets or default_buckets()
+    # tag includes the bucket KEY (ADVICE r10): without it, a later call
+    # bucketing the same (table, cols) on a DIFFERENT key would silently
+    # reuse a table bucketed on the wrong key — the catalog's real bucket
+    # spec wins and the expected exchange-free plan quietly disappears.
     tag = hashlib.md5(
-        f"{sf_dir}|{','.join(cols)}|{n}".encode()
+        f"{sf_dir}|{key}|{','.join(cols)}|{n}".encode()
     ).hexdigest()[:8]
     name = f"bkt{n}_{tbl}_{tag}"
     if not spark.catalog.tableExists(name):
-        base = os.path.join(
-            tempfile.gettempdir(), f"spark_graft_bucketed_p{os.getpid()}"
-        )
+        base = _bucket_root()
         (
             table(spark, sf_dir, tbl)
             .select(*cols)

@@ -160,13 +160,20 @@ def test_chunking_is_shuffle_free_before_sort(spark):
 
 
 def test_vocab_topk_limit_pushed_below_window(spark):
-    """xt11: the rank<=100 filter must become TakeOrderedAndProject below
-    the Window (LimitPushDownThroughWindow), so the single-partition
-    row_number sees 100 rows, not the whole vocabulary."""
+    """xt11 (VERDICT r10 #4): the unpartitioned row_number must never see
+    the unbounded vocabulary grain (Heaps-law growth — 10⁷-10⁸ rows at
+    100 TB).  The bound is now STRUCTURAL — an explicit limit(100)
+    before the window — so this pins both that TakeOrderedAndProject
+    exists and that the Window sits ABOVE it (window input = 100 rows by
+    construction, not by optimizer-rule grace)."""
     import __spark_entry__ as e
 
     plan = _plan(e.queries()["xt11_vocab_topk"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+    # physical plans print top-down: the unpartitioned Window must appear
+    # BEFORE (above) the top-k that bounds its input
+    assert "Window" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
 
 
 def test_contamination_index_is_broadcast(spark):
