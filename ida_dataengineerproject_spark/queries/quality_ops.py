@@ -677,3 +677,207 @@ def group_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first("mad"), 4).alias("mad_price"),
         )
     )
+
+
+_XQ41_ORACLE = r"""
+    WITH mvals(ano_mes, mul, frac) AS (
+        VALUES (DATE '2017-01-01', 1, 0.5),
+               (DATE '2017-02-01', 2, 0.0),
+               (DATE '2017-03-01', 3, 0.25)),
+    svc(servico, off) AS (VALUES ('SMP', 0), ('STFC', 40)),
+    tempo AS (
+        SELECT ano_mes, year(ano_mes) AS ano, month(ano_mes) AS mes,
+               quarter(ano_mes) AS trimestre,
+               CAST((month(ano_mes) - 1) / 6 AS INTEGER) + 1 AS semestre,
+               CASE month(ano_mes) WHEN 1 THEN 'Janeiro' WHEN 2 THEN 'Fevereiro'
+                    WHEN 3 THEN 'Março' END AS mes_nome
+        FROM mvals),
+    grupo AS (
+        SELECT regexp_replace(trim(n_name), '\s+', ' ', 'g') AS grupo_codigo
+        FROM nation WHERE n_nationkey % 3 = 0),
+    facts AS (
+        SELECT m.ano_mes,
+               regexp_replace(trim(g.n_name), '\s+', ' ', 'g') AS grupo,
+               s.servico, 'TAXA_RESP_5DIAS' AS variavel,
+               CAST((n.n_nationkey + s.off) * m.mul + m.frac AS DOUBLE) AS valor,
+               s.servico || '_2017.ods' AS arquivo_origem
+        FROM nation n
+        JOIN nation g ON g.n_nationkey = n.n_nationkey - (n.n_nationkey % 3),
+             mvals m, svc s
+        WHERE NOT (m.ano_mes = DATE '2017-02-01' AND n.n_nationkey % 5 = 0)),
+    t AS (SELECT COUNT(*) AS n,
+                 COUNT(*) - COUNT(ano_mes) AS am_null,
+                 COUNT(*) - COUNT(DISTINCT ano_mes) AS am_dup,
+                 COUNT(*) - COUNT(ano) AS ano_null,
+                 COUNT(*) - COUNT(mes) AS mes_null,
+                 CAST(SUM(CASE WHEN mes NOT BETWEEN 1 AND 12 THEN 1 ELSE 0 END) AS BIGINT) AS mes_rng,
+                 COUNT(*) - COUNT(mes_nome) AS mn_null,
+                 COUNT(*) - COUNT(trimestre) AS tri_null,
+                 CAST(SUM(CASE WHEN trimestre NOT BETWEEN 1 AND 4 THEN 1 ELSE 0 END) AS BIGINT) AS tri_rng,
+                 COUNT(*) - COUNT(semestre) AS sem_null,
+                 CAST(SUM(CASE WHEN semestre NOT BETWEEN 1 AND 2 THEN 1 ELSE 0 END) AS BIGINT) AS sem_rng
+          FROM tempo),
+    g2 AS (SELECT COUNT(*) - COUNT(grupo_codigo) AS gc_null,
+                  COUNT(*) - COUNT(DISTINCT grupo_codigo) AS gc_dup
+           FROM grupo),
+    f AS (SELECT COUNT(*) - COUNT(ano_mes) AS tk_null,
+                 COUNT(*) - COUNT(grupo) AS gk_null,
+                 COUNT(*) - COUNT(servico) AS sk_null,
+                 COUNT(*) - COUNT(variavel) AS vk_null,
+                 COUNT(*) - COUNT(valor) AS val_null,
+                 COUNT(*) - COUNT(arquivo_origem) AS arq_null,
+                 COUNT(*) - COUNT(DISTINCT CAST(ano_mes AS VARCHAR) || '|' || grupo || '|' || servico || '|' || variavel) AS uk_dims,
+                 COUNT(*) - COUNT(DISTINCT CAST(ano_mes AS VARCHAR) || '|' || grupo || '|' || servico || '|' || variavel || '|' || CAST(valor AS VARCHAR)) AS uk_hash
+          FROM facts)
+    SELECT * FROM (
+        SELECT 'dim_grupo.ativo_not_null' AS constraint_name, CAST(0 AS BIGINT) AS violations
+        UNION ALL SELECT 'dim_grupo.grupo_codigo_not_null', gc_null FROM g2
+        UNION ALL SELECT 'dim_grupo.grupo_codigo_unique', gc_dup FROM g2
+        UNION ALL SELECT 'dim_grupo.grupo_nome_not_null', gc_null FROM g2
+        UNION ALL SELECT 'dim_grupo.grupo_normalizado_not_null', gc_null FROM g2
+        UNION ALL SELECT 'dim_servico.ativo_not_null', 0
+        UNION ALL SELECT 'dim_servico.servico_codigo_not_null', 0
+        UNION ALL SELECT 'dim_servico.servico_codigo_unique', 0
+        UNION ALL SELECT 'dim_servico.servico_nome_not_null', 0
+        UNION ALL SELECT 'dim_tempo.ano_mes_not_null', am_null FROM t
+        UNION ALL SELECT 'dim_tempo.ano_mes_unique', am_dup FROM t
+        UNION ALL SELECT 'dim_tempo.ano_not_null', ano_null FROM t
+        UNION ALL SELECT 'dim_tempo.mes_between_1_12', mes_rng FROM t
+        UNION ALL SELECT 'dim_tempo.mes_nome_not_null', mn_null FROM t
+        UNION ALL SELECT 'dim_tempo.mes_not_null', mes_null FROM t
+        UNION ALL SELECT 'dim_tempo.semestre_between_1_2', sem_rng FROM t
+        UNION ALL SELECT 'dim_tempo.semestre_not_null', sem_null FROM t
+        UNION ALL SELECT 'dim_tempo.trimestre_between_1_4', tri_rng FROM t
+        UNION ALL SELECT 'dim_tempo.trimestre_not_null', tri_null FROM t
+        UNION ALL SELECT 'dim_variavel.ativo_not_null', 0
+        UNION ALL SELECT 'dim_variavel.is_principal_not_null', 0
+        UNION ALL SELECT 'dim_variavel.variavel_codigo_not_null', 0
+        UNION ALL SELECT 'dim_variavel.variavel_codigo_unique', 0
+        UNION ALL SELECT 'dim_variavel.variavel_nome_not_null', 0
+        UNION ALL SELECT 'fact_ida.arquivo_origem_not_null', arq_null FROM f
+        UNION ALL SELECT 'fact_ida.grupo_key_not_null', gk_null FROM f
+        UNION ALL SELECT 'fact_ida.hash_registro_not_null', 0
+        UNION ALL SELECT 'fact_ida.servico_key_not_null', sk_null FROM f
+        UNION ALL SELECT 'fact_ida.tempo_key_not_null', tk_null FROM f
+        UNION ALL SELECT 'fact_ida.uk_fact_ida_hash', uk_hash FROM f
+        UNION ALL SELECT 'fact_ida.uk_fact_ida_unique', uk_dims FROM f
+        UNION ALL SELECT 'fact_ida.valor_not_null', val_null FROM f
+        UNION ALL SELECT 'fact_ida.variavel_key_not_null', vk_null FROM f
+    ) v ORDER BY constraint_name
+"""
+
+
+@register("xq41_star_ddl_audit", _XQ41_ORACLE)
+def star_ddl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit the BUILT star schema against every declarative constraint in
+    the reference DDL (schema_star.sql:18-95): the NOT NULLs, the
+    month/quarter/semester range CHECKs (:23,:25,:26), the natural-key
+    UNIQUE indexes on all four dims (:31,:44,:57,:74), and the fact's
+    two UNIQUE constraints (uk_fact_ida_unique / uk_fact_ida_hash, :93-94).
+    The reference delegates these to PostgreSQL's constraint machinery at
+    INSERT time; a lake engine has no enforcing store, so the audit IS the
+    enforcement — run post-ingest, gate the publish on all-zeros (the
+    write-audit-publish pattern of xs11, composing xq1's single-pass
+    conditional-count fold).  FK edges are anti-join territory and live in
+    xt4_fk_integrity_audit.
+
+    Input: the same deterministic two-resource ingest as
+    pipeline_ingest_ida (nation rows play sheet rows), so the DuckDB
+    oracle can rebuild the dims/fact exactly and recompute every count —
+    including the two real uniqueness violations counts on the fact
+    (the synthetic sheet's grain makes uk_fact_ida_unique genuinely
+    nonzero: multiple sheet rows share one ffilled group).
+
+    Scale: one conditional-count aggregate pass per table (xq1's fold);
+    the three fact COUNT(DISTINCT)s share one aggregate via Expand (3×
+    the fact rows through the first stage — the audit's entire cost and
+    the reason a tolerance-accepting variant would swap them for
+    approx_count_distinct)."""
+    from ..plans.etl import ingest
+    from .ingest_e2e import _SVC_OFFSET, _wide_sheet
+
+    nation = table(spark, sf_dir, "nation")
+    wide = _wide_sheet(nation, "SMP", _SVC_OFFSET["SMP"]).unionByName(
+        _wide_sheet(nation, "STFC", _SVC_OFFSET["STFC"])
+    )
+    star = ingest(spark, wide)
+
+    def nulls(c: str) -> F.Column:
+        return F.count("*") - F.count(c)
+
+    def dups(*cols: str) -> F.Column:
+        return F.count("*") - F.countDistinct(*cols)
+
+    def rng(c: str, lo: int, hi: int) -> F.Column:
+        return F.sum(
+            F.when(~F.col(c).between(lo, hi), 1).otherwise(0)
+        )
+
+    def fold(df: DataFrame, checks: list[tuple[str, F.Column]]) -> DataFrame:
+        row = df.agg(
+            *[c.cast("long").alias(f"_c{i}") for i, (_, c) in enumerate(checks)]
+        )
+        return row.select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("constraint_name"),
+                            F.col(f"_c{i}").alias("violations"),
+                        )
+                        for i, (n, _) in enumerate(checks)
+                    ]
+                )
+            )
+        )
+
+    audits = [
+        fold(star["dim_tempo"], [
+            ("dim_tempo.ano_mes_not_null", nulls("ano_mes")),
+            ("dim_tempo.ano_mes_unique", dups("ano_mes")),
+            ("dim_tempo.ano_not_null", nulls("ano")),
+            ("dim_tempo.mes_not_null", nulls("mes")),
+            ("dim_tempo.mes_between_1_12", rng("mes", 1, 12)),
+            ("dim_tempo.mes_nome_not_null", nulls("mes_nome")),
+            ("dim_tempo.trimestre_not_null", nulls("trimestre")),
+            ("dim_tempo.trimestre_between_1_4", rng("trimestre", 1, 4)),
+            ("dim_tempo.semestre_not_null", nulls("semestre")),
+            ("dim_tempo.semestre_between_1_2", rng("semestre", 1, 2)),
+        ]),
+        fold(star["dim_grupo_economico"], [
+            ("dim_grupo.grupo_codigo_not_null", nulls("grupo_codigo")),
+            ("dim_grupo.grupo_codigo_unique", dups("grupo_codigo")),
+            ("dim_grupo.grupo_nome_not_null", nulls("grupo_nome")),
+            ("dim_grupo.grupo_normalizado_not_null", nulls("grupo_normalizado")),
+            ("dim_grupo.ativo_not_null", nulls("ativo")),
+        ]),
+        fold(star["dim_servico"], [
+            ("dim_servico.servico_codigo_not_null", nulls("servico_codigo")),
+            ("dim_servico.servico_codigo_unique", dups("servico_codigo")),
+            ("dim_servico.servico_nome_not_null", nulls("servico_nome")),
+            ("dim_servico.ativo_not_null", nulls("ativo")),
+        ]),
+        fold(star["dim_variavel"], [
+            ("dim_variavel.variavel_codigo_not_null", nulls("variavel_codigo")),
+            ("dim_variavel.variavel_codigo_unique", dups("variavel_codigo")),
+            ("dim_variavel.variavel_nome_not_null", nulls("variavel_nome")),
+            ("dim_variavel.is_principal_not_null", nulls("is_principal")),
+            ("dim_variavel.ativo_not_null", nulls("ativo")),
+        ]),
+        fold(star["fact_ida"], [
+            ("fact_ida.tempo_key_not_null", nulls("tempo_key")),
+            ("fact_ida.grupo_key_not_null", nulls("grupo_key")),
+            ("fact_ida.servico_key_not_null", nulls("servico_key")),
+            ("fact_ida.variavel_key_not_null", nulls("variavel_key")),
+            ("fact_ida.valor_not_null", nulls("valor")),
+            ("fact_ida.arquivo_origem_not_null", nulls("arquivo_origem")),
+            ("fact_ida.hash_registro_not_null", nulls("hash_registro")),
+            ("fact_ida.uk_fact_ida_unique",
+             dups("tempo_key", "grupo_key", "servico_key", "variavel_key")),
+            ("fact_ida.uk_fact_ida_hash", dups("hash_registro")),
+        ]),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("constraint_name")

@@ -21,7 +21,18 @@ Timing discipline (mirrors bench.py / BASELINE.md):
   oracle did not.
 
 Usage: python tools/bench_scale.py [--factor=10] [--cap=300] [names...]
+       [--assert-ratios=PREV.json]
 Prints one JSON line (full detail in artifacts/bench_scale_full.json).
+
+--assert-ratios=PREV.json (r11, VERDICT r10 #6) turns the run into a
+CI-shaped regression gate: after timing, every query that was <= 2x vs
+DuckDB in PREV (a prior run of this tool at the same factor, e.g.
+BENCH_SCALE100_r10.json) must still be within 2x * 1.2 now — the 20%
+margin absorbs host jitter on top of the best-of-2 discipline both
+engines already get.  Any regression past the margin lists the rows and
+exits nonzero; the emitted JSON carries the verdict either way
+("ratio_guard" key), so the same command both produces the round's
+BENCH_SCALE100 artifact and asserts no at-scale row quietly rotted.
 """
 
 from __future__ import annotations
@@ -140,9 +151,44 @@ def run_duck(oracles: dict, name: str, sf_dir: str, cap: float):
     return round(best, 3), None
 
 
+def check_ratio_guard(prev_path: str, factor: int, rows: dict) -> dict:
+    """Compare this run's ratios against a prior run's: every previously
+    <= 2x row must stay <= 2.4x (2x contract + 20% jitter margin).
+    Returns the guard verdict dict ("ok" / "regressions" / skip note)."""
+    with open(prev_path) as fh:
+        prev = json.load(fh)
+    if prev.get("factor") != factor:
+        return {
+            "skipped": f"factor mismatch: prev={prev.get('factor')}, "
+            f"this run={factor}"
+        }
+    margin = 2.0 * 1.2
+    regressions = {}
+    for name, pr in prev.get("queries", {}).items():
+        if pr.get("ratio") is None or pr["ratio"] > 2.0:
+            continue  # only guard rows that were inside the contract
+        cur = rows.get(name, {})
+        if cur.get("ratio") is None:
+            continue  # not timed this run (err or capped oracle) — visible elsewhere
+        if cur["ratio"] > margin:
+            regressions[name] = {"was": pr["ratio"], "now": cur["ratio"]}
+    return {
+        "prev": os.path.basename(prev_path),
+        "margin": margin,
+        "n_guarded": sum(
+            1
+            for pr in prev.get("queries", {}).values()
+            if pr.get("ratio") is not None and pr["ratio"] <= 2.0
+        ),
+        "ok": not regressions,
+        **({"regressions": regressions} if regressions else {}),
+    }
+
+
 def main() -> None:
     names = [a for a in sys.argv[1:] if not a.startswith("--")]
     factor, cap, out_root = 10, 300.0, "/tmp/scale_probe"
+    assert_prev = None
     for a in sys.argv[1:]:
         if a.startswith("--factor"):
             factor = int(a.split("=", 1)[1])
@@ -150,6 +196,8 @@ def main() -> None:
             cap = float(a.split("=", 1)[1])
         if a.startswith("--out"):
             out_root = a.split("=", 1)[1]
+        if a.startswith("--assert-ratios"):
+            assert_prev = a.split("=", 1)[1]
 
     import __spark_entry__ as e
     from scale_probe import materialize
@@ -225,11 +273,20 @@ def main() -> None:
         ),
         "queries": rows,
     }
+    if assert_prev:
+        result["ratio_guard"] = check_ratio_guard(assert_prev, factor, rows)
     full = os.path.join(REPO, "artifacts", "bench_scale_full.json")
     os.makedirs(os.path.dirname(full), exist_ok=True)
     with open(full, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
+    guard = result.get("ratio_guard", {})
+    if guard.get("regressions"):
+        print(
+            f"# RATIO GUARD FAILED: {guard['regressions']}",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":
