@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.aggs import cents
-from ..sources.bucketed import bucketed_pair
+from ..sources.bucketed import bucketed_fact
 from ..sources.tables import table
 
 # l_returnflag plays the reference's 10 hard-coded operator groups
@@ -73,19 +73,15 @@ def taxa_variacao_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle remains (#months × #groups rows).
 
     tests/test_plan_quality.py pins the plan shape: zero Exchange below
-    the join, both scans `Bucketed: true`."""
-    li_b, o_b = bucketed_pair(
-        spark,
-        sf_dir,
-        [
-            (
-                "lineitem",
-                "l_orderkey",
-                ["l_orderkey", "l_returnflag", "l_linestatus", "l_extendedprice"],
-            ),
-            ("orders", "o_orderkey", ["o_orderkey", "o_orderdate"]),
-        ],
-    )
+    the join, both scans `Bucketed: true`.
+
+    r11: reads the CANONICAL full-width bucketed facts
+    (sources/bucketed.bucketed_fact) shared by every orderkey-keyed arm
+    — parquet column pruning keeps the scan bytes identical to the r10
+    per-query projected copies, with one copy and one write instead of
+    N."""
+    li_b = bucketed_fact(spark, sf_dir, "lineitem")
+    o_b = bucketed_fact(spark, sf_dir, "orders")
     return _taxa_from_tables(li_b, o_b)
 
 

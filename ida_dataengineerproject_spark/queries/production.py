@@ -40,7 +40,7 @@ def production_overrides() -> dict[str, QueryFn]:
     from .events_ops import approx_distinct_users
     from .extras import approx_percentiles
     from .tpch import q3_bucketed
-    from .tpch_full import q21b
+    from .tpch_full import q10_bucketed, q21_bucketed
     from .vector_ops import (
         cosine_topk_ivf_query,
         cosine_topk_lsh_query,
@@ -61,7 +61,12 @@ def production_overrides() -> dict[str, QueryFn]:
         # rest; the memoized one-time bucketed write is its ingest cost.
         "flagship_taxa_variacao": taxa_variacao_bucketed,
         "tpch_q3_shipping_priority": q3_bucketed,
-        "tpch_q21_suppliers_kept_waiting": q21b,
+        "tpch_q10_returned_items": q10_bucketed,
+        # q21's production path composes BOTH prior overrides: the r9
+        # aggregate rewrite (q21b — kills the pair-grain shuffle) and the
+        # r11 bucketed layout (kills the order-grain aggregate exchange).
+        "tpch_q21_suppliers_kept_waiting": q21_bucketed,
+        "tpch_q21b_aggregate_rewrite": q21_bucketed,
         "x03h_cosine_topk_pq": cosine_topk_pq_query,
         "xt14_ngram_vocab_estimate": ngram_vocab_estimate,
         "x09_approx_count_distinct": approx_distinct_users,

@@ -20,7 +20,7 @@ from ..functions.aggs import (
     sum_exact_2dp,
 )
 from ..registry import ORACLES, register
-from ..sources.bucketed import bucketed_pair
+from ..sources.bucketed import bucketed_fact
 from ..sources.tables import table
 
 
@@ -127,27 +127,8 @@ def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     TPC-H query gets the same deletion from the same two tables at
     rest.  One-time bucketed write memoized per process; a real
     warehouse pays it at ingest."""
-    li_b, o_b = bucketed_pair(
-        spark,
-        sf_dir,
-        [
-            (
-                "lineitem",
-                "l_orderkey",
-                [
-                    "l_orderkey",
-                    "l_extendedprice",
-                    "l_discount",
-                    "l_shipdate",
-                ],
-            ),
-            (
-                "orders",
-                "o_orderkey",
-                ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
-            ),
-        ],
-    )
+    li_b = bucketed_fact(spark, sf_dir, "lineitem")
+    o_b = bucketed_fact(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     return _q3_from_tables(li_b, o_b, c)
 

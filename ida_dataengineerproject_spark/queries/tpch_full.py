@@ -40,7 +40,8 @@ from ..functions.aggs import (
     sum_exact,
     sum_exact_2dp,
 )
-from ..registry import register
+from ..registry import ORACLES, register
+from ..sources.bucketed import bucketed_fact
 from ..sources.tables import table
 
 
@@ -304,13 +305,25 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     and hashed 4-column string group keys per survivor row; measured
     3.1 → ~2 s at x100).  At 100 TB the same shape holds: nothing wider
     than 20 rows is ever broadcast for the attribute joins."""
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").filter(
+    return _q10_from_tables(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+    )
+
+
+def _q10_from_tables(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    o = orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
     ).select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = table(spark, sf_dir, "nation")
+    li = lineitem.filter(F.col("l_returnflag") == "R")
     revenue = sum_disc_price_exact("l_extendedprice", "l_discount")
     top = (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -320,10 +333,30 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return (
-        c.join(F.broadcast(top), "c_custkey")
-        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        customer.join(F.broadcast(top), "c_custkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    )
+
+
+@register("tpch_q10_bucketed", ORACLES["tpch_q10_returned_items"])
+def q10_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 over the canonical bucketed-at-rest facts (same oracle as
+    tpch_q10_returned_items): the r10 restructure already bounded the
+    attribute joins to 20 broadcast rows, leaving the lineitem⋈orders
+    fact join as the whole residual x100 cost (2.5× vs DuckDB).  That
+    join is orderkey-keyed — exactly the key the facts are bucketed on
+    at rest (sources/bucketed.bucketed_fact) — so both sides come off
+    the scans pre-partitioned and the join runs Exchange-free; the only
+    shuffle left is the ~|custkey|-grain revenue aggregate.  Third
+    member of the bucketed family (flagship, q3); production path via
+    queries/production.py."""
+    return _q10_from_tables(
+        bucketed_fact(spark, sf_dir, "lineitem"),
+        bucketed_fact(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
     )
 
 
@@ -712,10 +745,24 @@ def q21b(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL suppkeys, matching the join semantics of the probe form.  The
     probe-form query stays registered as the semi/anti plan-shape
     coverage."""
-    s = table(spark, sf_dir, "supplier")
-    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    li = table(spark, sf_dir, "lineitem")
+    return _q21_agg_from_tables(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+    )
+
+
+def _q21_agg_from_tables(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    s = supplier
+    n = nation.filter(F.col("n_name") == "NATION_5")
+    o = orders.filter(F.col("o_orderstatus") == "F")
+    li = lineitem
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     late_key = F.when(late, F.col("l_suppkey"))
     qual = (
@@ -740,4 +787,25 @@ def q21b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.sum("late_cnt").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
+    )
+
+
+@register("tpch_q21_bucketed", ORACLES["tpch_q21_suppliers_kept_waiting"])
+def q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 (aggregate rewrite) over the canonical bucketed-at-rest facts
+    (same oracle as tpch_q21_suppliers_kept_waiting): q21b's one
+    remaining big exchange is the ORDER-grain partial-aggregate shuffle
+    (groupBy l_orderkey over the joined facts — ~|orders| aggregate
+    states cross the wire).  Both the lineitem⋈orders join AND that
+    groupBy key the facts' at-rest bucket key, so off the bucketed
+    scans the join needs no Exchange and the aggregate runs
+    partition-local — the only shuffle left carries the tiny
+    multi-supplier-late survivor set into the broadcast supplier/nation
+    joins.  Fourth member of the bucketed family; production path via
+    queries/production.py."""
+    return _q21_agg_from_tables(
+        bucketed_fact(spark, sf_dir, "lineitem"),
+        bucketed_fact(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
     )

@@ -112,3 +112,31 @@ def bucketed_pair(
         spark.table(ensure_bucketed(spark, sf_dir, t, k, c, n))
         for t, k, c in specs
     ]
+
+
+# The fact tables' at-rest bucket keys — the join/aggregate key every
+# orderkey-grain query shares (flagship, q3, q10, q18, q21, ...).
+FACT_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+
+
+def bucketed_fact(
+    spark: SparkSession,
+    sf_dir: str,
+    tbl: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """The CANONICAL bucketed copy of a fact table: FULL width, bucketed
+    and sorted on its orderkey (r11).  One copy serves every
+    orderkey-keyed query — parquet column pruning makes a projected scan
+    of the full-width table read the same bytes a per-query projected
+    copy would, so there is no reason to keep N projections (the r10
+    arms each wrote their own column subset; N copies of lineitem in
+    /tmp and N one-time write costs).  This is also the honest warehouse
+    posture: the table at rest is written once at ingest, wide, and
+    every nightly query — including ones not written yet — gets the
+    Exchange-free join/aggregate for free."""
+    key = FACT_KEYS[tbl]
+    cols = table(spark, sf_dir, tbl).columns
+    return spark.table(
+        ensure_bucketed(spark, sf_dir, tbl, key, cols, n_buckets)
+    )

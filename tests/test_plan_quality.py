@@ -662,3 +662,64 @@ def test_fuzzy_match_no_cross_join(spark):
     plan = _plan(e.queries()["x19_fuzzy_entity_match"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _plan_no_broadcast(spark, fn, sf_dir):
+    """Build fn's executed plan with auto-broadcast disabled so the pin
+    captures the at-scale SMJ shape, not the small-input broadcast
+    shortcut.  Must receive an UNDECORATED query fn (registry.ORIGINALS)
+    — registered wrappers re-harden the session and would re-pin the
+    thresholds this helper clears (the r10 debugging trap)."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = [spark.conf.get(k, None) for k in keys]
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        return _plan(fn(spark, sf_dir))
+    finally:
+        for k, v in zip(keys, saved):
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_q10_bucketed_fact_join_is_exchange_free(spark):
+    """tpch_q10_bucketed (r11): the lineitem⋈orders join — the whole
+    residual x100 cost after the r10 top-20 restructure — consumes the
+    two canonical bucketed scans with zero Exchange below it.  The only
+    hash exchange left is the o_custkey revenue aggregate (a different
+    key than the bucket key, so it must shuffle — once)."""
+    from ida_dataengineerproject_spark.registry import ORIGINALS
+
+    plan = _plan_no_broadcast(
+        spark, ORIGINALS["tpch_q10_bucketed"], SF_SMOKE
+    )
+    assert plan.count("Bucketed: true") == 2
+    assert "SortMergeJoin" in plan
+    # the fact join must never shuffle on its key — the bucketed scans
+    # already satisfy the distribution
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+    # the one legitimate hash exchange: the o_custkey revenue aggregate
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_q21_bucketed_order_grain_agg_is_exchange_free(spark):
+    """tpch_q21_bucketed (r11): BOTH the lineitem⋈orders join and the
+    order-grain groupBy(l_orderkey) key the facts' at-rest bucket key,
+    so partial and final aggregate run back-to-back with NO Exchange
+    between them and none below — the only shuffles left carry the tiny
+    multi-supplier-late survivor set (s_name grain + final sort)."""
+    from ida_dataengineerproject_spark.registry import ORIGINALS
+
+    plan = _plan_no_broadcast(
+        spark, ORIGINALS["tpch_q21_bucketed"], SF_SMOKE
+    )
+    assert plan.count("Bucketed: true") == 2
+    # neither the join nor the order-grain aggregate may shuffle on the
+    # bucket key — the scans already satisfy both distributions
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+    # the only hash exchange left carries the tiny survivor set
+    assert "hashpartitioning(s_name" in plan
