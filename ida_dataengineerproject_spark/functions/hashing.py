@@ -63,7 +63,6 @@ def cw_bucket_sql(key: str, seed: int, m: int) -> str:
 def bloom_positions(df, key_col: str, n_hashes: int, m: int, part_cols=()):
     """Distinct Bloom bit-position table for `df[key_col]` under the CW
     family: one row per ({part_cols...}, pos).  The shared kernel behind
-    the x14 membership prefilter (no part_cols — one global filter) and
     the per-partition bloom index in sources/file_pruning.py."""
     out = None
     for j in range(1, n_hashes + 1):
@@ -74,7 +73,54 @@ def bloom_positions(df, key_col: str, n_hashes: int, m: int, part_cols=()):
     return out.distinct()
 
 
-def bloom_bitmap(df, key_col: str, n_hashes: int, m: int):
+def km_pos(key: Column, j: int, m: int) -> Column:
+    """j-th Bloom position by Kirsch-Mitzenmacher double hashing:
+    ``pos_j = (h1 + j*h2) mod m`` with h1/h2 TWO Carter-Wegman evals
+    (CW_PARAMS[0]/[1]); h2 is forced odd so every stride is coprime with
+    the power-of-two m and the k probe positions stay distinct mod m.
+
+    Why (r11, measured at the x100 replica on x14's 60 M-row probe
+    projection): k independent CW evals cost k normalizations + k
+    multiply-mod chains PER ROW; KM computes two and derives the rest
+    with one multiply-add-mod — 2.17 s → 1.72 s for the k=3 probe+agg
+    pass, identical no-false-negative contract and indistinguishable FP
+    rate (Kirsch & Mitzenmacher 2006: a KM-derived family has the same
+    asymptotic FP behavior as k independent hashes).  The whole family
+    stays overflow-free signed-64 integer arithmetic, so the DuckDB twin
+    (km_pos_sql) is bit-identical."""
+    a1, b1 = CW_PARAMS[0]
+    a2, b2 = CW_PARAMS[1]
+    k = (key.cast("long") % CW_PRIME + CW_PRIME) % CW_PRIME
+    h1 = (k * a1 + b1) % CW_PRIME
+    h2 = ((k * a2 + b2) % CW_PRIME).bitwiseOR(F.lit(1))
+    return (h1 + j * h2) % m
+
+
+def km_pos_sql(key: str, j: int, m: int) -> str:
+    """DuckDB twin of km_pos — identical arithmetic, identical bits.
+    DuckDB's % is sign-preserving exactly like Spark's, and | is int64
+    bitwise OR on both engines."""
+    a1, b1 = CW_PARAMS[0]
+    a2, b2 = CW_PARAMS[1]
+    k = f"((CAST({key} AS BIGINT) % {CW_PRIME} + {CW_PRIME}) % {CW_PRIME})"
+    h1 = f"(({k} * {a1} + {b1}) % {CW_PRIME})"
+    h2 = f"((({k} * {a2} + {b2}) % {CW_PRIME}) | 1)"
+    return f"(({h1} + {j} * {h2}) % {m})"
+
+
+def bloom_positions_km(df, key_col: str, n_hashes: int, m: int):
+    """Distinct KM-family Bloom bit-position table (build-side twin of
+    km_pos — the build and probe sides of a filter must share the
+    family).  Build cost is amortized over the probe side, but the same
+    2-eval saving applies."""
+    out = None
+    for j in range(1, n_hashes + 1):
+        part = df.select(km_pos(F.col(key_col), j, m).alias("pos"))
+        out = part if out is None else out.unionByName(part)
+    return out.distinct()
+
+
+def bloom_bitmap(df, key_col: str, n_hashes: int, m: int, family="cw"):
     """The position table packed into ONE row: a DENSE array<bigint> of
     m/64 64-bit words (word pos>>6 gets bit 1<<(pos&63); absent words
     are 0).  Probing is then a broadcast crossJoin plus pure codegen
@@ -85,8 +131,13 @@ def bloom_bitmap(df, key_col: str, n_hashes: int, m: int):
     rather than a map because Spark's map element_at is a LINEAR key
     scan (1024-entry map × 3 probes/row measured SLOWER than the joins
     it replaced); array element_at is O(1).  ≤ 1024 words (8 KB) for
-    the default geometry, riding one broadcast row."""
-    pos = bloom_positions(df, key_col, n_hashes, m)
+    the default geometry, riding one broadcast row.
+
+    ``family``: "cw" (k independent Carter-Wegman evals) or "km"
+    (Kirsch-Mitzenmacher double hashing — see km_pos); build and probe
+    sides must match."""
+    pos_fn = bloom_positions_km if family == "km" else bloom_positions
+    pos = pos_fn(df, key_col, n_hashes, m)
     words = pos.groupBy(
         F.shiftright(F.col("pos"), 6).cast("int").alias("w")
     ).agg(

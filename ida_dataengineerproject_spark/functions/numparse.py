@@ -26,7 +26,15 @@ def parse_locale_number(col: Column | str) -> Column:
     suffixes and spellings like 'Infinity' that Python ``float()`` (the
     reference's parser, etl_ida.py:422-429) rejects — found by the
     property-based parity test.  Only plain decimal/scientific forms
-    pass; everything else is NULL on both engines."""
+    pass; everything else is NULL on both engines.
+
+    The OUTER trim matters (r11, found by the property test on '0 %'):
+    dropping '%' can expose interior whitespace at the end of the
+    cleaned string ('0 %' → '0 '), and Python ``float()`` — the
+    reference parser — tolerates surrounding whitespace of its final
+    input, so the guard must too."""
     c = F.col(col) if isinstance(col, str) else col
-    cleaned = F.regexp_replace(F.regexp_replace(F.trim(c), ",", "."), "%", "")
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace(F.trim(c), ",", "."), "%", "")
+    )
     return F.when(cleaned.rlike(_FLOAT_RE), cleaned.cast("double"))

@@ -712,6 +712,12 @@ def grouped_quantiles_band(
     repo's "never an action in the plan-building path" pattern — the
     literal inlining is worth 3× on the hot pass (see measurements
     above) and the band grain is bounded by the grouping semantics.
+
+    r11 (ADVICE r10): violation is now DETECTED at runtime — the confirm
+    pass carries a live per-group count and every output value is gated
+    on ``assert_true(live == snapshot)``, so executing a stale plan
+    against mutated data fails the job with an explicit message instead
+    of returning wrong quantiles (tests/test_band_paths.py).
     """
     g = list(group_cols)
     src = df.select(*g, value_col).filter(F.col(value_col).isNotNull())
@@ -828,7 +834,12 @@ def grouped_quantiles_band(
         tot_expr = F.col("__tot")
         src = joined
 
-    cnt_aggs = [F.first(tot_expr).alias("__tot")]
+    # live per-group count alongside the snapshot __tot: the runtime
+    # staleness guard (ADVICE r10) — see the assert_true below
+    cnt_aggs = [
+        F.first(tot_expr).alias("__tot"),
+        F.count("*").alias("__tot_live"),
+    ]
     in_any_band = None
     for name in names:
         blo, bhi = blos[name], bhis[name]
@@ -873,6 +884,24 @@ def grouped_quantiles_band(
         )
     else:
         got = counts.crossJoin(F.broadcast(collects))
+    # RUNTIME STALENESS GUARD (ADVICE r10): the band bounds and __tot are
+    # a BUILD-TIME snapshot; the confirm pass reads LIVE data.  If the
+    # source mutated between build and execution the result would be
+    # silently wrong — so every output value is gated on the live
+    # per-group count matching the snapshot count (assert_true returns
+    # NULL on success and fails the job with this message otherwise;
+    # per-GROUP-row cost, not per data row).  Detection scope: any
+    # add/remove of non-null values within a snapshotted group — the
+    # silent-wrong case; a wholly new group surfaces as a NULL band row
+    # on its own.
+    stale_ok = F.assert_true(
+        F.col("__tot_live") == F.col("__tot"),
+        F.lit(
+            "grouped_quantiles_band: source changed since the plan was "
+            "built (band bounds are a build-time snapshot) — rebuild the "
+            "plan after any source mutation"
+        ),
+    )
     out = list(g)
     for name, q in quantiles.items():
         pos = F.lit(q) * (F.col("__tot") - 1).cast("double")
@@ -886,14 +915,11 @@ def grouped_quantiles_band(
         # frac == 0 is exact (q·(n−1) hits an integer only when the double
         # product is integral), and v_lo·1.0 ≡ v_lo bitwise — emit v_lo
         # directly so a missing rank-(lo+1) row can never inject a NULL.
-        out.append(
-            F.when(frac == 0, v_lo.cast("double"))
-            .otherwise(
-                v_lo.cast("double") * (F.lit(1.0) - frac)
-                + v_hi.cast("double") * frac
-            )
-            .alias(name)
+        expr = F.when(frac == 0, v_lo.cast("double")).otherwise(
+            v_lo.cast("double") * (F.lit(1.0) - frac)
+            + v_hi.cast("double") * frac
         )
+        out.append(F.when(stale_ok.isNull(), expr).alias(name))
     return got.select(*out)
 
 
@@ -943,7 +969,10 @@ def order_statistic_tuples(
     bound, count, and rank target as a literal — including ``n`` itself.
     The returned DataFrame snapshots the source as of build time;
     re-executing after a source mutation mixes stale bounds/targets with
-    live in-band data.  Rebuild after any mutation."""
+    live in-band data.  Rebuild after any mutation.  r11 (ADVICE r10):
+    as in grouped_quantiles_band, violation now fails at runtime — the
+    confirm aggregate carries live counts and every output is gated on
+    ``assert_true(live == snapshot)``."""
     eps = 1.0 / accuracy
     src = df.select(*value_cols, F.col(tiebreak_col).alias("__tb"))
     probes: list[float] = []
@@ -983,7 +1012,11 @@ def order_statistic_tuples(
                 brow[f"__mx_{vc}"] if small else (bp[2 * i + 1] if bp else None)
             )
             bounds[(vc, name)] = (blo_v, bhi_v)
-    cnt_aggs = []
+    # live counts alongside the snapshot literals: the runtime staleness
+    # guard (ADVICE r10) — see the assert_true gating below
+    cnt_aggs = [F.count("*").alias("__tot_live")] + [
+        F.count(vc).alias(f"__n_live_{vc}") for vc in value_cols
+    ]
     in_any_band = None
     for vc in value_cols:
         v = F.col(vc)
@@ -1020,8 +1053,24 @@ def order_statistic_tuples(
             )
     collects = src.filter(in_any_band).groupBy().agg(*col_aggs)
     got = counts.crossJoin(F.broadcast(collects))
-    out = [F.lit(brow["__tot"]).cast("long").alias("n")]
+    _stale_msg = (
+        "order_statistic_tuples: source changed since the plan was built "
+        "(bounds/targets are a build-time snapshot) — rebuild the plan "
+        "after any source mutation"
+    )
+    tot_ok = F.assert_true(
+        F.col("__tot_live") == F.lit(brow["__tot"]), F.lit(_stale_msg)
+    )
+    out = [
+        F.when(tot_ok.isNull(), F.lit(brow["__tot"]))
+        .cast("long")
+        .alias("n")
+    ]
     for vc in value_cols:
+        vc_ok = F.assert_true(
+            F.col(f"__n_live_{vc}") == F.lit(brow[f"__n_{vc}"]),
+            F.lit(_stale_msg),
+        )
         for name, (num, den) in rank_fracs.items():
             target = (brow[f"__n_{vc}"] * num) // den  # exact int, driver
             idx = (F.lit(target) - F.col(f"__nb_{vc}_{name}")).cast("int")
@@ -1030,7 +1079,12 @@ def order_statistic_tuples(
                 # is decided at the driver (a bare F.lit(None) would be
                 # NullType and break callers' struct comparisons)
                 F.when(F.lit(target <= 0), F.lit(None))
-                .otherwise(F.element_at(F.col(f"__band_{vc}_{name}"), idx))
+                .otherwise(
+                    F.when(
+                        vc_ok.isNull(),
+                        F.element_at(F.col(f"__band_{vc}_{name}"), idx),
+                    )
+                )
                 .alias(f"{vc}_{name}")
             )
     return got.select(*out)

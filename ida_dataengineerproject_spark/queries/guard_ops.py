@@ -57,21 +57,28 @@ _SEG_LEN = 4  # tokens per dedup segment (CCNet dedups lines; the synthetic
 _CUTOFF = "1999-01-01"  # stored-rollup / delta boundary for xs5
 
 
-# Hash family: the shared Carter-Wegman integer family from
-# functions/hashing.py (measured there: ~9x cheaper than an md5-based
-# family on the sf0.1 probe projection — 1.77s -> ~0.2s; string keys
-# would first fold to an integer via a portable digest).
-from ..functions.hashing import CW_PARAMS as _CW  # noqa: E402
-from ..functions.hashing import CW_PRIME as _P  # noqa: E402
-from ..functions.hashing import cw_bucket, cw_bucket_sql  # noqa: E402
+# Hash family: Kirsch-Mitzenmacher double hashing over the shared
+# Carter-Wegman integer base family (functions/hashing.km_pos; the CW
+# family itself measured ~9x cheaper than an md5-based family on the
+# sf0.1 probe projection — 1.77s -> ~0.2s; string keys would first fold
+# to an integer via a portable digest).
 
 
 def _bloom_pos(key: Column, seed: int) -> Column:
-    return cw_bucket(key, seed, _BLOOM_M).alias(f"pos{seed}")
+    """x14's bloom family (r11): Kirsch-Mitzenmacher double hashing over
+    the same CW base family — 2 CW evals derive all k positions
+    (functions/hashing.km_pos; measured 2.17 → 1.72 s on the x100
+    probe+agg pass, same no-false-negative contract).  file_pruning's
+    per-partition bloom index keeps the independent-CW family."""
+    from ..functions.hashing import km_pos
+
+    return km_pos(key, seed, _BLOOM_M).alias(f"pos{seed}")
 
 
 def _bloom_pos_sql(key: str, seed: int) -> str:
-    return cw_bucket_sql(key, seed, _BLOOM_M)
+    from ..functions.hashing import km_pos_sql
+
+    return km_pos_sql(key, seed, _BLOOM_M)
 
 
 @register(
@@ -147,7 +154,7 @@ def bloom_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     refk = orders.filter(F.col("o_totalprice") > _REF_PRICE).select(
         F.col("o_orderkey").alias("k")
     )
-    bitmap = bloom_bitmap(refk, "k", _BLOOM_K, _BLOOM_M)
+    bitmap = bloom_bitmap(refk, "k", _BLOOM_K, _BLOOM_M, family="km")
 
     # Integer month key through the hot path; format "YYYY-MM" AFTER the
     # aggregate (≈84 rows).  substr(cast(ts AS string), 1, 7) runs the

@@ -223,10 +223,42 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-table join.  Every dim is broadcast; the only shuffle is
     lineitem⋈orders.  Both SUMs are exact decimals so the final double
     division is bit-exact vs DuckDB."""
+    return _q8_from_tables(
+        spark,
+        sf_dir,
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+    )
+
+
+@register("tpch_q8_bucketed", ORACLES["tpch_q8_market_share"])
+def q8_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 over the canonical bucketed-at-rest facts (same oracle as
+    tpch_q8_market_share): q8's one shuffle is lineitem⋈orders on the
+    orderkey — the facts' at-rest bucket key.  The selective part
+    broadcast join prunes the lineitem side FIRST and, being a
+    broadcast, preserves the scan's bucketed output partitioning, so
+    the fact join runs Exchange-free; the only shuffle left is the
+    ~|years|-grain conditional aggregate.  Fifth member of the bucketed
+    family; production path via queries/production.py."""
+    return _q8_from_tables(
+        spark,
+        sf_dir,
+        bucketed_fact(spark, sf_dir, "lineitem"),
+        bucketed_fact(spark, sf_dir, "orders"),
+    )
+
+
+def _q8_from_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    lineitem: DataFrame,
+    orders: DataFrame,
+) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
-    li = table(spark, sf_dir, "lineitem")
+    li = lineitem
     s = table(spark, sf_dir, "supplier")
-    o = table(spark, sf_dir, "orders").filter(
+    o = orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
@@ -304,7 +336,14 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the driver (the r9 form built a 1.5 M-row broadcast relation
     and hashed 4-column string group keys per survivor row; measured
     3.1 → ~2 s at x100).  At 100 TB the same shape holds: nothing wider
-    than 20 rows is ever broadcast for the attribute joins."""
+    than 20 rows is ever broadcast for the attribute joins.
+
+    PRECONDITION (data-dependent rewrite): computing the top-20 before
+    the customer join assumes every o_custkey resolves in customer — on
+    an orphaned custkey the early-top-20 form keeps a row the join-first
+    form would drop.  Parity pins it on TPC-H-shaped data; on unaudited
+    inputs run `xq36_referential_integrity_audit` (the registry's cheap
+    FK audit) first, or fall back to the join-first shape."""
     return _q10_from_tables(
         table(spark, sf_dir, "lineitem"),
         table(spark, sf_dir, "orders"),

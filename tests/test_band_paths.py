@@ -152,3 +152,66 @@ def test_q9_membership_predicate_equals_partsupp_join(spark):
     )
     assert len(joined) > 0  # the guard is vacuous on an empty survivor set
     assert [tuple(r) for r in joined] == [tuple(r) for r in folded]
+
+
+def test_stale_snapshot_execution_fails_loudly(spark, tmp_path):
+    """r11 (ADVICE r10): grouped_quantiles_band snapshots band bounds at
+    plan-build time; executing that plan after the source mutated must
+    FAIL (assert_true on live-vs-snapshot group counts), never return
+    silently wrong quantiles.  A catalog table re-lists files per
+    action, so an INSERT between build and re-execution is exactly the
+    mutation the guard exists for."""
+    import pytest
+
+    from ida_dataengineerproject_spark.operators.ranking import (
+        grouped_quantiles_band,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS band_stale_t")
+    _mkdf(spark, 3, 50).write.option(
+        "path", str(tmp_path / "band_stale_t")
+    ).saveAsTable("band_stale_t")
+    try:
+        src = spark.table("band_stale_t")
+        plan = grouped_quantiles_band(src, "v", ["g"], {"med": 0.5})
+        assert plan.count() == 3  # fresh plan executes fine
+
+        _mkdf(spark, 3, 7, seed=11).write.insertInto("band_stale_t")
+        with pytest.raises(Exception, match="source changed since"):
+            plan.collect()
+
+        # a REBUILT plan over the mutated table succeeds again
+        fresh = grouped_quantiles_band(
+            spark.table("band_stale_t"), "v", ["g"], {"med": 0.5}
+        )
+        assert fresh.count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_stale_t")
+
+
+def test_stale_snapshot_order_statistics_fail_loudly(spark, tmp_path):
+    """Same r11 guard for order_statistic_tuples: its snapshot inlines n
+    and every rank target as literals, so a mutated source must fail the
+    job, not silently mis-rank."""
+    import pytest
+
+    from ida_dataengineerproject_spark.operators.ranking import (
+        order_statistic_tuples,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS ost_stale_t")
+    _mkdf(spark, 1, 300).write.option(
+        "path", str(tmp_path / "ost_stale_t")
+    ).saveAsTable("ost_stale_t")
+    try:
+        src = spark.table("ost_stale_t").withColumn(
+            "tb", F.monotonically_increasing_id()
+        )
+        plan = order_statistic_tuples(src, ["v"], "tb", {"t1": (1, 3)})
+        assert plan.count() == 1
+
+        _mkdf(spark, 1, 30, seed=13).write.insertInto("ost_stale_t")
+        with pytest.raises(Exception, match="source changed since"):
+            plan.collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ost_stale_t")

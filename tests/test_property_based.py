@@ -380,14 +380,23 @@ def test_md5_coin_matches_duckdb_exactly(spark, duck):
 
 
 def _cw_ref_py(k: int, seed: int) -> int:
-    from ida_dataengineerproject_spark.queries.guard_ops import (
-        _BLOOM_M,
-        _CW,
-        _P,
+    """Python reference of the r11 Kirsch-Mitzenmacher family
+    (functions/hashing.km_pos): two CW base evals, j-th position =
+    (h1 + j*h2) mod m with h2 forced odd.  All intermediates are
+    non-negative after the +P normalization, so Python's % and SQL's
+    sign-preserving % agree exactly."""
+    from ida_dataengineerproject_spark.functions.hashing import (
+        CW_PARAMS,
+        CW_PRIME,
     )
+    from ida_dataengineerproject_spark.queries.guard_ops import _BLOOM_M
 
-    a, b = _CW[seed - 1]
-    return ((k % _P) * a + b) % _P % _BLOOM_M
+    a1, b1 = CW_PARAMS[0]
+    a2, b2 = CW_PARAMS[1]
+    kn = (k % CW_PRIME + CW_PRIME) % CW_PRIME
+    h1 = (kn * a1 + b1) % CW_PRIME
+    h2 = ((kn * a2 + b2) % CW_PRIME) | 1
+    return (h1 + seed * h2) % _BLOOM_M
 
 
 @given(
