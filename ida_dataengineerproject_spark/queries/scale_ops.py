@@ -1010,15 +1010,17 @@ def _cbo_catalog_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str, str
     import hashlib
     import os
 
-    from ..sources.bucketed import ensure_bucketed
+    from ..sources.bucketed import FACT_KEYS, ensure_bucketed
 
+    # the CANONICAL full-width bucketed facts (r11) — same tables every
+    # bucketed arm reads, so ANALYZE stats are computed once per copy
     li_n = ensure_bucketed(
-        spark, sf_dir, "lineitem", "l_orderkey",
-        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        spark, sf_dir, "lineitem", FACT_KEYS["lineitem"],
+        table(spark, sf_dir, "lineitem").columns,
     )
     o_n = ensure_bucketed(
-        spark, sf_dir, "orders", "o_orderkey",
-        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        spark, sf_dir, "orders", FACT_KEYS["orders"],
+        table(spark, sf_dir, "orders").columns,
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     c_n = f"cbo_customer_{tag}"

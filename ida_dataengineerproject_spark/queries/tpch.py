@@ -273,9 +273,37 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, and the long aggregation buffer measured
     1.51 → 0.87 s on the x10 agg (decimal-128 buffer updates are the
     cost).  The final cast to double is exact for any integer < 2^53."""
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+    return _q18_from_tables(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+    )
+
+
+@register("tpch_q18_bucketed", ORACLES["tpch_q18_large_orders"])
+def q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 over the canonical bucketed-at-rest facts (same oracle as
+    tpch_q18_large_orders): the per-order quantity aggregate AND the
+    orders join both key the facts' at-rest bucket key — the q21 shape
+    exactly — so the aggregate runs partition-local and the join
+    consumes the scans with no Exchange; the only shuffle left is the
+    20-row TakeOrdered merge.  Sixth member of the bucketed family;
+    production path via queries/production.py."""
+    from ..sources.bucketed import bucketed_fact
+
+    return _q18_from_tables(
+        bucketed_fact(spark, sf_dir, "lineitem"),
+        bucketed_fact(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+    )
+
+
+def _q18_from_tables(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    c = customer
+    o = orders
+    li = lineitem
     big = (
         li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))

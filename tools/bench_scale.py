@@ -67,9 +67,11 @@ DEFAULT_QUERIES = [
     "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
     "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
     "tpch_q17_small_quantity", "tpch_q18_large_orders",
+    "tpch_q18_bucketed",
     "tpch_q19_disjunctive", "tpch_q20_excess_availability",
     "tpch_q21_suppliers_kept_waiting", "tpch_q21b_aggregate_rewrite",
-    "tpch_q22_global_sales_opportunity",
+    "tpch_q21_bucketed", "tpch_q22_global_sales_opportunity",
+    "tpch_q8_bucketed", "tpch_q10_bucketed",
     "x01_exact_dedup", "x02_ngram_jaccard_pairs", "x02b_minhash_lsh_pairs",
     "x02c_simhash_pairs", "x02d_dedup_components",
     "x03b_cosine_topk_lsh", "x03d_cosine_topk_ivf",
@@ -89,6 +91,7 @@ DEFAULT_QUERIES = [
     "xq29_target_encoding", "xq30_winsorized_mean",
     "xq32_fd_violation_audit", "xq34_promo_window_rollup",
     "xq35_pit_feature_join", "xq37_holt_trend_forecast",
+    "xq41_star_ddl_audit",
     "xs4_zorder_pruned_scan", "xs10_vacuum_latest_state",
     "xs11_write_audit_publish", "xs13_mv_incremental_refresh",
     "xs14_shallow_clone_divergence", "xs15_dynamic_partition_overwrite",
