@@ -88,6 +88,16 @@ JUSTIFIED_PAIRS: dict[frozenset, str] = {
         "intentional: xs17's mis-ordered SQL is the CBO twin of q3's "
         "hand-ordered plan (docstrings cross-reference)"
     ),
+    frozenset({"tpch_q18_large_orders", "xs17_cbo_join_reorder"}): (
+        "fingerprint convergence via the shared lineitem/orders star: "
+        "q18 is a HAVING-subquery top-20 (order-grain quantity sums); "
+        "xs17 is the CBO reorder demonstrator (priority-grain revenue) — "
+        "different aggregates, different outputs"
+    ),
+    frozenset({"tpch_q18_bucketed", "xs17_cbo_join_reorder"}): (
+        "same as the q18-plain pair: the bucketed arm inherits q18's "
+        "fingerprint (identical semantics by design, same oracle)"
+    ),
     frozenset({"agg_variance_corr_exact", "tpch_q6_forecast_revenue"}): (
         "fingerprints converged when both adopted the shared cents() "
         "helper (r10): exact variance/correlation moments vs the q6 "
