@@ -56,3 +56,23 @@ def test_bucketed_join_has_no_exchange(warehouse):
         "bucketed join must not shuffle either side:\n" + join_section
     )
     assert joined.count() > 0
+
+
+def test_ensure_bucketed_key_is_part_of_the_memo_tag(spark):
+    """Regression (ADVICE r10): a second call bucketing the SAME
+    (table, cols) on a DIFFERENT key must materialize a DIFFERENT
+    catalog table — before r11 the memo tag omitted the key, so the
+    wrong-key table was silently reused and the exchange-free plan
+    quietly disappeared."""
+    from ida_dataengineerproject_spark.sources.bucketed import (
+        ensure_bucketed,
+    )
+
+    cols = ["l_orderkey", "l_partkey", "l_extendedprice"]
+    a = ensure_bucketed(spark, SF_SMOKE, "lineitem", "l_orderkey", cols, 4)
+    b = ensure_bucketed(spark, SF_SMOKE, "lineitem", "l_partkey", cols, 4)
+    assert a != b
+    # and each table's real bucket spec matches its requested key
+    for name, key in [(a, "l_orderkey"), (b, "l_partkey")]:
+        ddl = spark.sql(f"SHOW CREATE TABLE {name}").first()[0]
+        assert f"CLUSTERED BY ({key})" in ddl, ddl
