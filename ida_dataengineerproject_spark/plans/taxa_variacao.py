@@ -79,7 +79,24 @@ def taxa_variacao_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sources/bucketed.bucketed_fact) shared by every orderkey-keyed arm
     — parquet column pruning keeps the scan bytes identical to the r10
     per-query projected copies, with one copy and one write instead of
-    N."""
+    N.
+
+    bucketed_fact's shuffle_hash hint pins the join strategy the LAYOUT
+    exists for — caught by the r11 ratio guard: over the full-width tables,
+    Catalyst's size-only estimator scales the narrow (o_orderkey, mes)
+    projection by output-row-width ratio, shrinking the UNFILTERED
+    15 M-row orders side below the 64 MB broadcast threshold, and the
+    resulting fact-side BroadcastExchange (a ~240 MB in-memory hash
+    relation built per executor) measured 8.9 s vs the hash join's
+    1.9 s at the x100 replica (guard row: 0.96× → 5.47×).  The r10
+    projected copies dodged this only because their child row width was
+    already narrow.  shuffle_hash over merge (A/B at x100: 1.94 vs
+    2.12 s): both consume the bucketed scans exchange-free, but Spark 4
+    does not propagate bucket-file sort order, so SMJ pays a per-bucket
+    sort the per-partition hash build skips — the same reason the
+    session prefers SHJ globally.  Contract pinned in
+    tests/test_plan_quality.py: exchange-free hash join, zero
+    broadcast of a fact side."""
     li_b = bucketed_fact(spark, sf_dir, "lineitem")
     o_b = bucketed_fact(spark, sf_dir, "orders")
     return _taxa_from_tables(li_b, o_b)

@@ -134,9 +134,22 @@ def bucketed_fact(
     /tmp and N one-time write costs).  This is also the honest warehouse
     posture: the table at rest is written once at ingest, wide, and
     every nightly query — including ones not written yet — gets the
-    Exchange-free join/aggregate for free."""
+    Exchange-free join/aggregate for free.
+
+    The shuffle_hash hint guards the layout's contract (r11 ratio-guard
+    catch, plans/taxa_variacao.py has the full profile): Catalyst's
+    size-only estimator scales a narrow projection over the full-width
+    table by row-width ratio, which can shrink an UNFILTERED fact side
+    below the broadcast threshold — and a fact-side BroadcastExchange
+    both wastes the layout and measured 4.6× slower than the
+    exchange-free hash join at the x100 replica.  The hint only
+    constrains joins where no side carries an explicit broadcast hint
+    (Spark's hint precedence: broadcast > merge > shuffle_hash), so the
+    arms' F.broadcast(dim) joins keep broadcasting; shuffle_hash beats
+    merge here because Spark 4 drops bucket-file sort order and SMJ
+    would re-sort every bucket (A/B at x100: 1.94 vs 2.12 s)."""
     key = FACT_KEYS[tbl]
     cols = table(spark, sf_dir, tbl).columns
     return spark.table(
         ensure_bucketed(spark, sf_dir, tbl, key, cols, n_buckets)
-    )
+    ).hint("shuffle_hash")

@@ -369,39 +369,33 @@ def test_bucketed_join_has_no_exchange_below_join(spark):
 
 
 def test_flagship_bucketed_arm_join_is_exchange_free(spark):
-    """flagship_taxa_variacao_bucketed (r10): the lineitem⋈orders join —
+    """flagship_taxa_variacao_bucketed: the lineitem⋈orders join —
     4.4 s of shuffle in the plain arm's x100 profile — consumes the two
     bucketed scans directly: Bucketed: true on both sides, ZERO Exchange
-    below the join.  The only exchanges left are the grain-sized
-    aggregate/window/sort ones (#months × #groups rows).  Broadcast is
-    disabled so the test pins the at-scale (SMJ) shape, not the
-    small-input broadcast shortcut."""
+    below the join, and NO broadcast of a fact side.  r11: the arm pins
+    the join strategy with a shuffle_hash hint (the ratio guard caught
+    Catalyst's width-ratio size estimate broadcasting the unfiltered
+    15 M-row orders projection over the full-width canonical table —
+    8.9 s vs 1.9 s at x100), so the expected node is ShuffledHashJoin:
+    per-partition hash build straight off the bucketed scans, no
+    per-bucket sort (Spark 4 drops bucket-file sort order), no
+    BroadcastExchange.  The only exchanges left are the grain-sized
+    aggregate/window/sort ones (#months × #groups rows)."""
     from ida_dataengineerproject_spark.plans.taxa_variacao import (
         taxa_variacao_bucketed,
     )
 
-    keys = [
-        "spark.sql.autoBroadcastJoinThreshold",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold",
-    ]
-    saved = [spark.conf.get(k, None) for k in keys]
-    try:
-        for k in keys:
-            spark.conf.set(k, "-1")
-        plan = _plan(taxa_variacao_bucketed(spark, SF_SMOKE))
-    finally:
-        for k, v in zip(keys, saved):
-            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
-
-    assert "SortMergeJoin" in plan
+    plan = _plan(taxa_variacao_bucketed(spark, SF_SMOKE))
+    assert "ShuffledHashJoin" in plan
     assert plan.count("Bucketed: true") == 2
-    # tree section only; the join's CHILDREN (everything after the SMJ
-    # line down to the blank line ending the tree) must hold no Exchange
+    # the fact join must never shuffle or broadcast either side
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan
     tree = plan.split("\n\n")[0]
-    below_join = tree.split("SortMergeJoin")[-1]
+    below_join = tree.split("ShuffledHashJoin")[-1]
     assert "Exchange" not in below_join, (
-        "bucketed flagship join must not shuffle either side:\n"
-        + below_join
+        "bucketed flagship join must not shuffle or broadcast either "
+        "side:\n" + below_join
     )
 
 
@@ -435,12 +429,17 @@ def test_q3_bucketed_arm_join_is_exchange_free(spark):
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
 
     assert plan.count("Bucketed: true") == 2
+    # r11: bucketed_fact pins shuffle_hash, so the fact join is a
+    # ShuffledHashJoin straight off the bucketed scans (no per-bucket
+    # sort); it must never shuffle on the bucket key
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan
     tree = plan.split("\n\n")[0]
     fact_join = [
-        ln for ln in tree.splitlines() if "SortMergeJoin" in ln
+        ln for ln in tree.splitlines() if "ShuffledHashJoin" in ln
     ]
     assert fact_join, tree
-    below_join = tree.split("SortMergeJoin")[-1]
+    below_join = tree.split("ShuffledHashJoin")[-1]
     # the only allowed exchange below the fact join is the BUILDING
     # customer broadcast feeding the orders side
     for ln in below_join.splitlines():
@@ -696,7 +695,8 @@ def test_q10_bucketed_fact_join_is_exchange_free(spark):
         spark, ORIGINALS["tpch_q10_bucketed"], SF_SMOKE
     )
     assert plan.count("Bucketed: true") == 2
-    assert "SortMergeJoin" in plan
+    # r11: bucketed_fact pins shuffle_hash — exchange-free hash join
+    assert "ShuffledHashJoin" in plan
     # the fact join must never shuffle on its key — the bucketed scans
     # already satisfy the distribution
     assert "hashpartitioning(l_orderkey" not in plan
