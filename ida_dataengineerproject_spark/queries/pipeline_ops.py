@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..functions.aggs import cents, sum_exact
 from ..plans.datapipeline import prepare_documents
-from ..registry import register
+from ..registry import ORACLES, register
 from ..sources.tables import table
 
 
@@ -145,8 +145,31 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.34 → 1.00 s (shuffle-hash arm measured 1.80 s — broadcast is
     right while the build side fits; at 100 TB the size-based
     threshold flips it to sort-merge automatically)."""
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+    return _q12_from_tables(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "orders")
+    )
+
+
+@register("tpch_q12_bucketed", ORACLES["tpch_q12_shipmode_priority"])
+def q12_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 over the canonical bucketed-at-rest facts (same oracle as
+    tpch_q12_shipmode_priority): the orderkey join — the plain arm's
+    only shuffle/broadcast — runs exchange-free off the bucketed scans
+    (sources/bucketed.bucketed_fact pins shuffle_hash, so the slimmed
+    15 M-row orders side is never broadcast-built at scale either);
+    only the 3-row returnflag aggregate remains.  Seventh member of the
+    bucketed family; production path via queries/production.py."""
+    from ..sources.bucketed import bucketed_fact
+
+    return _q12_from_tables(
+        bucketed_fact(spark, sf_dir, "lineitem"),
+        bucketed_fact(spark, sf_dir, "orders"),
+    )
+
+
+def _q12_from_tables(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    o = orders
+    li = lineitem
     hot = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     ob = o.select(
         "o_orderkey",

@@ -40,6 +40,7 @@ def production_overrides() -> dict[str, QueryFn]:
     from .events_ops import approx_distinct_users
     from .extras import approx_percentiles
     from .tpch import q3_bucketed, q18_bucketed
+    from .pipeline_ops import q12_bucketed
     from .tpch_full import q8_bucketed, q10_bucketed, q21_bucketed
     from .vector_ops import (
         cosine_topk_ivf_query,
@@ -63,6 +64,7 @@ def production_overrides() -> dict[str, QueryFn]:
         "tpch_q3_shipping_priority": q3_bucketed,
         "tpch_q8_market_share": q8_bucketed,
         "tpch_q10_returned_items": q10_bucketed,
+        "tpch_q12_shipmode_priority": q12_bucketed,
         "tpch_q18_large_orders": q18_bucketed,
         # q21's production path composes BOTH prior overrides: the r9
         # aggregate rewrite (q21b — kills the pair-grain shuffle) and the

@@ -63,7 +63,7 @@ DEFAULT_QUERIES = [
     "tpch_q5_region_revenue", "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q9_product_profit", "tpch_q10_returned_items",
-    "tpch_q11_important_stock", "tpch_q12_shipmode_priority",
+    "tpch_q11_important_stock", "tpch_q12_shipmode_priority", "tpch_q12_bucketed",
     "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
     "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
     "tpch_q17_small_quantity", "tpch_q18_large_orders",
