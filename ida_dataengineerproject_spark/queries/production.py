@@ -39,9 +39,14 @@ def production_overrides() -> dict[str, QueryFn]:
     from .corpus_ops import ngram_vocab_estimate
     from .events_ops import approx_distinct_users
     from .extras import approx_percentiles
-    from .tpch import q3_bucketed, q18_bucketed
+    from .tpch import q3_bucketed, q5_bucketed, q18_bucketed
     from .pipeline_ops import q12_bucketed
-    from .tpch_full import q8_bucketed, q10_bucketed, q21_bucketed
+    from .tpch_full import (
+        q7_bucketed,
+        q8_bucketed,
+        q10_bucketed,
+        q21_bucketed,
+    )
     from .vector_ops import (
         cosine_topk_ivf_query,
         cosine_topk_lsh_query,
@@ -62,6 +67,8 @@ def production_overrides() -> dict[str, QueryFn]:
         # rest; the memoized one-time bucketed write is its ingest cost.
         "flagship_taxa_variacao": taxa_variacao_bucketed,
         "tpch_q3_shipping_priority": q3_bucketed,
+        "tpch_q5_region_revenue": q5_bucketed,
+        "tpch_q7_volume_shipping": q7_bucketed,
         "tpch_q8_market_share": q8_bucketed,
         "tpch_q10_returned_items": q10_bucketed,
         "tpch_q12_shipmode_priority": q12_bucketed,

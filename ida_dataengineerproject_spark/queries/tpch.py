@@ -195,15 +195,48 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     where shuffle crosses the network.  The c_nationkey = s_nationkey
     local-supplier equality runs as the residual condition on the joined
     set, exactly as in the oracle."""
-    o = (
-        table(spark, sf_dir, "orders")
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-        )
-        .select("o_orderkey", "o_custkey")
+    return _q5_from_tables(
+        spark,
+        sf_dir,
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
     )
-    li = table(spark, sf_dir, "lineitem").select(
+
+
+@register("tpch_q5_bucketed", ORACLES["tpch_q5_region_revenue"])
+def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 over the canonical bucketed-at-rest facts (same oracle as
+    tpch_q5_region_revenue): after the r9 restructure every dim join is
+    a broadcast on BOTH entry paths, so the sole remaining exchange pair
+    is the lineitem⋈orders join on the orderkey — the facts' at-rest
+    bucket key.  Broadcast joins preserve the streamed side's
+    partitioning, so the ASIA-supplier join on lineitem and the
+    ASIA-customer join on orders both carry the bucketed distribution
+    through to the fact join, which then runs Exchange-free straight
+    off the scans; the only shuffle left is the 5-row nation aggregate.
+    Member of the bucketed family (VERDICT r11 #1); production path via
+    queries/production.py."""
+    return _q5_from_tables(
+        spark,
+        sf_dir,
+        bucketed_fact(spark, sf_dir, "lineitem"),
+        bucketed_fact(spark, sf_dir, "orders"),
+        rehint_fact_join=True,
+    )
+
+
+def _q5_from_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    rehint_fact_join: bool = False,
+) -> DataFrame:
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     n_asia = (
@@ -231,7 +264,15 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_nationkey")
     )
+    # bucketed arm: re-hint after the dim joins — a join-strategy hint
+    # binds to the FIRST join above the hinted node, so bucketed_fact's
+    # scan-level shuffle_hash is consumed by the broadcast dim join
+    # (where the broadcast hint wins) and the fact join would fall back
+    # to SMJ — still exchange-free off the buckets, but re-sorting every
+    # bucket (Spark 4 drops bucket-file sort order; A/B in bucketed.py)
     li2 = li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
+    if rehint_fact_join:
+        li2 = li2.hint("shuffle_hash")
     o2 = o.join(F.broadcast(c2), o.o_custkey == c2.c_custkey)
     revenue = sum_disc_price_exact("l_extendedprice", "l_discount")
     return (

@@ -141,6 +141,42 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     x100 replica, 1.2 → 1.0 s at x10).  The residual pair disjunction then runs on the tiny
     joined set.  At 100 TB the same shape holds: dim broadcasts cut both
     shuffles by the nation selectivity."""
+    return _q7_from_tables(
+        spark,
+        sf_dir,
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+    )
+
+
+@register("tpch_q7_bucketed", ORACLES["tpch_q7_volume_shipping"])
+def q7_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 over the canonical bucketed-at-rest facts (same oracle as
+    tpch_q7_volume_shipping): the r9 restructure already reduced both
+    facts through broadcast dim joins before they meet, leaving the
+    lineitem⋈orders join on the orderkey — the at-rest bucket key — as
+    the only exchange pair.  Broadcast joins preserve the streamed
+    side's bucketed partitioning, so the fact join runs Exchange-free
+    straight off the scans; the only shuffle left is the tiny
+    (supp_nation, cust_nation, year) aggregate (≤ 2·2·|years| groups).
+    Member of the bucketed family (VERDICT r11 #1); production path via
+    queries/production.py."""
+    return _q7_from_tables(
+        spark,
+        sf_dir,
+        bucketed_fact(spark, sf_dir, "lineitem"),
+        bucketed_fact(spark, sf_dir, "orders"),
+        rehint_fact_join=True,
+    )
+
+
+def _q7_from_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    rehint_fact_join: bool = False,
+) -> DataFrame:
     pair = ("NATION_1", "NATION_2")
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -166,15 +202,17 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key")).select(
         "c_custkey", "cust_nation"
     )
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-        )
-        .join(F.broadcast(s2), F.col("l_suppkey") == s2.s_suppkey)
-    )
-    o = table(spark, sf_dir, "orders").join(
+    # bucketed arm: re-hint after the dim join — the scan-level
+    # shuffle_hash from bucketed_fact binds to the broadcast supplier
+    # join (broadcast wins), so without this the fact join falls back
+    # to SMJ and re-sorts every bucket (see tpch._q5_from_tables)
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).join(F.broadcast(s2), F.col("l_suppkey") == s2.s_suppkey)
+    if rehint_fact_join:
+        li = li.hint("shuffle_hash")
+    o = orders.join(
         F.broadcast(c2), F.col("o_custkey") == c2.c_custkey
     ).select("o_orderkey", "cust_nation")
     volume = sum_disc_price_exact("l_extendedprice", "l_discount")

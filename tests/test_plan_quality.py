@@ -705,6 +705,70 @@ def test_q10_bucketed_fact_join_is_exchange_free(spark):
     assert "hashpartitioning(o_custkey" in plan
 
 
+def _assert_bucketed_fact_join_exchange_free(spark, name, extra=()):
+    """Shared pin for the bucketed-family arms (ADVICE r11: q8/q12/q18
+    were promoted to production paths with only docstring claims): both
+    fact scans bucketed, the orderkey join a ShuffledHashJoin straight
+    off them, and NO hashpartitioning exchange on either orderkey — an
+    optimizer change reintroducing the exchange fails here, not in a
+    bench regression three rounds later."""
+    from ida_dataengineerproject_spark.registry import ORIGINALS
+
+    plan = _plan_no_broadcast(spark, ORIGINALS[name], SF_SMOKE)
+    assert plan.count("Bucketed: true") == 2, name
+    assert "ShuffledHashJoin" in plan, name
+    assert "hashpartitioning(l_orderkey" not in plan, name
+    assert "hashpartitioning(o_orderkey" not in plan, name
+    for token in extra:
+        assert token in plan, f"{name}: expected {token!r}\n{plan}"
+
+
+def test_q5_bucketed_fact_join_is_exchange_free(spark):
+    """tpch_q5_bucketed (r12): the ASIA-filtered broadcast dim joins on
+    both entry paths preserve the scans' bucketed distribution, so the
+    fact join runs exchange-free; the only hash exchange left is the
+    5-row nation aggregate."""
+    _assert_bucketed_fact_join_exchange_free(
+        spark, "tpch_q5_bucketed", extra=("hashpartitioning(n_name",)
+    )
+
+
+def test_q7_bucketed_fact_join_is_exchange_free(spark):
+    """tpch_q7_bucketed (r12): nation-pair broadcast reductions on both
+    facts preserve bucketing; only the (supp_nation, cust_nation, year)
+    aggregate shuffles."""
+    _assert_bucketed_fact_join_exchange_free(
+        spark, "tpch_q7_bucketed", extra=("hashpartitioning(supp_nation",)
+    )
+
+
+def test_q8_bucketed_fact_join_is_exchange_free(spark):
+    """tpch_q8_bucketed (ADVICE r11): the part broadcast join on the
+    lineitem side must PRESERVE the scan's bucketed output partitioning
+    — previously asserted only in the docstring."""
+    _assert_bucketed_fact_join_exchange_free(
+        spark, "tpch_q8_bucketed", extra=("hashpartitioning(o_year",)
+    )
+
+
+def test_q12_bucketed_fact_join_is_exchange_free(spark):
+    """tpch_q12_bucketed (ADVICE r11): the slimmed orders projection
+    (priority→bool, date+90d) must not cost the bucketed distribution;
+    only the 3-row returnflag aggregate shuffles."""
+    _assert_bucketed_fact_join_exchange_free(
+        spark,
+        "tpch_q12_bucketed",
+        extra=("hashpartitioning(l_returnflag",),
+    )
+
+
+def test_q18_bucketed_fact_join_is_exchange_free(spark):
+    """tpch_q18_bucketed (ADVICE r11): BOTH the per-order quantity
+    aggregate and the orders join key the bucket key — neither may
+    shuffle (the q21 shape)."""
+    _assert_bucketed_fact_join_exchange_free(spark, "tpch_q18_bucketed")
+
+
 def test_q21_bucketed_order_grain_agg_is_exchange_free(spark):
     """tpch_q21_bucketed (r11): BOTH the lineitem⋈orders join and the
     order-grain groupBy(l_orderkey) key the facts' at-rest bucket key,
