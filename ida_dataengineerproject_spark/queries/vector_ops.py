@@ -113,13 +113,17 @@ def cosine_topk_ivf_query(
     spark: SparkSession, sf_dir: str, verify: bool = False
 ) -> DataFrame:
     """Approximate cosine top-k via IVF coarse quantization (x03 scale
-    path #2): k-means inverted lists, n_probe=8 of 16.
+    path #2): k-means inverted lists, n_probe=8 of 16, multiple
+    assignment n_assign=2 (VERDICT r11 #2 — single assignment capped
+    min recall@10 at 0.5 on this near-uniform corpus, too lax a quality
+    bar; boundary-straddling neighbors are recovered by indexing each
+    corpus vector under its 2 nearest lists).
 
     PRODUCTION path (``verify=False``, default): the IVF top-k alone.
     VERIFY path (``verify=True``, registered oracle query only):
-    bounded-oracle contract — per-query recall@10 >= 0.2 (measured min
-    0.5 at sf0.01/0.1, 0.3 at sf0.001 — the synthetic corpus is
-    near-uniform, the hardest case for IVF; clustered real corpora
+    bounded-oracle contract — per-query recall@10 >= 0.6 (measured min
+    0.8 at sf0.001, 1.0 at sf0.01, 0.9 at sf0.1 — the synthetic
+    near-uniform corpus is IVF's hardest case; clustered real corpora
     recall higher)."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
@@ -127,12 +131,12 @@ def cosine_topk_ivf_query(
     # corpus per process; repeat invocations reuse the centroids
     approx = cosine_topk_ivf(
         emb, queries, k=_K, n_centroids=16, n_probe=8,
-        cache_key=(sf_dir, "embeddings"),
+        cache_key=(sf_dir, "embeddings"), n_assign=2,
     )
     if not verify:
         return approx
     exact = cosine_topk_bruteforce(emb, queries, k=_K)
-    return _recall_contract(exact, approx, bound=0.2)
+    return _recall_contract(exact, approx, bound=0.6)
 
 
 @register("x03d_cosine_topk_ivf", _RECALL_ORACLE)

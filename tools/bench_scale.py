@@ -60,8 +60,10 @@ DEFAULT_QUERIES = [
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q3_bucketed",
     "tpch_q4_priority_exists",
-    "tpch_q5_region_revenue", "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q5_region_revenue", "tpch_q5_bucketed",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q7_bucketed",
+    "tpch_q8_market_share",
     "tpch_q9_product_profit", "tpch_q10_returned_items",
     "tpch_q11_important_stock", "tpch_q12_shipmode_priority", "tpch_q12_bucketed",
     "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
@@ -290,6 +292,16 @@ def main() -> None:
             file=sys.stderr,
         )
         sys.exit(1)
+    if guard.get("skipped"):
+        # ADVICE r11: a factor/file mis-wiring must not silently disable
+        # the regression gate while appearing to run it — the caller
+        # asked for assertion, so a skipped guard is a failed invocation
+        print(
+            f"# RATIO GUARD SKIPPED (treated as failure): "
+            f"{guard['skipped']}",
+            file=sys.stderr,
+        )
+        sys.exit(2)
 
 
 if __name__ == "__main__":
