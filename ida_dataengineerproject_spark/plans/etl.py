@@ -131,18 +131,27 @@ def load_fact(
     records: DataFrame,
     dims: dict[str, DataFrame],
     existing_fact: DataFrame | None = None,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """Dedup + dim-key resolution (op30/op37, etl_ida.py:502-554).
 
     Inner joins against dims (all broadcast: dims are small by
     construction) reproduce the reference's silent drop of unmatched
     records; hash dedup reproduces ON CONFLICT DO NOTHING, anti-joined
-    against the existing fact for idempotent re-runs."""
+    against the existing fact for idempotent re-runs.
+
+    ``broadcast_dims=False`` drops the explicit broadcast hints —
+    callers with a BOUNDED single-partition input (xq41's fixed-sheet
+    audit rebuild) use it so the four dim joins run inside one codegen
+    pipeline instead of spawning four broadcast-exchange sub-jobs;
+    production ingest keeps the default (at scale the hint is the
+    guarantee the 6-row dims never shuffle the fact)."""
     deduped = dedup_against(records, existing_fact, ["hash_registro"])
+    maybe_b = F.broadcast if broadcast_dims else (lambda df: df)
     return (
-        deduped.join(F.broadcast(dims["dim_tempo"].select("tempo_key", "ano_mes")), "ano_mes")
+        deduped.join(maybe_b(dims["dim_tempo"].select("tempo_key", "ano_mes")), "ano_mes")
         .join(
-            F.broadcast(
+            maybe_b(
                 dims["dim_grupo_economico"].select(
                     "grupo_key", F.col("grupo_codigo").alias("grupo_economico")
                 )
@@ -150,7 +159,7 @@ def load_fact(
             "grupo_economico",
         )
         .join(
-            F.broadcast(
+            maybe_b(
                 dims["dim_servico"].select(
                     "servico_key", F.col("servico_codigo").alias("servico")
                 )
@@ -158,7 +167,7 @@ def load_fact(
             "servico",
         )
         .join(
-            F.broadcast(
+            maybe_b(
                 dims["dim_variavel"].select(
                     "variavel_key", F.col("variavel_codigo").alias("variavel")
                 )
