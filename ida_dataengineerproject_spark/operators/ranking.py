@@ -727,8 +727,16 @@ def grouped_quantiles_band(
     for q in quantiles.values():
         probes.append(max(0.0, q - 4 * eps))
         probes.append(min(1.0, q + 4 * eps))
+    # __chk: order-independent value checksum (bit_xor of xxhash64) —
+    # with the count alone, an equal-count substitution (swap one
+    # in-group value for another) passed the staleness guard silently
+    # (ADVICE r11); the xor rides the same codegen aggregate for ~one
+    # hash per row.  Residual blind spot: a mutation whose added AND
+    # removed multisets each xor to the same value (e.g. swapping a
+    # duplicate PAIR {a,a} for {b,b}) — count and xor both unchanged.
     bands = src.groupBy(*g).agg(
         F.count("*").alias("__tot"),
+        F.bit_xor(F.xxhash64(value_col)).alias("__chk"),
         F.min(value_col).alias("__mn"),
         F.max(value_col).alias("__mx"),
         F.percentile_approx(
@@ -795,6 +803,7 @@ def grouped_quantiles_band(
                 blos[name] = _chain(band_rows, lo_of)
                 bhis[name] = _chain(band_rows, hi_of)
             tot_expr = _chain(band_rows, lambda r: r["__tot"])
+            chk_expr = _chain(band_rows, lambda r: r["__chk"])
         except Exception:  # noqa: BLE001 — unliteralizable value type
             literal_ok = False
 
@@ -817,7 +826,13 @@ def grouped_quantiles_band(
             for k in g:
                 e = F.col(k).eqNullSafe(F.col(f"__b_{k}"))
                 jcond = e if jcond is None else (jcond & e)
-            joined = src.join(F.broadcast(battach), jcond).drop(
+            # LEFT join (ADVICE r11): a live group ABSENT from the
+            # snapshot (added after build) must reach the guard — the
+            # old inner join silently dropped its rows here, so the new
+            # group never surfaced at all.  With the left join its rows
+            # carry NULL __tot/__chk, the guard condition evaluates
+            # NULL, and assert_true(NULL) fails the job.
+            joined = src.join(F.broadcast(battach), jcond, "left").drop(
                 *[f"__b_{k}" for k in g]
             )
         else:
@@ -832,13 +847,17 @@ def grouped_quantiles_band(
                 F.element_at("__bp", 2 * i + 2)
             )
         tot_expr = F.col("__tot")
+        chk_expr = F.col("__chk")
         src = joined
 
-    # live per-group count alongside the snapshot __tot: the runtime
-    # staleness guard (ADVICE r10) — see the assert_true below
+    # live per-group count + value checksum alongside the snapshots:
+    # the runtime staleness guard (ADVICE r10/r11) — see the
+    # assert_true below
     cnt_aggs = [
         F.first(tot_expr).alias("__tot"),
         F.count("*").alias("__tot_live"),
+        F.first(chk_expr).alias("__chk"),
+        F.bit_xor(F.xxhash64(v)).alias("__chk_live"),
     ]
     in_any_band = None
     for name in names:
@@ -884,18 +903,27 @@ def grouped_quantiles_band(
         )
     else:
         got = counts.crossJoin(F.broadcast(collects))
-    # RUNTIME STALENESS GUARD (ADVICE r10): the band bounds and __tot are
-    # a BUILD-TIME snapshot; the confirm pass reads LIVE data.  If the
-    # source mutated between build and execution the result would be
-    # silently wrong — so every output value is gated on the live
-    # per-group count matching the snapshot count (assert_true returns
-    # NULL on success and fails the job with this message otherwise;
-    # per-GROUP-row cost, not per data row).  Detection scope: any
-    # add/remove of non-null values within a snapshotted group — the
-    # silent-wrong case; a wholly new group surfaces as a NULL band row
-    # on its own.
+    # RUNTIME STALENESS GUARD (ADVICE r10, strengthened r11→r12): the
+    # band bounds, __tot and __chk are a BUILD-TIME snapshot; the
+    # confirm pass reads LIVE data.  If the source mutated between
+    # build and execution the result would be silently wrong — so every
+    # output value is gated on BOTH the live per-group count and the
+    # live value checksum matching their snapshots (assert_true returns
+    # NULL on success and fails the job otherwise; per-GROUP-row cost
+    # plus one hash per row in the counts aggregate).  Detection scope:
+    # any add/remove of non-null values within a snapshotted group
+    # (count), any equal-count substitution of values (checksum), a
+    # wholly NEW group on either path (its snapshot columns are NULL —
+    # unmatched when-chain on the literal path, LEFT-join miss on the
+    # fallback path — and assert_true(NULL) throws).  A group fully
+    # REMOVED from the source yields no live row at all: detectable
+    # only by the caller (the output loses that group's row), not by a
+    # row-level guard.  Residual blind spot: mutations whose added and
+    # removed value multisets have equal size and equal xor (see the
+    # __chk comment at the bands aggregate).
     stale_ok = F.assert_true(
-        F.col("__tot_live") == F.col("__tot"),
+        (F.col("__tot_live") == F.col("__tot"))
+        & (F.col("__chk_live") == F.col("__chk")),
         F.lit(
             "grouped_quantiles_band: source changed since the plan was "
             "built (band bounds are a build-time snapshot) — rebuild the "

@@ -988,15 +988,26 @@ def merge_on_read_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.unionByName(post)
 
 
-def _has_table_stats(spark: SparkSession, t: str) -> bool:
-    """True iff the catalog holds ANALYZE statistics for ``t``.  The
-    catalog itself is the memo (ADVICE r10): a process-level set keyed
-    by table name survives a SparkSession rebuild while the in-memory
-    catalog does not, so the set said "analyzed" for a table whose
-    stats were gone and the CBO reorder silently didn't happen."""
+def _has_table_stats(spark: SparkSession, t: str, key_col: str) -> bool:
+    """True iff the catalog holds COLUMN-level ANALYZE statistics for
+    ``t`` (probed on ``key_col``).  The catalog itself is the memo
+    (ADVICE r10): a process-level set keyed by table name survives a
+    SparkSession rebuild while the in-memory catalog does not, so the
+    set said "analyzed" for a table whose stats were gone and the CBO
+    reorder silently didn't happen.
+
+    ADVICE r11: the r11 form probed only the table-level 'Statistics'
+    row — which a plain ``ANALYZE ... COMPUTE STATISTICS`` (no columns)
+    or ``spark.sql.statistics.size.autoUpdate.enabled`` also produces —
+    so a table with sizes but no COLUMN stats skipped the FOR ALL
+    COLUMNS run and the join-reorder DP (which needs distinct counts/
+    min/max) silently lost its inputs.  ``DESCRIBE TABLE EXTENDED t
+    col`` reports min/distinct_count as the string 'NULL' until column
+    stats exist."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {t} {key_col}").collect()
+    stats = {r[0]: r[1] for r in rows}
     return any(
-        r.col_name == "Statistics"
-        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()
+        stats.get(k) not in (None, "NULL") for k in ("distinct_count", "min")
     )
 
 
@@ -1033,8 +1044,8 @@ def _cbo_catalog_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str, str
             .option("path", path)
             .saveAsTable(c_n)
         )
-    for t in (li_n, o_n, c_n):
-        if not _has_table_stats(spark, t):
+    for t, key in ((li_n, "l_orderkey"), (o_n, "o_orderkey"), (c_n, "c_custkey")):
+        if not _has_table_stats(spark, t, key):
             spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
     return li_n, o_n, c_n
 

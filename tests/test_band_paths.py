@@ -189,6 +189,104 @@ def test_stale_snapshot_execution_fails_loudly(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS band_stale_t")
 
 
+def test_stale_new_group_fails_loudly_literal_path(spark, tmp_path):
+    """r12 (VERDICT r11 #7): a wholly NEW group appearing after plan
+    build must fail the literal-path plan loudly — its rows match no
+    when-chain branch, so the snapshot count is NULL and the guard's
+    assert_true(NULL) throws (never a silent NULL band row)."""
+    import pytest
+
+    from ida_dataengineerproject_spark.operators.ranking import (
+        grouped_quantiles_band,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS band_newg_t")
+    _mkdf(spark, 3, 50).write.option(
+        "path", str(tmp_path / "band_newg_t")
+    ).saveAsTable("band_newg_t")
+    try:
+        plan = grouped_quantiles_band(
+            spark.table("band_newg_t"), "v", ["g"], {"med": 0.5}
+        )
+        assert plan.count() == 3
+
+        # rows for group 99 only — no existing group's count changes
+        spark.createDataFrame(
+            [(99, float(i)) for i in range(20)], "g int, v double"
+        ).write.insertInto("band_newg_t")
+        with pytest.raises(Exception, match="source changed since"):
+            plan.collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_newg_t")
+
+
+def test_stale_new_group_fails_loudly_fallback_path(spark, tmp_path):
+    """r12 (ADVICE r11): same new-group mutation on the >64-group
+    broadcast-join path — the band attach is a LEFT join from live
+    rows, so the new group reaches the guard with NULL snapshots and
+    throws (the old inner join silently dropped it)."""
+    import pytest
+
+    from ida_dataengineerproject_spark.operators.ranking import (
+        grouped_quantiles_band,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS band_newg_fb_t")
+    _mkdf(spark, 80, 20).write.option(
+        "path", str(tmp_path / "band_newg_fb_t")
+    ).saveAsTable("band_newg_fb_t")
+    try:
+        plan = grouped_quantiles_band(
+            spark.table("band_newg_fb_t"), "v", ["g"], {"med": 0.5}
+        )
+        assert plan.count() == 80
+
+        spark.createDataFrame(
+            [(999, float(i)) for i in range(20)], "g int, v double"
+        ).write.insertInto("band_newg_fb_t")
+        with pytest.raises(Exception, match="source changed since"):
+            plan.collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_newg_fb_t")
+
+
+def test_stale_equal_count_substitution_fails_loudly(spark, tmp_path):
+    """r12 (ADVICE r11): replacing one in-group value with another keeps
+    the live count equal to the snapshot — the count-only r11 guard
+    passed it silently.  The value checksum (bit_xor of xxhash64)
+    catches it."""
+    import pytest
+
+    from ida_dataengineerproject_spark.operators.ranking import (
+        grouped_quantiles_band,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # one group, values 0..49; the substitution swaps the data FILE in
+    # place with one of identical byte length (same schema/row count,
+    # one value changed) — the file index snapshot cannot notice, which
+    # is exactly the mutation only a value checksum catches
+    d = tmp_path / "band_subst_p"
+    d.mkdir()
+    f = str(d / "part-0.parquet")
+    pq.write_table(
+        pa.table({"g": [1] * 50, "v": [float(i) for i in range(50)]}), f
+    )
+    swapped = pa.table(
+        {"g": [1] * 50, "v": [float(i) if i != 49 else 1e6 for i in range(50)]}
+    )
+    plan = grouped_quantiles_band(
+        spark.read.parquet(str(d)), "v", ["g"], {"med": 0.5}
+    )
+    assert plan.count() == 1
+
+    pq.write_table(swapped, f)
+    with pytest.raises(Exception, match="source changed since"):
+        plan.collect()
+
+
 def test_stale_snapshot_order_statistics_fail_loudly(spark, tmp_path):
     """Same r11 guard for order_statistic_tuples: its snapshot inlines n
     and every rank target as literals, so a mutated source must fail the
