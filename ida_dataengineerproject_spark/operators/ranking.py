@@ -1008,10 +1008,20 @@ def order_statistic_tuples(
         q = num / den
         probes.append(max(0.0, q - 4 * eps))
         probes.append(min(1.0, q + 4 * eps))
+    def _vchk(vc: str) -> F.Column:
+        # order-independent per-dimension value checksum (r12, same
+        # rationale as grouped_quantiles_band's __chk): NULLs are
+        # excluded so the checksum tracks exactly the values __n_{vc}
+        # counts (bit_xor ignores NULL inputs; the when() maps null
+        # rows to NULL)
+        v = F.col(vc)
+        return F.bit_xor(F.when(v.isNotNull(), F.xxhash64(v)))
+
     band_aggs = [F.count("*").alias("__tot")]
     for vc in value_cols:
         band_aggs += [
             F.count(vc).alias(f"__n_{vc}"),
+            _vchk(vc).alias(f"__chk_{vc}"),
             F.min(vc).alias(f"__mn_{vc}"),
             F.max(vc).alias(f"__mx_{vc}"),
             F.percentile_approx(
@@ -1042,9 +1052,12 @@ def order_statistic_tuples(
             bounds[(vc, name)] = (blo_v, bhi_v)
     # live counts alongside the snapshot literals: the runtime staleness
     # guard (ADVICE r10) — see the assert_true gating below
-    cnt_aggs = [F.count("*").alias("__tot_live")] + [
-        F.count(vc).alias(f"__n_live_{vc}") for vc in value_cols
-    ]
+    cnt_aggs = [F.count("*").alias("__tot_live")]
+    for vc in value_cols:
+        cnt_aggs += [
+            F.count(vc).alias(f"__n_live_{vc}"),
+            _vchk(vc).alias(f"__chk_live_{vc}"),
+        ]
     in_any_band = None
     for vc in value_cols:
         v = F.col(vc)
@@ -1095,8 +1108,15 @@ def order_statistic_tuples(
         .alias("n")
     ]
     for vc in value_cols:
+        # count + checksum (r12): count alone passed an equal-count
+        # value substitution silently; NULL-safe equality on the
+        # checksum — both sides are NULL when the dimension has no
+        # non-null values at all, which is a MATCH, not a mutation
         vc_ok = F.assert_true(
-            F.col(f"__n_live_{vc}") == F.lit(brow[f"__n_{vc}"]),
+            (F.col(f"__n_live_{vc}") == F.lit(brow[f"__n_{vc}"]))
+            & F.col(f"__chk_live_{vc}").eqNullSafe(
+                F.lit(brow[f"__chk_{vc}"])
+            ),
             F.lit(_stale_msg),
         )
         for name, (num, den) in rank_fracs.items():

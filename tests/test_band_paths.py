@@ -313,3 +313,46 @@ def test_stale_snapshot_order_statistics_fail_loudly(spark, tmp_path):
             plan.collect()
     finally:
         spark.sql("DROP TABLE IF EXISTS ost_stale_t")
+
+
+def test_stale_substitution_order_statistics_fails_loudly(spark, tmp_path):
+    """r12: equal-count value substitution against order_statistic_tuples
+    — count-equal, value-changed via a same-size in-place file swap; the
+    per-dimension checksum must fail the job."""
+    import pytest
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ida_dataengineerproject_spark.operators.ranking import (
+        order_statistic_tuples,
+    )
+
+    d = tmp_path / "ost_subst_p"
+    d.mkdir()
+    f = str(d / "part-0.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "v": [float(i) for i in range(300)],
+                "tb": list(range(300)),
+            }
+        ),
+        f,
+    )
+    plan = order_statistic_tuples(
+        spark.read.parquet(str(d)), ["v"], "tb", {"t1": (1, 3)}
+    )
+    assert plan.count() == 1
+
+    pq.write_table(
+        pa.table(
+            {
+                "v": [float(i) if i != 250 else -5.0 for i in range(300)],
+                "tb": list(range(300)),
+            }
+        ),
+        f,
+    )
+    with pytest.raises(Exception, match="source changed since"):
+        plan.collect()
