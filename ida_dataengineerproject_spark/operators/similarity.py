@@ -323,11 +323,17 @@ def cosine_topk_ivf(
         # multiple assignment can surface the same (query, neighbor)
         # candidate through several shared lists — fold duplicates on
         # the candidate grain BEFORE ranking (cosine is deterministic,
-        # so max == the single value); the grain is bounded by probe
-        # coverage and the aggregate shares the window's query_id
-        # partitioning
-        scored = scored.groupBy("query_id", "neighbor_id").agg(
-            F.max("cosine").alias("cosine")
+        # so max == the single value).  The explicit repartition on
+        # query_id ALONE makes one exchange serve both the dedup
+        # aggregate (hash(query_id) clusters every (query, neighbor)
+        # pair — a subset partitioning satisfies ClusteredDistribution)
+        # and the ranking window (whose requirement it matches exactly);
+        # left alone the planner would shuffle on (query_id,
+        # neighbor_id) and then AGAIN on query_id for the window.
+        scored = (
+            scored.repartition("query_id")
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("cosine").alias("cosine"))
         )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

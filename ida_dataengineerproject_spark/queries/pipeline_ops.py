@@ -157,7 +157,7 @@ def q12_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle/broadcast — runs exchange-free off the bucketed scans
     (sources/bucketed.bucketed_fact pins shuffle_hash, so the slimmed
     15 M-row orders side is never broadcast-built at scale either);
-    only the 3-row returnflag aggregate remains.  Seventh member of the
+    only the 3-row returnflag aggregate remains.  Member of the
     bucketed family; production path via queries/production.py."""
     from ..sources.bucketed import bucketed_fact
 

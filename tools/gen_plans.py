@@ -11,6 +11,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 PICKS = {
     "flagship_taxa_variacao": "the reference's one query: joins -> filter -> monthly AVG -> LAG -> pct-change -> pivot",
     "tpch_q5_region_revenue": "star join: one fact-fact shuffle, all dims broadcast",
+    "tpch_q5_bucketed": "r12 production arm: same star join, fact-fact exchange DELETED by the bucketed-at-rest layout (broadcast dim joins preserve the scans' distribution)",
     "op16_unpivot_measures": "wide->long with zero shuffles (single Expand)",
     "x02b_minhash_lsh_pairs": "MinHash banding: candidates via equi-join, no cartesian",
     "x08_topk_per_key": "ranked filter compiled to WindowGroupLimit",
