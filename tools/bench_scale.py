@@ -157,9 +157,15 @@ def run_duck(oracles: dict, name: str, sf_dir: str, cap: float):
 
 
 def check_ratio_guard(prev_path: str, factor: int, rows: dict) -> dict:
-    """Compare this run's ratios against a prior run's: every previously
-    <= 2x row must stay <= 2.4x (2x contract + 20% jitter margin).
-    Returns the guard verdict dict ("ok" / "regressions" / skip note)."""
+    """Compare this run's ratios against a prior run's.  EVERY common
+    row is guarded against its own prior ratio (r12; was: only rows
+    previously <= 2x): a row's bound is ``max(2.0, prev_ratio) * 1.2``
+    — rows inside the 2x contract must stay <= 2.4x, rows already
+    outside it (retired/overhead-class) may not regress a further 20%.
+    The old <=2x-only rule let a row that drifted 1.46x -> 2.02x fall
+    OUT of the next round's guard set entirely (x26 in r12) — silent
+    rot with the gate nominally green.  Returns the guard verdict dict
+    ("ok" / "regressions" / skip note)."""
     with open(prev_path) as fh:
         prev = json.load(fh)
     if prev.get("factor") != factor:
@@ -167,24 +173,26 @@ def check_ratio_guard(prev_path: str, factor: int, rows: dict) -> dict:
             "skipped": f"factor mismatch: prev={prev.get('factor')}, "
             f"this run={factor}"
         }
-    margin = 2.0 * 1.2
     regressions = {}
+    n_guarded = 0
     for name, pr in prev.get("queries", {}).items():
-        if pr.get("ratio") is None or pr["ratio"] > 2.0:
-            continue  # only guard rows that were inside the contract
+        if pr.get("ratio") is None:
+            continue
         cur = rows.get(name, {})
         if cur.get("ratio") is None:
             continue  # not timed this run (err or capped oracle) — visible elsewhere
-        if cur["ratio"] > margin:
-            regressions[name] = {"was": pr["ratio"], "now": cur["ratio"]}
+        n_guarded += 1
+        bound = max(2.0, pr["ratio"]) * 1.2
+        if cur["ratio"] > bound:
+            regressions[name] = {
+                "was": pr["ratio"],
+                "now": cur["ratio"],
+                "bound": round(bound, 2),
+            }
     return {
         "prev": os.path.basename(prev_path),
-        "margin": margin,
-        "n_guarded": sum(
-            1
-            for pr in prev.get("queries", {}).values()
-            if pr.get("ratio") is not None and pr["ratio"] <= 2.0
-        ),
+        "margin": "max(2.0, prev_ratio) * 1.2 per row",
+        "n_guarded": n_guarded,
         "ok": not regressions,
         **({"regressions": regressions} if regressions else {}),
     }
