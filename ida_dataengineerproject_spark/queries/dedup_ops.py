@@ -43,6 +43,44 @@ def q_x01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x01_bucketed",
+    """
+    SELECT doc_id, hash_registro, n_dups
+    FROM (SELECT doc_id, md5(text) AS hash_registro,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+                 count(*) OVER (PARTITION BY md5(text)) AS n_dups
+          FROM documents)
+    WHERE rn = 1
+    """,
+)
+def q_x01_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x01 over the content-addressed at-rest layout (same oracle as
+    x01_exact_dedup): ``documents`` lives bucketed+sorted on a STORED
+    ``hash_registro = md5(text)`` column
+    (sources/bucketed.bucketed_documents_by_hash), so the dedup
+    window's hash-grain partitioning — the plain arm's only exchange —
+    is satisfied straight off the scan.  The r11 TPC-H bucketed family
+    applied the at-rest posture to the star schema; this applies it to
+    the LLM-pipeline side, where exact dedup is the single biggest
+    recurring job at 100 TB.  Production path via
+    queries/production.py; the plain arm stays registered as the
+    unkeyed-parquet demonstrator."""
+    from ..sources.bucketed import bucketed_documents_by_hash
+    from pyspark.sql.window import Window
+
+    d = bucketed_documents_by_hash(spark, sf_dir)
+    w = Window.partitionBy("hash_registro").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_dups", F.count("*").over(Window.partitionBy("hash_registro"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "hash_registro", "n_dups")
+    )
+
+
+@register(
     "x01b_normalized_dedup",
     """
     SELECT doc_id, hash_registro, n_dups

@@ -47,6 +47,7 @@ def production_overrides() -> dict[str, QueryFn]:
         q10_bucketed,
         q21_bucketed,
     )
+    from .dedup_ops import q_x01_bucketed
     from .vector_ops import (
         cosine_topk_ivf_query,
         cosine_topk_lsh_query,
@@ -78,6 +79,10 @@ def production_overrides() -> dict[str, QueryFn]:
         # r11 bucketed layout (kills the order-grain aggregate exchange).
         "tpch_q21_suppliers_kept_waiting": q21_bucketed,
         "tpch_q21b_aggregate_rewrite": q21_bucketed,
+        # r12: the content-addressed layout — documents bucketed on a
+        # stored md5(text); exact dedup's hash-grain window runs
+        # exchange-free off the scan
+        "x01_exact_dedup": q_x01_bucketed,
         "x03h_cosine_topk_pq": cosine_topk_pq_query,
         "xt14_ngram_vocab_estimate": ngram_vocab_estimate,
         "x09_approx_count_distinct": approx_distinct_users,

@@ -62,13 +62,22 @@ def ensure_bucketed(
     key: str,
     cols: list[str],
     n_buckets: int | None = None,
+    derived: dict[str, str] | None = None,
 ) -> str:
     """Materialize ``{sf_dir}/{tbl}.parquet`` (projected to ``cols``) as a
     catalog bucketed table, bucketed AND sorted on ``key``; return the
-    table name.  Idempotent per (process, sf_dir, tbl, cols): reruns in
-    bench/parity reuse the table (`tableExists` gate) — the one-time
-    write cost lands on the first run only, which is the honest analogue
-    of a warehouse that keeps its fact tables bucketed at rest.
+    table name.  Idempotent per (process, sf_dir, tbl, cols, derived):
+    reruns in bench/parity reuse the table (`tableExists` gate) — the
+    one-time write cost lands on the first run only, which is the honest
+    analogue of a warehouse that keeps its fact tables bucketed at rest.
+
+    ``derived`` adds computed columns (name → SQL expression string)
+    BEFORE bucketing, so the bucket key may be a derived value — the
+    ingest-time pattern for content-addressed layouts (r12: a
+    ``md5(text)`` content hash stored as a column and bucketed on, so
+    every downstream dedup/grouping on the hash is exchange-free).  The
+    expression text rides the memo tag: two calls deriving different
+    expressions never share a table.
 
     The ``repartition(n, key)`` before the write aligns write tasks with
     buckets (Spark's repartition hash IS the bucketing hash): exactly one
@@ -79,16 +88,18 @@ def ensure_bucketed(
     # bucketing the same (table, cols) on a DIFFERENT key would silently
     # reuse a table bucketed on the wrong key — the catalog's real bucket
     # spec wins and the expected exchange-free plan quietly disappears.
+    dtag = ";".join(f"{k}={v}" for k, v in sorted((derived or {}).items()))
     tag = hashlib.md5(
-        f"{sf_dir}|{key}|{','.join(cols)}|{n}".encode()
+        f"{sf_dir}|{key}|{','.join(cols)}|{n}|{dtag}".encode()
     ).hexdigest()[:8]
     name = f"bkt{n}_{tbl}_{tag}"
     if not spark.catalog.tableExists(name):
         base = _bucket_root()
+        df = table(spark, sf_dir, tbl).select(*cols)
+        for dname, expr in (derived or {}).items():
+            df = df.withColumn(dname, F.expr(expr))
         (
-            table(spark, sf_dir, tbl)
-            .select(*cols)
-            .repartition(n, F.col(key))
+            df.repartition(n, F.col(key))
             .write.mode("overwrite")
             .format("parquet")
             .bucketBy(n, key)
@@ -153,3 +164,33 @@ def bucketed_fact(
     return spark.table(
         ensure_bucketed(spark, sf_dir, tbl, key, cols, n_buckets)
     ).hint("shuffle_hash")
+
+
+def bucketed_documents_by_hash(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """The content-addressed at-rest copy of ``documents`` (r12): full
+    width plus a stored ``hash_registro = md5(text)`` column, bucketed
+    AND sorted on that hash.  At 100 TB, exact dedup is the single
+    biggest recurring job a training-data warehouse runs — and its only
+    shuffle is the hash-grain exchange.  Storing the content hash at
+    ingest and bucketing on it (the content-addressed layout) deletes
+    that exchange for EVERY downstream hash-keyed operation: exact
+    dedup, duplicate counting, cross-snapshot containment.  One copy
+    per process serves them all (memoized like the fact tables; a real
+    warehouse pays the hash+write once at ingest).  No join hint — the
+    consumers are windows/aggregates, not joins."""
+    cols = table(spark, sf_dir, "documents").columns
+    return spark.table(
+        ensure_bucketed(
+            spark,
+            sf_dir,
+            "documents",
+            "hash_registro",
+            cols,
+            n_buckets,
+            derived={"hash_registro": "md5(text)"},
+        )
+    )

@@ -769,6 +769,20 @@ def test_q18_bucketed_fact_join_is_exchange_free(spark):
     _assert_bucketed_fact_join_exchange_free(spark, "tpch_q18_bucketed")
 
 
+def test_x01_bucketed_dedup_window_is_exchange_free(spark):
+    """x01_bucketed (r12): the content-addressed documents layout — a
+    STORED md5(text) hash column, bucketed on it — must satisfy the
+    dedup window's hash-grain partitioning straight off the scan: ZERO
+    hashpartitioning exchanges anywhere (the plain arm's only shuffle
+    is exactly this one)."""
+    from ida_dataengineerproject_spark.registry import ORIGINALS
+
+    plan = _plan_no_broadcast(spark, ORIGINALS["x01_bucketed"], SF_SMOKE)
+    assert plan.count("Bucketed: true") == 1
+    assert "hashpartitioning(hash_registro" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_q21_bucketed_order_grain_agg_is_exchange_free(spark):
     """tpch_q21_bucketed (r11): BOTH the lineitem⋈orders join and the
     order-grain groupBy(l_orderkey) key the facts' at-rest bucket key,

@@ -74,7 +74,8 @@ DEFAULT_QUERIES = [
     "tpch_q21_suppliers_kept_waiting", "tpch_q21b_aggregate_rewrite",
     "tpch_q21_bucketed", "tpch_q22_global_sales_opportunity",
     "tpch_q8_bucketed", "tpch_q10_bucketed",
-    "x01_exact_dedup", "x02_ngram_jaccard_pairs", "x02b_minhash_lsh_pairs",
+    "x01_exact_dedup", "x01_bucketed",
+    "x02_ngram_jaccard_pairs", "x02b_minhash_lsh_pairs",
     "x02c_simhash_pairs", "x02d_dedup_components",
     "x03b_cosine_topk_lsh", "x03d_cosine_topk_ivf",
     "x03f_semantic_dedup_keep", "x03g_semantic_dedup_lsh",
