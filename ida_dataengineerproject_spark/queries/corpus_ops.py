@@ -291,6 +291,41 @@ def q_xt12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xt12_bucketed",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    WHERE doc_id % 7 <> 0
+      AND md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) NOT IN (
+          SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+          FROM documents WHERE doc_id % 7 = 0)
+    """,
+)
+def q_xt12_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xt12 over the content-addressed at-rest layout (same oracle as
+    xt12_cross_corpus_dedup): both the new crawl and the reference
+    corpus are snapshots of the SAME fingerprint-bucketed store
+    (sources/bucketed.bucketed_documents_by_fingerprint), so the LEFT
+    ANTI join on fp — the plain arm's broadcast, which at real scale
+    would be a both-sides shuffle (yesterday's crawl does not fit in a
+    broadcast) — consumes the two bucketed scans co-located, with the
+    fingerprint computed once at ingest instead of once per side per
+    run.  Production path via queries/production.py."""
+    from ..sources.bucketed import bucketed_documents_by_fingerprint
+
+    d = bucketed_documents_by_fingerprint(spark, sf_dir)
+    existing = (
+        d.filter(F.col("doc_id") % 7 == 0).select("fp").distinct()
+    )
+    return (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .join(existing.hint("shuffle_hash"), "fp", "left_anti")
+        .select("doc_id", "fp")
+    )
+
+
+@register(
     "xt13_per_source_cap",
     """
     SELECT source, CAST(count(*) AS INTEGER) AS n_kept,

@@ -166,6 +166,38 @@ def bucketed_fact(
     ).hint("shuffle_hash")
 
 
+# the normalized-fingerprint expression as SQL (functions/hashing.
+# text_fingerprint's expr twin — kept textually in sync by
+# tests/test_dedup_similarity.py::test_fingerprint_sql_twin_matches)
+FINGERPRINT_SQL = "md5(regexp_replace(trim(lower(text)), '\\\\s+', ' '))"
+
+
+def bucketed_documents_by_fingerprint(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """``documents`` bucketed+sorted on a STORED normalized-text
+    fingerprint (``fp``) — the content-addressed layout keyed the way a
+    rolling-crawl pipeline actually dedups (case-fold + whitespace-
+    collapse before hashing, reference etl_ida.py:398-404).  Serves
+    every fp-keyed operation exchange-free: normalized dedup (x01b
+    shape) and, critically, the cross-corpus anti-join (xt12) where
+    BOTH sides are snapshots of the same content-addressed store."""
+    cols = table(spark, sf_dir, "documents").columns
+    return spark.table(
+        ensure_bucketed(
+            spark,
+            sf_dir,
+            "documents",
+            "fp",
+            cols,
+            n_buckets,
+            derived={"fp": FINGERPRINT_SQL},
+        )
+    )
+
+
 def bucketed_documents_by_hash(
     spark: SparkSession,
     sf_dir: str,

@@ -320,3 +320,23 @@ def test_cosine_pq_recall_and_codebook_shape(spark):
     b2 = fit_pq_codebooks(c, m_subspaces=16)
     assert b1.shape == (16, 16, 4)
     assert np.array_equal(b1, b2)  # deterministic fit, no RNG
+
+
+def test_fingerprint_sql_twin_matches(spark):
+    """r12: sources/bucketed.FINGERPRINT_SQL (the derived-column SQL the
+    content-addressed documents layout stores) must equal
+    functions/hashing.text_fingerprint row-for-row — a drift between
+    the two would bucket on one hash and dedup on another."""
+    from ida_dataengineerproject_spark.functions.hashing import (
+        text_fingerprint,
+    )
+    from ida_dataengineerproject_spark.sources.bucketed import (
+        FINGERPRINT_SQL,
+    )
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    n = d.filter(
+        F.expr(FINGERPRINT_SQL) != text_fingerprint("text")
+    ).count()
+    assert n == 0

@@ -783,6 +783,18 @@ def test_x01_bucketed_dedup_window_is_exchange_free(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_xt12_bucketed_anti_join_is_exchange_free(spark):
+    """xt12_bucketed (r12): both anti-join sides are snapshots of the
+    SAME fingerprint-bucketed store, so the LEFT ANTI on fp and the
+    reference-side distinct both consume the bucketed scans with no
+    hashpartitioning exchange anywhere."""
+    from ida_dataengineerproject_spark.registry import ORIGINALS
+
+    plan = _plan_no_broadcast(spark, ORIGINALS["xt12_bucketed"], SF_SMOKE)
+    assert plan.count("Bucketed: true") == 2
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_q21_bucketed_order_grain_agg_is_exchange_free(spark):
     """tpch_q21_bucketed (r11): BOTH the lineitem⋈orders join and the
     order-grain groupBy(l_orderkey) key the facts' at-rest bucket key,

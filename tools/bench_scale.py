@@ -100,6 +100,7 @@ DEFAULT_QUERIES = [
     "xs14_shallow_clone_divergence", "xs15_dynamic_partition_overwrite",
     "xs16_merge_on_read_state", "xs6_merge_cow_state",
     "xt8_contamination_overlap", "xt9_repetition_filter",
+    "xt12_cross_corpus_dedup", "xt12_bucketed",
     "xt14_ngram_vocab_estimate", "xt17_segment_dedup",
     "xt20_ngram_containment_pairs", "xt21_dup_span_stats",
     "xt27_dataset_datasheet", "xt31_length_token_correlation",
