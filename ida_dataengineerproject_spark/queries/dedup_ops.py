@@ -18,7 +18,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from ..registry import register
+from ..registry import ORACLES, register
 from ..sources.tables import table
 
 
@@ -99,6 +99,28 @@ def q_x01b(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return exact_dedup(d, text_fingerprint("text"), "doc_id").select(
         "doc_id", "hash_registro", "n_dups"
+    )
+
+
+@register("x01b_bucketed", ORACLES["x01b_normalized_dedup"])
+def q_x01b_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x01b over the SAME fingerprint-bucketed store xt12_bucketed
+    reads (same oracle as x01b_normalized_dedup): one content-addressed
+    copy of documents serves BOTH the normalized dedup window and the
+    cross-corpus anti-join exchange-free — the memoized table is shared
+    within the process, exactly as a warehouse shares the layout across
+    nightly jobs.  The fingerprint is computed once at ingest, not once
+    per run."""
+    from ..sources.bucketed import bucketed_documents_by_fingerprint
+    from pyspark.sql.window import Window
+
+    d = bucketed_documents_by_fingerprint(spark, sf_dir)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("fp").alias("hash_registro"), "n_dups")
     )
 
 

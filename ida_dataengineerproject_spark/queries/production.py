@@ -48,7 +48,7 @@ def production_overrides() -> dict[str, QueryFn]:
         q21_bucketed,
     )
     from .corpus_ops import q_xt12_bucketed
-    from .dedup_ops import q_x01_bucketed
+    from .dedup_ops import q_x01_bucketed, q_x01b_bucketed
     from .vector_ops import (
         cosine_topk_ivf_query,
         cosine_topk_lsh_query,
@@ -84,6 +84,7 @@ def production_overrides() -> dict[str, QueryFn]:
         # stored md5(text); exact dedup's hash-grain window runs
         # exchange-free off the scan
         "x01_exact_dedup": q_x01_bucketed,
+        "x01b_normalized_dedup": q_x01b_bucketed,
         "xt12_cross_corpus_dedup": q_xt12_bucketed,
         "x03h_cosine_topk_pq": cosine_topk_pq_query,
         "xt14_ngram_vocab_estimate": ngram_vocab_estimate,

@@ -783,6 +783,17 @@ def test_x01_bucketed_dedup_window_is_exchange_free(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_x01b_bucketed_dedup_window_is_exchange_free(spark):
+    """x01b_bucketed (r12): the normalized-dedup window consumes the
+    same fingerprint-bucketed store as xt12_bucketed — zero
+    hashpartitioning exchanges."""
+    from ida_dataengineerproject_spark.registry import ORIGINALS
+
+    plan = _plan_no_broadcast(spark, ORIGINALS["x01b_bucketed"], SF_SMOKE)
+    assert plan.count("Bucketed: true") == 1
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_xt12_bucketed_anti_join_is_exchange_free(spark):
     """xt12_bucketed (r12): both anti-join sides are snapshots of the
     SAME fingerprint-bucketed store, so the LEFT ANTI on fp and the
