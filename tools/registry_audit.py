@@ -52,7 +52,13 @@ TABLES = (
 ALLOWED_FAMILIES = [
     ("x01", "exact-dedup vs normalized-text-dedup arms"),
     ("x03", "cosine top-k arms: exact / LSH / IVF / PQ / semantic-dedup"),
+    ("x01", "exact-dedup arms: plain / content-addressed bucketed"),
     ("x02", "near-dup arms: ngram / MinHash-LSH / SimHash / components"),
+    (
+        "xt12",
+        "cross-corpus dedup: broadcast arm vs content-addressed "
+        "bucketed arm (r12 — same oracle, different storage posture)",
+    ),
     ("x09", "count-distinct arms: exact / HLL / CMS / KMV"),
     ("x06", "tumbling vs sliding window"),
     ("x11", "funnel first-touch vs retention"),
