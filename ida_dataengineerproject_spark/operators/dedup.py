@@ -199,17 +199,28 @@ def minhash_lsh_pairs(
     same banding curve; the exact-Jaccard verification step makes the
     final pairs family-independent above the threshold.
     """
+    from pyspark.storagelevel import StorageLevel
+
     rows_per_band = k // bands
     sh = df.select(
         F.col(id_col).alias("id"), ngram_shingles(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0)
 
+    # parallelize the signature stage even when the source is a single
+    # parquet partition (see simhash_chunks for rationale)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if sh.rdd.getNumPartitions() < target:
+        sh = sh.repartition(target)
+    # THREE consumers read sh (banding, and both sides of the verify
+    # join): materialize it once instead of recomputing scan + shingle
+    # build per consumer (guide §8: compute the proxy once).  DISK_ONLY —
+    # shingle arrays are corpus-sized; keep them off the unified pool
+    # (the graph.py r9 storage-squeeze lesson) and let the page cache
+    # serve re-reads.  r12 measured at sf0.1: pipeline 3.4 → 2.6 s,
+    # x02b 1.55 → 1.34 s, pair set identical.
+    sh = sh.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+
     if arrow:
-        # parallelize the Python signature stage even when the source is a
-        # single parquet partition (see simhash_chunks for rationale)
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if sh.rdd.getNumPartitions() < target:
-            sh = sh.repartition(target)
         banded = _banded_minhash_pandas(sh, k, bands)
     else:
         # signature → per-band hashes inside one let-bound expression: the
@@ -446,6 +457,12 @@ def simhash_pairs(
     if n_chunks < max_hamming + 1:
         raise ValueError("need n_chunks >= max_hamming+1 for pigeonhole recall")
     chunks = simhash_chunks(df, id_col, text_col, n_chunks, chunk_bits, arrow)
+    # both sides of the banding self-join read chunks — without this the
+    # signature stage (the mapInPandas kernel on the arrow path) executes
+    # twice; the frame is narrow fixed-width rows (id, sig, chunk, cv),
+    # so the default storage level is fine.  r12 measured at sf0.1:
+    # 1.15 → 0.79 s, pair set identical.
+    chunks = chunks.localCheckpoint(eager=True)
     # unrolled per-chunk XOR popcount: plain expressions stay inside
     # whole-stage codegen, where a zip_with/aggregate lambda would be
     # interpreted per candidate pair — and on a near-duplicate-heavy
