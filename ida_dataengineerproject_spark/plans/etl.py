@@ -205,8 +205,17 @@ def ingest(
 def write_star(star: dict[str, DataFrame], base_dir: str) -> None:
     """Persist the star schema: dims plain, fact partitioned by year via the
     tempo dim (partition pruning for time-range queries — the Spark
-    equivalent of the reference's fact indexes, schema_star.sql:96-101)."""
-    for name, df in star.items():
+    equivalent of the reference's fact indexes, schema_star.sql:96-101).
+
+    The five table writes are independent jobs (the fact plan reuses the
+    LAZY dim frames, never the dim files), so they run from a small
+    thread pool (guide §2.6 — overlap independent jobs): wall is the
+    slowest write, not the sum of five job round-trips.  On a cluster
+    the later jobs back-fill executors freed by the earlier jobs' tails."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_one(item: tuple[str, DataFrame]) -> None:
+        name, df = item
         if name == "fact_ida":
             with_ano = df.join(
                 F.broadcast(star["dim_tempo"].select("tempo_key", "ano")), "tempo_key"
@@ -218,3 +227,7 @@ def write_star(star: dict[str, DataFrame], base_dir: str) -> None:
             # dims are small by construction (distinct natural keys):
             # one output file each instead of shuffle.partitions files
             df.coalesce(1).write.mode("overwrite").parquet(f"{base_dir}/{name}")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        # consume the iterator so the first exception propagates
+        list(pool.map(write_one, star.items()))
