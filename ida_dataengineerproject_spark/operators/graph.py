@@ -186,8 +186,15 @@ def count_triangles(
     # rows <= |deg|.  Bytes: 8 B/long id ×2 for the
     # BroadcastHashedRelation's boxing/hash overhead, plus per-row
     # array+key overhead.
-    n_edges_m = und.count()
-    n_nodes_m = deg.count()
+    # one tiny job over the checkpointed degree table gives BOTH gate
+    # numbers: every und row contributes 2 to Σdeg, so |und| = Σdeg/2 —
+    # the und.count() full-snapshot scan this replaces measured ~0.3 s
+    # of pure job overhead at sf0.1 (r12)
+    _gate = deg.agg(
+        F.count("*").alias("n"), F.sum("deg").alias("sd")
+    ).first()
+    n_nodes_m = int(_gate["n"])
+    n_edges_m = int(_gate["sd"] or 0) // 2
     adj_bytes = n_edges_m * 16 + n_nodes_m * 64
     gather = F.collect_list if edges_unique else F.collect_set
 
