@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.hashing import text_fingerprint
 from ..functions.textstats import lang_id, n_tokens, quality_score, token_count_bpe_ish
@@ -45,6 +46,14 @@ def prepare_documents(
     )
 
     deduped = exact_dedup(gated, text_fingerprint("text"), "doc_id")
+    # TWO consumers re-run the scan + regex gates + dedup window otherwise
+    # (the near-dup pair build and the survivors anti-join side) — the
+    # quality/lang regexes are the corpus-scale cost, so recomputing them
+    # is worse than one DISK_ONLY materialization.  r12: neutral at sf0.1
+    # (2.60 vs 2.64 s), 11.62 → 9.94 s at the x10 replica, rows identical.
+    deduped = deduped.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
 
     pairs = minhash_lsh_pairs(
         deduped, "doc_id", "text", threshold=neardup_threshold
