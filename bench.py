@@ -120,8 +120,13 @@ def main() -> None:
         result["duckdb"] = duck
 
     # Full per-query detail goes to a file (and one full stdout line for
-    # humans); the FINAL stdout line is a compact summary that fits the
-    # driver's bounded tail capture, so its recorded artifact parses.
+    # humans); the FINAL stdout line must parse out of the driver's
+    # 2000-char tail capture: BENCH_r01..r06 (full dict last, >2000
+    # chars) record `parsed: null`, while r08+ (compact line last) parse
+    # — so the full 235-row dict cannot ride the final line.  Instead
+    # the final line inlines as many per-query timings as fit, slowest
+    # first (the head rows carry nearly all of the wall), so the
+    # driver's per-query comparison has real data (VERDICT r12 #2).
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "artifacts", "bench_full.json"
     )
@@ -132,9 +137,6 @@ def main() -> None:
     except OSError:
         out_path = None
     print(json.dumps(result))
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:8]
-    )
     compact = {
         "metric": result["metric"],
         "value": result["value"],
@@ -142,11 +144,18 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "slowest": slowest,
+        "queries": {},
+        "queries_inline": "slowest-first subset sized to the 2000-char tail",
         "queries_file": out_path,
     }
     if with_duckdb and "duckdb" in result:
         compact["duckdb_total"] = round(sum(result["duckdb"].values()), 3)
+    inline = compact["queries"]
+    for name, secs in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        inline[name] = secs
+        if len(json.dumps(compact)) > 1900:  # margin under the 2000B window
+            del inline[name]
+            break
     print(json.dumps(compact))
     # exit 0 as long as at least one query produced a timing: partial bench
     # beats no bench, and "errors" carries the red rows for the record
