@@ -171,14 +171,29 @@ def mg_candidates(
 
     The stream is NOT repartitioned here: callers exploding tokens
     should round-robin the parent rows (docs) before the explode —
-    shuffling the exploded stream itself would defeat the point."""
+    shuffling the exploded stream itself would defeat the point.
+
+    Boundary kernel (r13, guide §4.2): ``mapInArrow`` +
+    ``pyarrow.compute.value_counts`` — the per-batch tally runs in
+    Arrow C++ over the columnar batch as-is.  The previous
+    ``mapInPandas`` form converted every batch to pandas first, boxing
+    each key into a Python object before hashing it; the dict merge
+    below touches only the DISTINCT keys of each batch (≪ rows), and
+    the decrement rule is byte-identical to the r6 form, so the
+    superset guarantee and its tests are unchanged."""
 
     def gen(batches):
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         counters: dict = {}
-        for pdf in batches:
-            for k, c in pdf[key_col].value_counts().items():
+        ktype = None
+        for batch in batches:
+            ktype = batch.schema.field(0).type
+            vc = pc.value_counts(batch.column(0))
+            for k, c in zip(
+                vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+            ):
                 counters[k] = counters.get(k, 0) + int(c)
             if len(counters) > capacity:
                 vals = sorted(counters.values(), reverse=True)
@@ -186,7 +201,10 @@ def mg_candidates(
                 counters = {
                     k: v - dec for k, v in counters.items() if v > dec
                 }
-        yield pd.DataFrame({key_col: list(counters.keys())})
+        if counters:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(counters.keys()), type=ktype)], names=[key_col]
+            )
 
     from pyspark.sql.types import StructType
 
@@ -194,7 +212,7 @@ def mg_candidates(
     # would silently stringify e.g. bigint keys, and heavy_hitters' join
     # then compares mismatched types via implicit cast (ADVICE r6)
     out_schema = StructType([keys.schema[key_col]])
-    return keys.mapInPandas(gen, schema=out_schema).distinct()
+    return keys.mapInArrow(gen, schema=out_schema).distinct()
 
 
 def heavy_hitters(

@@ -576,8 +576,9 @@ def test_heavy_hitters_single_python_stage_and_broadcast_confirm(spark):
     # executedPlan string lists each node once (formatted mode repeats
     # nodes in the details section)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # exactly one Arrow stage (the MG candidate pass)
-    assert plan.count("MapInPandas") == 1
+    # exactly one Arrow stage (the MG candidate pass; mapInArrow since
+    # r13 — pyarrow value_counts per batch instead of pandas boxing)
+    assert plan.count("MapInArrow") + plan.count("MapInPandas") == 1
     # the confirm pass filters via broadcast join, not a shuffle join
     assert "BroadcastHashJoin" in plan
     # the only single-partition exchange allowed is the 1-row global
