@@ -45,8 +45,14 @@ def exact_dedup(df: DataFrame, hash_col: Column, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------- jaccard
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Set Jaccard over two (distinct-element) arrays — exact ints → exact
-    double division, oracle-reproducible.
+    """Set Jaccard over two arrays — exact ints → exact double division,
+    oracle-reproducible.
+
+    PRECONDITION: both arrays must be DISTINCT-ELEMENT (e.g. built by
+    array_distinct / collect_set / ngram_shingles).  With duplicate
+    elements the |A|+|B|−|A∩B| union identity below silently returns
+    wrong values (the pre-r12 array_union form deduped as a side
+    effect; this one does not — ADVICE r12).
 
     Computes only |A∩B| (let-bound, one evaluation) and derives the union
     by the exact integer identity |A∪B| = |A|+|B|−|A∩B| — valid because
@@ -547,9 +553,24 @@ def ppjoin_pairs(
     )
     dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "s")
+
+    # ceil over a Python-float product can land one ABOVE the exact
+    # rational bound when that bound is an integer the binary float
+    # rounds up past (ADVICE r12) — an over-tight bound here would
+    # shorten a prefix / prune a true boundary pair and break the
+    # recall-1 contract for some thresholds.  Subtracting 1e-9 before
+    # ceil restores the exact bound whenever it is an integer and is
+    # far below the gap to the next representable rational otherwise
+    # (shingle sets are ≤ ~10⁴ elements, so bound fractions are ≥ ~1e-4
+    # away from integers when non-integral).  At t=0.5 every bound is
+    # exact in binary and the output is bit-identical (pinned by the
+    # boundary-threshold tests in test_vocab_ops.py).
+    def _ceil_eps(x: Column) -> Column:
+        return F.ceil(x - F.lit(1e-9))
+
     pref_len = (
         F.col("sz")
-        - F.ceil(F.lit(threshold) * F.col("sz")).cast("int")
+        - _ceil_eps(F.lit(threshold) * F.col("sz")).cast("int")
         + F.lit(1)
     )
     pref = (
@@ -559,7 +580,7 @@ def ppjoin_pairs(
         .select("id", "s", "sz", "pos")
     )
     a, b = pref.alias("a"), pref.alias("b")
-    min_overlap = F.ceil(
+    min_overlap = _ceil_eps(
         F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
     )
     overlap_ub = F.lit(1) + F.least(
@@ -572,8 +593,8 @@ def ppjoin_pairs(
             & (F.col("a.id") < F.col("b.id"))
             # length filter (both directions — the posting join is not
             # size-ordered)
-            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
-            & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz")))
+            & (F.col("b.sz") >= _ceil_eps(F.lit(threshold) * F.col("a.sz")))
+            & (F.col("a.sz") >= _ceil_eps(F.lit(threshold) * F.col("b.sz")))
             # positional filter
             & (overlap_ub >= min_overlap),
         )

@@ -2,7 +2,7 @@
 operators of SURVEY.md §2.11 composed the way a 100 TB corpus job uses
 them).
 
-Stages (all lazy, one plan):
+Stages (materialized in stages since r12 — no longer one lazy plan):
 1. quality gate      — length/diversity/stopword composite ≥ threshold
 2. language filter   — stopword-voting lang-id ∈ keep-set
 3. exact dedup       — md5(normalized text), lowest doc_id wins
@@ -13,6 +13,17 @@ Stages (all lazy, one plan):
 Scale notes: stages 1-2 are pure maps (pushdown-friendly), stage 3
 shuffles once on the hash, stage 4 is the banded candidate join (no n²),
 and the near-dup drop set is usually tiny → broadcast anti-join.
+
+Laziness caveat (ADVICE r12): calling ``prepare_documents`` (and the
+minhash/simhash operators it uses) runs Spark jobs AT CONSTRUCTION TIME
+— the deduped frame is eagerly localCheckpoint'ed (DISK_ONLY) because
+two consumers would otherwise re-run the scan + regex gates + dedup
+window.  The checkpoint barrier also blocks downstream filter pushdown
+past stage 3, and executor-local checkpoint blocks are not
+fault-tolerant: on a cluster, losing an executor mid-query fails the
+job (fail-fast) instead of recomputing — acceptable for a pipeline
+step that is simply re-run; a long-lived deployment would swap in a
+reliable checkpoint dir or persist-with-replication.
 """
 
 from __future__ import annotations

@@ -211,7 +211,16 @@ def write_star(star: dict[str, DataFrame], base_dir: str) -> None:
     LAZY dim frames, never the dim files), so they run from a small
     thread pool (guide §2.6 — overlap independent jobs): wall is the
     slowest write, not the sum of five job round-trips.  On a cluster
-    the later jobs back-fill executors freed by the earlier jobs' tails."""
+    the later jobs back-fill executors freed by the earlier jobs' tails.
+
+    Concurrency caveats (ADVICE r12): pool.map raises the FIRST failure
+    only after every in-flight write finishes — a failed fact write can
+    leave sibling tables already (re)written; callers treating the star
+    dir as transactional should stage+rename (sources/wap.py).  And
+    because SQLConf is session-scoped, a concurrent ``scoped_conf``
+    mutation on this session from another thread (e.g. graph.py's AQE
+    scope) would leak into these writes — don't run write_star
+    concurrently with scoped-conf operators on the same session."""
     from concurrent.futures import ThreadPoolExecutor
 
     def write_one(item: tuple[str, DataFrame]) -> None:

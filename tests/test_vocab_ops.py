@@ -242,6 +242,28 @@ def test_ppjoin_equals_bruteforce_and_prunes(spark):
     assert n_cand < n * (n - 1) / 2 / 4, (n_cand, n)
 
 
+def test_ppjoin_equals_bruteforce_boundary_thresholds(spark):
+    """ADVICE r12: thresholds whose length/overlap bounds hit exact
+    integers (t=0.25 ⇒ t·sz integral for sz%4==0; t=0.3, t/(1+t)=3/13)
+    must not lose boundary pairs to float-rounded ceils — the recall-1
+    contract holds for every threshold, not just the default 0.5."""
+    from ida_dataengineerproject_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ppjoin_pairs,
+    )
+    from ida_dataengineerproject_spark.sources.tables import table
+
+    d = table(spark, SF, "documents")
+    for t in (0.25, 0.3):
+        got = sorted(
+            map(tuple, ppjoin_pairs(d, "doc_id", "text", 3, t).collect())
+        )
+        want = sorted(
+            map(tuple, ngram_jaccard_pairs(d, "doc_id", "text", 3, t).collect())
+        )
+        assert got == want and len(got) > 0, t
+
+
 def test_mg_candidates_preserves_bigint_key_type(spark):
     """ADVICE r6: the candidate schema must derive from the input key
     type — bigint keys used to be silently stringified, and the
