@@ -98,10 +98,10 @@ def count_triangles(
     edge from its lower-(degree, id) endpoint to the higher, making the
     orientation acyclic with out-degrees bounded by ~sqrt(2m) regardless
     of degree skew — a celebrity node no longer contributes deg^2 work.
-    With duplicate input pairs the rank key is the MULTIGRAPH degree
-    (consistent total order, so counts stay exact; the out-degree bound
-    becomes ~sqrt(2m') for m' = multi-edge count, which degrades only as
-    far as the data's pair-duplication factor).
+    (Small regime ranks by SIMPLE degree, huge regime by MULTIGRAPH
+    degree — both are consistent total orders, so the count is exact
+    either way; the huge-regime bound degrades to ~sqrt(2m') for
+    m' = multi-edge count.)
 
     Counting uses the edge-adjacency-intersection form rather than wedge
     enumeration: for each oriented edge (u→v), triangles whose lowest-
@@ -113,28 +113,45 @@ def count_triangles(
     per row, instead of materializing Σ outdeg² wedge ROWS into a
     shuffle join.
 
-    Join strategy is size-adaptive on MEASURED numbers computed BEFORE
-    the adjacency materializes (exact, not Catalyst estimates: each
-    undirected edge orients to exactly one adjacency entry, so
-    |und| + |deg| counts give the bytes).  The adjacency is then
-    checkpointed once (m + n longs, spread over defaultParallelism
-    partitions so the intersect compute keeps full core count —
-    byte-based AQE coalesce would squash these compute-heavy,
-    byte-light array rows onto ~3 tasks), and
+    BUILD SHAPE IS REGIME-HYBRID (r13), gated BEFORE anything
+    adjacency-sized materializes on ``m_raw·16`` bytes from one cheap
+    count of the checkpointed edge snapshot (the r8 lesson: at x100 a
+    220 M-entry hash aggregate OOMed a 16 g JVM before a post-build
+    gate could act):
 
-    - adjacency under ``broadcast_limit_bytes``: broadcast-hash-join the
-      v-side adjacency.  The Σ outdeg² array duplication then never
-      crosses a shuffle — explode, probe and intersect pipeline in ONE
-      stage.  Measured at sf0.1 (m=1.2M, Σoutdeg²=83M): 0.4 s vs 3.4 s
-      for the sort-merge form.
-    - larger graphs: plain shuffle equi-join on v (Cohen's Σ outdeg²
-      shuffle bound — the 100 TB path; nothing data-sized is broadcast),
-      AND the collect_list build runs as a SORT-based aggregate
-      (scoped ``useObjectHashAggregateExec=false``): the hash form
-      holds every open group's array per task — the whole graph in
-      heap across concurrent tasks, the r8 x100 16 g OOM — while the
-      sort form keeps one group (≤ ~sqrt(2m) entries) at a time and
-      its shuffle sort spills.
+    - SMALL regime (raw pairs within ``broadcast_limit_bytes``): the
+      degree pass is FUSED into the adjacency build — ONE node-keyed
+      shuffle over both edge directions builds the FULL adjacency
+      (``collect_set`` dedups multi-edges in the same exchange), degree
+      is ``size(nbrs)``, and orientation explodes the grouped frame,
+      attaches the neighbor's degree via one size-gated join against
+      the node-bounded (node, deg) projection, and regroups the
+      rank-upward half (guide §2.4: operations keyed the same way share
+      an exchange).  Measured sf0.1: first run 6.70 → 4.12 s (the
+      separate degree aggregate + two degree-attach joins and their
+      codegen are gone), warm 3.39 → 3.17 s, results bit-identical.
+    - HUGE regime: the r6-r12 shape — a partial-aggregated degree pass
+      (map-side combine shrinks the degree shuffle to ~|nodes| rows,
+      which a ``collect_*`` CANNOT do), two degree-attach joins on the
+      edge snapshot, then ONE oriented-adjacency build as a SORT-based
+      aggregate (scoped ``useObjectHashAggregateExec=false``: the hash
+      form holds every open group's buffer per task — the whole graph
+      in heap across concurrent tasks — while the sort form keeps one
+      group (≤ ~sqrt(2m) entries) at a time and its shuffle sort
+      spills).  The fused form was A/B'd at the x100 replica and LOST
+      (114.3 → 150.5 s best-of-2 + GCLocker pressure): building the
+      2m'-entry FULL adjacency through a sort aggregate shuffles and
+      sorts every directed copy, exactly the partial-aggregation saving
+      the degree pass exists to keep — so the fusion is gated to the
+      regime where it wins.
+
+    Intersect-join strategy (both regimes) uses the exact post-build
+    numbers (n_nodes, Σdeg ⇒ m): ``adj_bytes = m·16 + n·64`` under the
+    limit broadcasts the v-side adjacency (the Σ outdeg² array
+    duplication never crosses a shuffle — measured sf0.1 0.4 s vs 3.4 s
+    for the sort-merge form); above it, a plain shuffle equi-join
+    (Cohen's Σ outdeg² shuffle bound — the 100 TB path; nothing
+    data-sized is broadcast).
 
     An Arrow ``mapInPandas`` batch-intersection (row-offset keys +
     ``np.intersect1d``) was measured SLOWER than codegen array_intersect
@@ -144,99 +161,134 @@ def count_triangles(
     """
     from pyspark.storagelevel import StorageLevel
 
+    from ..session import scoped_conf
+
     spark = edges.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
     und = edges.select(F.col(src).alias("p1"), F.col(dst).alias("p2"))
-    # two consumers (degree pass, orientation join) — materialize once.
-    # DISK_ONLY, not the MEMORY_AND_DISK(deserialized) default: at x100
-    # the edge snapshot is 10⁸ rows, and deserialized block storage pins
+    # two consumers in either regime — materialize once.  DISK_ONLY,
+    # not the MEMORY_AND_DISK(deserialized) default: at x100 the edge
+    # snapshot is 10⁸ rows, and deserialized block storage pins
     # gigabytes of the unified pool (storageFraction-protected from
-    # eviction), starving the very hash aggregates that read it —
-    # the r9 16 g AGGREGATE_OUT_OF_MEMORY landed in the degree/distinct
-    # stage, not the adjacency build.  Serialized long-pairs are compact
-    # and the OS page cache keeps re-reads memory-speed without touching
-    # the JVM heap.
+    # eviction), starving the very hash aggregates that read it — the
+    # r9 16 g AGGREGATE_OUT_OF_MEMORY landed in the degree/distinct
+    # stage, not the adjacency build.  Serialized long-pairs are
+    # compact and the OS page cache keeps re-reads memory-speed without
+    # touching the JVM heap.
     und = und.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    deg = (
-        und.select(F.col("p1").alias("node"))
-        .unionByName(und.select(F.col("p2").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-        # node-bounded; consumed by BOTH orientation joins (and the
-        # n_nodes arm) — without this the aggregation runs per consumer
-        .localCheckpoint()
-    )
-    d1 = deg.withColumnRenamed("node", "p1").withColumnRenamed("deg", "deg1")
-    d2 = deg.withColumnRenamed("node", "p2").withColumnRenamed("deg", "deg2")
-    ed = und.join(d1, "p1").join(d2, "p2")
-    lower_first = (F.col("deg1") < F.col("deg2")) | (
-        (F.col("deg1") == F.col("deg2")) & (F.col("p1") < F.col("p2"))
-    )
-    oriented = ed.select(
-        F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("u"),
-        F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("v"),
-    )
-    # Gate on a MEASURED size, not Catalyst stats — and measure it BEFORE
-    # building the adjacency (r8 probe: at x100 the 220 M-entry
-    # collect_list ObjectHashAggregate OOMed a 16 g JVM while
-    # materializing the frame the old gate measured — the handoff
-    # decision arrived after the memory hazard).  Exact pre-build
-    # numbers from two cheap counts over already-checkpointed frames:
-    # every undirected edge orients to exactly ONE adjacency entry, so
-    # entries == |und| (collect_set can only shrink it), and adjacency
-    # rows <= |deg|.  Bytes: 8 B/long id ×2 for the
-    # BroadcastHashedRelation's boxing/hash overhead, plus per-row
-    # array+key overhead.
-    # one tiny job over the checkpointed degree table gives BOTH gate
-    # numbers: every und row contributes 2 to Σdeg, so |und| = Σdeg/2 —
-    # the und.count() full-snapshot scan this replaces measured ~0.3 s
-    # of pure job overhead at sf0.1 (r12)
-    _gate = deg.agg(
-        F.count("*").alias("n"), F.sum("deg").alias("sd")
-    ).first()
-    n_nodes_m = int(_gate["n"])
-    n_edges_m = int(_gate["sd"] or 0) // 2
-    adj_bytes = n_edges_m * 16 + n_nodes_m * 64
-    gather = F.collect_list if edges_unique else F.collect_set
+    # pre-build gate number: a count over executor-local blocks (~0.1 s
+    # of job overhead at sf0.1) — the only number needed before the
+    # build-shape decision
+    m_raw = und.count()
+    fused = m_raw * 16 <= broadcast_limit_bytes
 
-    def build_adj():
-        # fresh frame per call: a DataFrame memoizes its physical plan,
-        # so the sort-aggregate conf below must be live when the plan
-        # is FIRST materialized.  Two consumer arms below — materialize
-        # once; round-robin spread keeps the intersect stage at full
-        # parallelism (see docstring)
-        return (
-            oriented.groupBy("u")
+    if fused:
+        # ---- small regime: degree pass fused into the adjacency build
+        sym = und.select(
+            F.col("p1").alias("n"), F.col("p2").alias("v")
+        ).unionAll(und.select(F.col("p2").alias("n"), F.col("p1").alias("v")))
+        gather = F.collect_list if edges_unique else F.collect_set
+        full = (
+            sym.groupBy("n")
             .agg(gather("v").alias("nbrs"))
-            .repartition(spark.sparkContext.defaultParallelism)
+            .withColumn("deg", F.size("nbrs"))
+            # round-robin spread keeps the downstream compute-heavy
+            # array stages at full parallelism (byte-based AQE coalesce
+            # would squash these byte-light array rows onto ~3 tasks)
+            .repartition(parallelism)
+            .localCheckpoint()
         )
+        # exact gate numbers: every simple undirected edge contributes
+        # 2 to Σdeg of the full adjacency
+        _gate = full.agg(
+            F.count("*").alias("n"), F.sum("deg").alias("sd")
+        ).first()
+        n_nodes_m = int(_gate["n"])
+        n_edges_m = int(_gate["sd"] or 0) // 2
+        adj_bytes = n_edges_m * 16 + n_nodes_m * 64
 
-    if adj_bytes <= broadcast_limit_bytes:
-        adj = build_adj().localCheckpoint()
+        degf = full.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
+        if n_nodes_m * 64 <= broadcast_limit_bytes:
+            degf = F.broadcast(degf)
+        rank_up = (F.col("deg") < F.col("deg_v")) | (
+            (F.col("deg") == F.col("deg_v")) & (F.col("n") < F.col("v"))
+        )
+        adj = (
+            full.select("n", "deg", F.explode("nbrs").alias("v"))
+            .join(degf, "v")
+            .where(rank_up)
+            .groupBy("n")
+            .agg(F.collect_list("v").alias("nbrs"))
+            .repartition(parallelism)
+            .localCheckpoint()
+        )
+        n_nodes = full.agg(F.count("*").alias("n_nodes"))
+        adj_u = F.col("n")
     else:
-        # Huge regime: the hash aggregate holds EVERY open group's
-        # ArrayBuffer per task — Σ entries ~ the whole graph in heap
-        # across concurrent tasks.  A sort-based aggregate keeps ONE
-        # group's array at a time (the shuffle sort itself spills), so
-        # the build is memory-bounded by the max out-degree ~ sqrt(2m).
-        # scoped_conf + eager checkpoint: the conf is live only while
-        # THIS aggregate executes.
-        from ..session import scoped_conf
+        # ---- huge regime: r6-r12 shape (partial-aggregated degree
+        # pass + degree-attach joins + sort-aggregate oriented build)
+        deg = (
+            und.select(F.col("p1").alias("node"))
+            .unionByName(und.select(F.col("p2").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            # node-bounded; consumed by BOTH orientation joins (and the
+            # n_nodes arm) — without this the aggregation runs per
+            # consumer
+            .localCheckpoint()
+        )
+        d1 = deg.withColumnRenamed("node", "p1").withColumnRenamed("deg", "deg1")
+        d2 = deg.withColumnRenamed("node", "p2").withColumnRenamed("deg", "deg2")
+        ed = und.join(d1, "p1").join(d2, "p2")
+        lower_first = (F.col("deg1") < F.col("deg2")) | (
+            (F.col("deg1") == F.col("deg2")) & (F.col("p1") < F.col("p2"))
+        )
+        oriented = ed.select(
+            F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+            F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+        )
+        # exact gate numbers from one tiny job over the checkpointed
+        # degree table: every und row contributes 2 to Σdeg, so
+        # |und| = Σdeg/2 (multigraph count — an upper bound on simple m)
+        _gate = deg.agg(F.count("*").alias("n"), F.sum("deg").alias("sd")).first()
+        n_nodes_m = int(_gate["n"])
+        n_edges_m = int(_gate["sd"] or 0) // 2
+        adj_bytes = n_edges_m * 16 + n_nodes_m * 64
+        gather = F.collect_list if edges_unique else F.collect_set
 
-        with scoped_conf(
-            spark, {"spark.sql.execution.useObjectHashAggregateExec": "false"}
-        ):
-            # DISK_ONLY for the same storage-squeeze reason as `und`:
-            # the huge-regime adjacency is the largest object in the job
-            adj = build_adj().localCheckpoint(
-                eager=True, storageLevel=StorageLevel.DISK_ONLY
+        def build_adj():
+            # fresh frame per call: a DataFrame memoizes its physical
+            # plan, so the sort-aggregate conf below must be live when
+            # the plan is FIRST materialized
+            return (
+                oriented.groupBy("u")
+                .agg(gather("v").alias("nbrs"))
+                .repartition(parallelism)
             )
+
+        if adj_bytes <= broadcast_limit_bytes:
+            adj = build_adj().localCheckpoint()
+        else:
+            with scoped_conf(
+                spark,
+                {"spark.sql.execution.useObjectHashAggregateExec": "false"},
+            ):
+                # DISK_ONLY for the same storage-squeeze reason as
+                # `und`: the huge-regime adjacency is the largest
+                # object in the job
+                adj = build_adj().localCheckpoint(
+                    eager=True, storageLevel=StorageLevel.DISK_ONLY
+                )
+        n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+        adj_u = F.col("u")
+
     # recover each oriented edge (u→v) WITH u's adjacency attached by
     # exploding the adjacency itself — one join saved vs joining the
     # edge list back to adj on u
     per_edge = adj.select(
         F.col("nbrs").alias("nbrs_u"), F.explode("nbrs").alias("v")
     )
-    a_v = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    a_v = adj.select(adj_u.alias("v"), F.col("nbrs").alias("nbrs_v"))
     if int(adj_bytes) <= broadcast_limit_bytes:
         a_v = F.broadcast(a_v)
     counted = (
@@ -246,9 +298,9 @@ def count_triangles(
     tri = counted.agg(F.sum("c").cast("long").alias("n_triangles"))
     if not with_graph_stats:
         return tri
-    # free-riding stats: every node touches an edge, so n_nodes = |deg|;
-    # n_edges = Σ out-degrees of the deduped oriented adjacency
-    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    # free-riding stats: every node touches an edge, so n_nodes = rows
+    # of the full adjacency (small) / degree table (huge); n_edges =
+    # Σ out-degrees of the deduped oriented adjacency
     n_edges = adj.agg(F.sum(F.size("nbrs")).cast("long").alias("n_edges"))
     return (
         n_nodes.crossJoin(F.broadcast(n_edges))
