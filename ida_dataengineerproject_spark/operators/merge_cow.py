@@ -70,9 +70,16 @@ def merge_cow(
 
     Returns {"n_buckets": ..., "impacted_buckets": [...]} — bounded
     commit metadata, mirroring a table format's commit record."""
+    from pyspark.storagelevel import StorageLevel
+
     from ..sources.ingest_ledger import _hadoop_fs
 
-    ch = changes.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets))
+    # materialize the changeset once — three consumers (impacted
+    # collect, anti-join key set, merged write) otherwise re-run its
+    # lineage (r13; see merge_versioned)
+    ch = changes.withColumn(
+        BUCKET_COL, bucket_of(F.col(key), n_buckets)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     impacted = sorted(
         r[0] for r in ch.select(BUCKET_COL).distinct().collect()
     )
@@ -336,6 +343,8 @@ def merge_versioned(
     """MERGE `changes` into the latest version, committing version n+1.
     Only impacted buckets get new directories; every other bucket entry
     carries over, so old versions remain readable and byte-stable."""
+    from pyspark.storagelevel import StorageLevel
+
     log = _read_log(spark, path)
     key, n_buckets = log["key"], log["n_buckets"]
     new_version = log["version"] + 1
@@ -344,7 +353,16 @@ def merge_versioned(
     # this writer's data/v{n} directories (ADVICE r5)
     _claim_commit(spark, path, new_version)
 
-    ch = changes.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets))
+    # materialize the changeset ONCE (O(changeset) rows, DISK_ONLY):
+    # it is consumed by the impacted-bucket collect, the anti-join key
+    # set AND the merged write, and its lineage may be arbitrarily
+    # expensive (e.g. a filter over read_version of this very table) —
+    # without this every consumer re-ran it (r13).  Materializing
+    # pre-commit also pins the change rows before any directory of this
+    # table moves.
+    ch = changes.withColumn(
+        BUCKET_COL, bucket_of(F.col(key), n_buckets)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     impacted = sorted(
         int(r[0]) for r in ch.select(BUCKET_COL).distinct().collect()
     )

@@ -164,6 +164,10 @@ def upsert_mor(
     append file set holding the non-tombstoned replacement rows.  Change
     keys must be unique (one decision per key per commit).  No existing
     file is touched."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.storagelevel import StorageLevel
+
     log = _read_log(spark, path)
     key, n_buckets = log["key"], log["n_buckets"]
     c = log["version"] + 1
@@ -171,22 +175,42 @@ def upsert_mor(
     # race fails here, not after clobbering the winner's v{c} directories
     _claim_commit(spark, path, c)
 
-    ch = changes.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets))
+    # materialize the changeset ONCE (O(changeset) rows, DISK_ONLY):
+    # both commit files below consume it, and its lineage may be
+    # arbitrarily expensive (a filter over the live table, a 3-branch
+    # CDC union...) — without this each write re-ran it (r13, §6
+    # compute-the-proxy-once)
+    ch = changes.withColumn(
+        BUCKET_COL, bucket_of(F.col(key), n_buckets)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     dv = ch.select(
         F.col(key), F.col(BUCKET_COL), F.lit(c).cast("long").alias(COMMIT_COL)
     )
     dv_dir = f"{path.rstrip('/')}/dv/v{c}"
-    dv.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(dv_dir)
-
     upserts = (
         ch.filter(~F.col(tombstone_col)).drop(tombstone_col)
         if tombstone_col
         else ch
     )
     data_dir = f"{path.rstrip('/')}/data/v{c}"
-    upserts.withColumn(COMMIT_COL, F.lit(c).cast("long")).write.mode(
-        "overwrite"
-    ).partitionBy(BUCKET_COL).parquet(data_dir)
+
+    # the DV file set and the append file set are INDEPENDENT jobs over
+    # the checkpointed changeset — overlap them (guide §2.6, the
+    # write_star pattern; job descriptions are thread-local).  Same
+    # caveat as write_star: don't run commits concurrently with
+    # scoped-conf operators on the same session (SQLConf is
+    # session-scoped).
+    def _write(job):
+        which, df, target = job
+        spark.sparkContext.setJobDescription(f"mor commit v{c}: {which}")
+        df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target)
+
+    jobs = [
+        ("dv", dv, dv_dir),
+        ("data", upserts.withColumn(COMMIT_COL, F.lit(c).cast("long")), data_dir),
+    ]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(_write, jobs))  # consume so the first failure raises
 
     buckets = {b: dict(e) for b, e in log["buckets"].items()}
     for b in _written_buckets(spark, dv_dir):
