@@ -63,14 +63,26 @@ def cw_bucket_sql(key: str, seed: int, m: int) -> str:
 def bloom_positions(df, key_col: str, n_hashes: int, m: int, part_cols=()):
     """Distinct Bloom bit-position table for `df[key_col]` under the CW
     family: one row per ({part_cols...}, pos).  The shared kernel behind
-    the per-partition bloom index in sources/file_pruning.py."""
-    out = None
-    for j in range(1, n_hashes + 1):
-        part = df.select(
-            *part_cols, cw_bucket(F.col(key_col), j, m).alias("pos")
-        )
-        out = part if out is None else out.unionByName(part)
-    return out.distinct()
+    the per-partition bloom index in sources/file_pruning.py.
+
+    ONE scan (r13): the k positions ride an array+explode in a single
+    projection instead of a k-branch union — the union form re-scanned
+    the source once PER HASH FUNCTION (x14's x100 phase profile: the
+    3-scan bitmap build was 1.66 s of the query's 2.67 s wall; guide
+    §6.2 scan once / §2.3 shuffle the same distinct set either way).
+    explode-of-k-array yields exactly the union's multiset per row, so
+    the distinct is unchanged."""
+    return df.select(
+        *part_cols,
+        F.explode(
+            F.array(
+                *[
+                    cw_bucket(F.col(key_col), j, m)
+                    for j in range(1, n_hashes + 1)
+                ]
+            )
+        ).alias("pos"),
+    ).distinct()
 
 
 def km_pos(key: Column, j: int, m: int) -> Column:
@@ -112,12 +124,20 @@ def bloom_positions_km(df, key_col: str, n_hashes: int, m: int):
     """Distinct KM-family Bloom bit-position table (build-side twin of
     km_pos — the build and probe sides of a filter must share the
     family).  Build cost is amortized over the probe side, but the same
-    2-eval saving applies."""
-    out = None
-    for j in range(1, n_hashes + 1):
-        part = df.select(km_pos(F.col(key_col), j, m).alias("pos"))
-        out = part if out is None else out.unionByName(part)
-    return out.distinct()
+    2-eval saving applies.
+
+    ONE scan (r13, same rewrite as bloom_positions): the union form ran
+    one source scan per hash function — on x14's x100 reference side
+    that was 3 scans of 15 M orders rows before the 4th scan the confirm
+    marker needs.  explode-of-k-array preserves the multiset, hence the
+    distinct."""
+    return df.select(
+        F.explode(
+            F.array(
+                *[km_pos(F.col(key_col), j, m) for j in range(1, n_hashes + 1)]
+            )
+        ).alias("pos")
+    ).distinct()
 
 
 def bloom_bitmap(df, key_col: str, n_hashes: int, m: int, family="cw"):
