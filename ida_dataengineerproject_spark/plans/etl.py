@@ -193,10 +193,24 @@ def ingest(
     spark: SparkSession,
     wide: DataFrame,
     existing_fact: DataFrame | None = None,
+    materialize_records: bool = False,
 ) -> dict[str, DataFrame]:
     """Full pipeline: wide sheet(s) → {dims..., fact_ida} lazy DataFrames.
-    Mirrors ETLPipeline.run (etl_ida.py:732-834) minus the HTTP fetch."""
+    Mirrors ETLPipeline.run (etl_ida.py:732-834) minus the HTTP fetch.
+
+    ``materialize_records=True`` (r13, opt-in so the default contract
+    stays fully lazy) eagerly checkpoints the normalized record stream
+    before fanning out: the records subtree (ffill window + unpivot
+    Expand + parse/recode) feeds FIVE independent consumers — four dim
+    distincts and the fact dedup — and with ``write_star`` each of the
+    five write jobs re-derived it from the source (the fact job four
+    more times via its lazy dim joins).  Records are O(sheet cells),
+    so the checkpoint is bounded at any corpus scale.  Callers that
+    consume only one output (xq41's audit rebuild) keep the lazy
+    default."""
     records = transform_wide(wide)
+    if materialize_records:
+        records = records.localCheckpoint(eager=True)
     dims = build_dims(records)
     fact = load_fact(records, dims, existing_fact)
     return {**dims, "fact_ida": fact}

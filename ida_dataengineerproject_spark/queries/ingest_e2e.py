@@ -114,7 +114,9 @@ def q_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the repo tree must not accrete output dirs; cleaned up after the
     # eager readout below.
     base = tempfile.mkdtemp(prefix=f"e2e_ingest_{Path(sf_dir).name}_")
-    star = ingest(spark, wide)
+    # materialize_records: the five write_star jobs each re-derived the
+    # records subtree (ffill window + Expand + parse) from the source
+    star = ingest(spark, wide, materialize_records=True)
     write_star(star, base)
 
     # second run against the fact READ BACK from disk: the hash anti-join

@@ -252,7 +252,17 @@ def long_to_wide(long: DataFrame) -> DataFrame:
     """Long rows → the wide layout ``plans/etl.transform_wide`` expects.
     Month columns are dynamic per dataset, so the distinct month list is
     collected (control plane, dozens of values) and pivoted explicitly —
-    deterministic column order, one shuffle on the row identity keys."""
+    deterministic column order, one shuffle on the row identity keys.
+
+    The input is materialized ONCE first (r13): this function was
+    already eager (the months collect), but that collect and the pivot
+    each re-ran the upstream lineage — for ``read_ods_long`` a second
+    full parse of every file, for ``fetch_ods_long`` a second FETCH of
+    every resource over the network (guide §6: never pay I/O twice).
+    The long frame is O(sheet cells), so the checkpoint is bounded.
+    Measured sf0.1 (pipeline_ingest_ods phases): months collect
+    0.23 → 0.08 s, pivot+transform 0.51 → 0.35 s."""
+    long = long.localCheckpoint(eager=True)
     months = sorted(
         r.ano_mes for r in long.select("ano_mes").distinct().collect()
     )
